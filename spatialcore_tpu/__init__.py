@@ -1,0 +1,85 @@
+"""spatialcore_tpu — TPU-native spatial statistics for spatial transcriptomics.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+SpatialCore reference library (see SURVEY.md): spatial autocorrelation
+(Moran's I, Geary's C, Lee's L, local variants with permutation nulls),
+neighborhood/niche analysis, spatial domain extraction without an R bridge,
+threshold-based classification, and a full cell-type annotation pipeline —
+all built on fixed-degree sparse neighbor graphs and counter-based PRNG
+permutations that shard across TPU meshes.
+
+Module availability follows the reference façade
+(/root/reference/src/spatialcore/__init__.py:14-99): ``core`` is mandatory;
+heavier modules import lazily and degrade to helpful errors when optional
+dependencies are missing.
+"""
+
+from __future__ import annotations
+
+import importlib
+from types import ModuleType
+from typing import Dict, List
+
+__version__ = "0.1.0"
+
+from . import core  # mandatory
+from .core import SpatialData, get_logger, read_h5ad, update_metadata, write_h5ad
+
+_OPTIONAL_MODULES = ["ops", "spatial", "stats", "annotation", "plotting", "parallel"]
+_module_errors: Dict[str, str] = {}
+
+
+class _UnavailableModule(ModuleType):
+    """Placeholder raising a helpful ImportError on any attribute access."""
+
+    def __init__(self, name: str, error: str):
+        super().__init__(name)
+        self._name = name
+        self._error = error
+
+    def __getattr__(self, item):
+        raise ImportError(
+            f"spatialcore_tpu.{self._name} is unavailable: {self._error}")
+
+
+def _try_import(name: str):
+    try:
+        mod = importlib.import_module(f".{name}", __name__)
+        if getattr(mod, "__file__", None) is None:  # bare namespace dir
+            raise ImportError(f"module '{name}' has no __init__.py")
+        return mod
+    except ImportError as e:  # missing optional dependency
+        _module_errors[name] = str(e)
+        return _UnavailableModule(name, str(e))
+
+
+ops = _try_import("ops")
+spatial = _try_import("spatial")
+stats = _try_import("stats")
+annotation = _try_import("annotation")
+plotting = _try_import("plotting")
+parallel = _try_import("parallel")
+
+
+def available_modules() -> List[str]:
+    """Names of successfully imported top-level modules."""
+    out = ["core"]
+    for m in _OPTIONAL_MODULES:
+        if m not in _module_errors:
+            out.append(m)
+    return out
+
+
+def print_info() -> None:
+    """Print version and module availability."""
+    print(f"spatialcore_tpu {__version__}")
+    for m in ["core"] + _OPTIONAL_MODULES:
+        status = "ok" if m not in _module_errors else f"unavailable ({_module_errors[m]})"
+        print(f"  {m:12s} {status}")
+
+
+__all__ = [
+    "__version__", "SpatialData", "read_h5ad", "write_h5ad", "get_logger",
+    "update_metadata", "core", "ops", "spatial", "stats", "annotation",
+    "plotting", "parallel", "available_modules", "print_info",
+]

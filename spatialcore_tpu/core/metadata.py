@@ -1,0 +1,102 @@
+"""Provenance ledger stored in ``uns["spatialcore_metadata"]``.
+
+Behavioral parity with the reference's operation log
+(/root/reference/src/spatialcore/core/metadata.py:47-149): each public
+operation appends a record with timestamp / function / params / outputs /
+package version, and ``prepare_metadata_for_h5ad`` JSON-stringifies the ledger
+so it round-trips through HDF5.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+METADATA_KEY = "spatialcore_metadata"
+
+
+def _serialize_param(value: Any) -> Any:
+    """Make a parameter JSON-friendly (Path → str, arrays → lists, etc.)."""
+    import numpy as np
+
+    if isinstance(value, Path):
+        return str(value)
+    if isinstance(value, (np.integer,)):
+        return int(value)
+    if isinstance(value, (np.floating,)):
+        return float(value)
+    if isinstance(value, np.ndarray):
+        return value.tolist() if value.size <= 64 else f"<array shape={value.shape}>"
+    if isinstance(value, (list, tuple)):
+        return [_serialize_param(v) for v in value]
+    if isinstance(value, dict):
+        return {str(k): _serialize_param(v) for k, v in value.items()}
+    if hasattr(value, "n_obs") and hasattr(value, "n_vars"):  # container
+        return f"<SpatialData {value.n_obs}x{value.n_vars}>"
+    if isinstance(value, (str, int, float, bool)) or value is None:
+        return value
+    return repr(value)
+
+
+class MetadataTracker:
+    """Accumulates operation records and flushes them onto a container."""
+
+    def __init__(self) -> None:
+        self.operations = []
+
+    def record(
+        self,
+        function_name: str,
+        parameters: Optional[Dict[str, Any]] = None,
+        outputs: Optional[Dict[str, Any]] = None,
+    ) -> Dict[str, Any]:
+        from spatialcore_tpu import __version__
+
+        op = {
+            "timestamp": datetime.now(timezone.utc).isoformat(),
+            "function": function_name,
+            "parameters": _serialize_param(parameters or {}),
+            "outputs": _serialize_param(outputs or {}),
+            "version": __version__,
+        }
+        self.operations.append(op)
+        return op
+
+    def flush(self, adata) -> None:
+        meta = adata.uns.setdefault(METADATA_KEY, {"operations": []})
+        meta.setdefault("operations", []).extend(self.operations)
+        self.operations = []
+
+
+def update_metadata(
+    adata,
+    function_name: str,
+    parameters: Optional[Dict[str, Any]] = None,
+    outputs: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Append one operation record to ``adata.uns['spatialcore_metadata']``."""
+    tracker = MetadataTracker()
+    tracker.record(function_name, parameters, outputs)
+    tracker.flush(adata)
+
+
+def get_operations(adata) -> list:
+    """Return the list of recorded operations (empty if none)."""
+    meta = adata.uns.get(METADATA_KEY, {})
+    if isinstance(meta, str):
+        meta = json.loads(meta)
+    return list(meta.get("operations", []))
+
+
+def prepare_metadata_for_h5ad(adata) -> None:
+    """JSON-stringify the ledger in-place so it survives HDF5 serialization."""
+    if METADATA_KEY in adata.uns and not isinstance(adata.uns[METADATA_KEY], str):
+        adata.uns[METADATA_KEY] = json.dumps(adata.uns[METADATA_KEY])
+
+
+def restore_metadata_from_h5ad(adata) -> None:
+    """Inverse of :func:`prepare_metadata_for_h5ad`."""
+    if METADATA_KEY in adata.uns and isinstance(adata.uns[METADATA_KEY], str):
+        adata.uns[METADATA_KEY] = json.loads(adata.uns[METADATA_KEY])

@@ -1,0 +1,51 @@
+"""Test configuration: run JAX on 8 virtual CPU devices.
+
+Sharded code paths are exercised without a TPU slice via
+``xla_force_host_platform_device_count`` (SURVEY.md §4). Must run before jax
+import anywhere in the test session.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pandas as pd
+import pytest
+import scipy.sparse as sp
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def make_adata(n_obs=200, n_vars=30, sparse=False, seed=0, with_spatial=True):
+    from spatialcore_tpu import SpatialData
+
+    rng = np.random.default_rng(seed)
+    counts = rng.poisson(2.0, size=(n_obs, n_vars)).astype(np.float32)
+    X = sp.csr_matrix(counts) if sparse else counts
+    obs = pd.DataFrame({
+        "cell_type": pd.Categorical(rng.choice(["T cell", "B cell", "Macrophage"], n_obs)),
+        "total_counts": counts.sum(axis=1),
+    }, index=[f"cell_{i}" for i in range(n_obs)])
+    var = pd.DataFrame(index=[f"GENE{j}" for j in range(n_vars)])
+    adata = SpatialData(X=X, obs=obs, var=var)
+    if with_spatial:
+        adata.obsm["spatial"] = rng.uniform(0, 1000, size=(n_obs, 2)).astype(np.float32)
+    return adata
+
+
+@pytest.fixture
+def adata():
+    return make_adata()
+
+
+@pytest.fixture
+def adata_sparse():
+    return make_adata(sparse=True)
