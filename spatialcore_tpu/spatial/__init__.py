@@ -1,0 +1,15 @@
+"""Spatial statistics: autocorrelation, neighborhoods, niches, domains."""
+
+from .autocorrelation import (
+    build_spatial_weights,
+    gearys_c,
+    lees_l,
+    lees_l_local,
+    local_morans_i,
+    morans_i,
+)
+
+__all__ = [
+    "build_spatial_weights", "morans_i", "gearys_c", "local_morans_i",
+    "lees_l", "lees_l_local",
+]

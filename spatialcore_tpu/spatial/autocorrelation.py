@@ -1,0 +1,583 @@
+"""Public spatial-autocorrelation API: Moran's I, Geary's C, Lee's L.
+
+API parity with /root/reference/src/spatialcore/spatial/autocorrelation.py
+(function names, parameters, output keys), backed by the TPU kernel layer in
+``spatialcore_tpu.ops`` instead of squidpy/sklearn/scipy:
+
+- ``build_spatial_weights`` → fixed-degree row-normalized graph
+  (reference :342-413 builds a scipy CSR via sklearn ball-tree)
+- ``morans_i`` → own Moran kernel + analytic moments + seeded on-device
+  permutations (reference :421-648 delegates to squidpy)
+- ``gearys_c`` → same kernel family (not in the reference; BASELINE config 2)
+- ``local_morans_i`` → vmapped LISA (reference :656-983 loops in Python)
+- ``lees_l`` / ``lees_l_local`` → bivariate kernels (reference :991-1479)
+"""
+
+from __future__ import annotations
+
+import time
+from itertools import combinations
+from typing import List, Literal, Optional, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import scipy.sparse as sp
+
+from ..core.logging import get_logger
+from ..core.metadata import update_metadata
+from ..ops import (
+    QUADRANT_LABELS,
+    SpatialGraph,
+    apply_fdr,
+    build_graph,
+    classify_quadrants,
+    geary_analytic_moments,
+    geary_observed,
+    graph_moments,
+    lees_l_pairs,
+    local_moran,
+    moran_analytic_moments,
+    moran_observed,
+    p_from_z,
+    permutation_test_global,
+    standardize,
+)
+
+logger = get_logger("spatial.autocorrelation")
+
+GRAPH_UNS_KEY = "spatial_graph"
+
+
+# ---------------------------------------------------------------------------
+# Weights
+# ---------------------------------------------------------------------------
+
+def build_spatial_weights(
+    adata,
+    n_neighbors: int = 6,
+    spatial_key: str = "spatial",
+    include_self: bool = False,
+    store: bool = True,
+) -> SpatialGraph:
+    """Build the row-normalized fixed-degree spatial weights graph.
+
+    Equivalent of the reference's CSR weights (each row sums to 1, binary kNN
+    adjacency, self excluded unless ``include_self``); returns a
+    :class:`~spatialcore_tpu.ops.SpatialGraph` whose ``to_csr()`` matches the
+    reference output exactly. When ``store`` is set the graph arrays are
+    cached in ``adata.uns['spatial_graph']`` for ``use_existing_graph``.
+    """
+    if spatial_key not in adata.obsm:
+        raise ValueError(
+            f"adata.obsm['{spatial_key}'] not found. Spatial coordinates are required.")
+    coords = np.asarray(adata.obsm[spatial_key])
+    n_cells = coords.shape[0]
+    logger.debug(f"Building spatial weights: {n_cells:,} cells, k={n_neighbors}")
+    graph = build_graph(coords, n_neighbors=n_neighbors, include_self=include_self)
+    if store:
+        adata.uns[GRAPH_UNS_KEY] = {
+            "neighbor_idx": np.asarray(graph.neighbor_idx),
+            "neighbor_w": np.asarray(graph.neighbor_w),
+            "valid": np.asarray(graph.valid),
+            "distances": np.asarray(graph.distances),
+            "params": {"n_neighbors": n_neighbors, "include_self": include_self,
+                       "spatial_key": spatial_key},
+        }
+    return graph
+
+
+def _load_stored_graph(adata) -> Optional[SpatialGraph]:
+    g = adata.uns.get(GRAPH_UNS_KEY)
+    if not isinstance(g, dict) or "neighbor_idx" not in g:
+        return None
+    return SpatialGraph(
+        neighbor_idx=jnp.asarray(g["neighbor_idx"]),
+        neighbor_w=jnp.asarray(g["neighbor_w"]),
+        valid=jnp.asarray(np.asarray(g["valid"]).astype(bool)),
+        distances=jnp.asarray(g["distances"]),
+    )
+
+
+def _get_graph(adata, n_neighbors, spatial_key, use_existing_graph) -> SpatialGraph:
+    if use_existing_graph:
+        g = _load_stored_graph(adata)
+        if g is not None:
+            logger.info("Using existing spatial graph (use_existing_graph=True)")
+            return g
+        logger.warning("use_existing_graph=True but no stored graph; rebuilding")
+    return build_spatial_weights(adata, n_neighbors=n_neighbors,
+                                 spatial_key=spatial_key)
+
+
+# ---------------------------------------------------------------------------
+# Expression extraction
+# ---------------------------------------------------------------------------
+
+def _resolve_genes(adata, genes) -> List[str]:
+    if genes is None:
+        return list(adata.var_names)
+    if isinstance(genes, str):
+        genes = [genes]
+    missing = [g for g in genes if g not in adata.var_names]
+    if missing:
+        raise ValueError(f"Genes not found in adata.var_names: {missing[:10]}")
+    return list(genes)
+
+
+def _dense_expression(adata, gene_names: List[str], layer: Optional[str]) -> np.ndarray:
+    X = adata.get_matrix(layer) if hasattr(adata, "get_matrix") else adata.X
+    idx = adata.var_names.get_indexer(gene_names)
+    sub = X[:, idx]
+    if sp.issparse(sub):
+        sub = sub.toarray()
+    return np.asarray(sub, dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Global Moran's I / Geary's C
+# ---------------------------------------------------------------------------
+
+def _global_autocorr(
+    adata,
+    stat: Literal["moran", "geary"],
+    genes,
+    layer,
+    spatial_key,
+    n_neighbors,
+    n_permutations,
+    seed,
+    key_added,
+    copy,
+    use_existing_graph,
+    assumption: str,
+    alternative: Optional[str],
+    gene_batch_size: int,
+):
+    start = time.time()
+    if copy:
+        adata = adata.copy()
+    if spatial_key not in adata.obsm:
+        raise ValueError(
+            f"adata.obsm['{spatial_key}'] not found. Spatial coordinates are required.")
+    gene_names = _resolve_genes(adata, genes)
+    n_cells = adata.n_obs
+    if alternative is None:
+        alternative = "greater" if stat == "moran" else "less"
+
+    graph = _get_graph(adata, n_neighbors, spatial_key, use_existing_graph)
+    moments = graph_moments(graph)
+    S0, S1, S2 = moments["S0"], moments["S1"], moments["S2"]
+
+    rows = []
+    for batch_start in range(0, len(gene_names), gene_batch_size):
+        batch = gene_names[batch_start:batch_start + gene_batch_size]
+        Xb = _dense_expression(adata, batch, layer)
+        Z, zero_var = standardize(jnp.asarray(Xb))
+        if stat == "moran":
+            observed = moran_observed(graph, Z, S0)
+            expected, var = moran_analytic_moments(Z, S0, S1, S2, assumption)
+        else:
+            observed = geary_observed(graph, Z, S0)
+            expected_scalar, var = geary_analytic_moments(Z, S0, S1, S2, assumption)
+            expected = expected_scalar
+        z_score = (observed - expected) / jnp.sqrt(jnp.maximum(var, 1e-30))
+        p_norm = p_from_z(z_score, alternative)
+        if n_permutations > 0:
+            p_sim, _, _ = permutation_test_global(
+                graph, Z, S0, observed, seed, n_permutations,
+                stat=stat, alternative=alternative)
+            p_val = p_sim
+        else:
+            p_val = p_norm
+        observed = np.asarray(observed)
+        z_score = np.asarray(z_score)
+        p_val = np.asarray(p_val)
+        zero_var = np.asarray(zero_var)
+        for i, g in enumerate(batch):
+            rows.append({
+                "gene": g,
+                ("I" if stat == "moran" else "C"): float(observed[i]),
+                ("expected_I" if stat == "moran" else "expected_C"):
+                    float(expected[i]) if np.ndim(expected) else float(expected),
+                "z_score": 0.0 if zero_var[i] else float(z_score[i]),
+                "p_value": 1.0 if zero_var[i] else float(p_val[i]),
+            })
+
+    results_df = pd.DataFrame(rows)
+    adata.uns[key_added] = results_df
+    elapsed = time.time() - start
+    logger.info(f"Global {'Moran I' if stat == 'moran' else 'Geary C'} "
+                f"completed in {elapsed:.1f}s")
+
+    update_metadata(
+        adata,
+        function_name="morans_i" if stat == "moran" else "gearys_c",
+        parameters={
+            "genes": gene_names[:10], "n_genes": len(gene_names),
+            "n_neighbors": n_neighbors, "n_permutations": n_permutations,
+            "use_existing_graph": use_existing_graph, "seed": seed,
+            "assumption": assumption, "alternative": alternative,
+            "backend": "spatialcore_tpu",
+        },
+        outputs={"uns": key_added},
+    )
+    return adata
+
+
+def morans_i(
+    adata,
+    genes: Optional[Union[str, List[str]]] = None,
+    layer: Optional[str] = None,
+    spatial_key: str = "spatial",
+    n_neighbors: int = 6,
+    n_permutations: int = 10,
+    seed: int = 0,
+    key_added: str = "morans_i",
+    copy: bool = False,
+    use_existing_graph: bool = False,
+    assumption: Literal["normality", "randomization"] = "normality",
+    alternative: Optional[Literal["greater", "less", "two-sided"]] = None,
+    gene_batch_size: int = 512,
+):
+    """Global Moran's I per gene.
+
+    Results land in ``adata.uns[key_added]`` as a DataFrame with columns
+    ``gene, I, expected_I, z_score, p_value`` — the reference's output shape
+    (autocorrelation.py:585-625). ``p_value`` is the seeded permutation
+    p-value when ``n_permutations > 0``, else the analytic tail probability
+    under ``assumption``. ``z_score`` uses the analytic variance.
+    """
+    return _global_autocorr(
+        adata, "moran", genes, layer, spatial_key, n_neighbors, n_permutations,
+        seed, key_added, copy, use_existing_graph, assumption, alternative,
+        gene_batch_size)
+
+
+def gearys_c(
+    adata,
+    genes: Optional[Union[str, List[str]]] = None,
+    layer: Optional[str] = None,
+    spatial_key: str = "spatial",
+    n_neighbors: int = 6,
+    n_permutations: int = 10,
+    seed: int = 0,
+    key_added: str = "gearys_c",
+    copy: bool = False,
+    use_existing_graph: bool = False,
+    assumption: Literal["normality", "randomization"] = "normality",
+    alternative: Optional[Literal["greater", "less", "two-sided"]] = None,
+    gene_batch_size: int = 512,
+):
+    """Global Geary's C per gene (BASELINE config 2 extension).
+
+    Same output shape as :func:`morans_i` with columns
+    ``gene, C, expected_C, z_score, p_value``. Default ``alternative='less'``
+    (C < 1 ⇔ positive spatial autocorrelation).
+    """
+    return _global_autocorr(
+        adata, "geary", genes, layer, spatial_key, n_neighbors, n_permutations,
+        seed, key_added, copy, use_existing_graph, assumption, alternative,
+        gene_batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Local Moran's I
+# ---------------------------------------------------------------------------
+
+def local_morans_i(
+    adata,
+    genes: Optional[Union[str, List[str]]] = None,
+    layer: Optional[str] = None,
+    spatial_key: str = "spatial",
+    n_neighbors: int = 6,
+    n_permutations: int = 10,
+    fdr_correction: Literal["bonferroni", "fdr_bh", "none"] = "fdr_bh",
+    alpha: float = 0.05,
+    seed: int = 0,
+    batch_size: int = 100,
+    key_added: str = "local_morans",
+    copy: bool = False,
+    use_existing_graph: bool = False,
+):
+    """Local Moran's I (LISA) with on-device permutation p-values.
+
+    Writes six obsm matrices + params, matching the reference's keys
+    (autocorrelation.py:929-950): ``{key}_I, {key}_z, {key}_lag, {key}_p,
+    {key}_p_adj, {key}_quadrant`` and ``uns[f"{key}_params"]``. Quadrant codes
+    are int8 0=NS,1=HH,2=LL,3=HL,4=LH.
+    """
+    start = time.time()
+    if copy:
+        adata = adata.copy()
+    if spatial_key not in adata.obsm:
+        raise ValueError(
+            f"adata.obsm['{spatial_key}'] not found. Spatial coordinates are required.")
+    gene_names = _resolve_genes(adata, genes)
+    n_cells, n_genes = adata.n_obs, len(gene_names)
+    logger.info(f"Local Moran's I: {n_cells:,} cells × {n_genes} genes, "
+                f"k={n_neighbors}, P={n_permutations}")
+
+    graph = _get_graph(adata, n_neighbors, spatial_key, use_existing_graph)
+
+    I_all = np.zeros((n_cells, n_genes), np.float32)
+    z_all = np.zeros_like(I_all)
+    lag_all = np.zeros_like(I_all)
+    p_all = np.ones_like(I_all)
+    zero_var_all = np.zeros(n_genes, bool)
+
+    for bs in range(0, n_genes, batch_size):
+        batch = gene_names[bs:bs + batch_size]
+        Xb = _dense_expression(adata, batch, layer)
+        Z, zero_var = standardize(jnp.asarray(Xb))
+        res = local_moran(graph, Z, seed, n_permutations)
+        sl = slice(bs, bs + len(batch))
+        I_all[:, sl] = np.asarray(res.local_I)
+        z_all[:, sl] = np.asarray(res.z)
+        lag_all[:, sl] = np.asarray(res.lag)
+        p_all[:, sl] = np.asarray(res.p_value)
+        zero_var_all[sl] = np.asarray(zero_var)
+
+    if zero_var_all.any():
+        logger.warning(f"{int(zero_var_all.sum())} zero-variance genes set to 0/NS")
+        I_all[:, zero_var_all] = 0.0
+        z_all[:, zero_var_all] = 0.0
+        lag_all[:, zero_var_all] = 0.0
+        p_all[:, zero_var_all] = 1.0
+
+    if n_permutations > 0:
+        p_adj = np.asarray(apply_fdr(jnp.asarray(p_all), fdr_correction, axis=0))
+        quadrants = np.asarray(classify_quadrants(
+            jnp.asarray(z_all), jnp.asarray(lag_all), jnp.asarray(p_adj), alpha))
+    else:
+        logger.warning(
+            "n_permutations=0: quadrants classified by z/lag signs only, "
+            "without significance filtering.")
+        p_adj = p_all
+        quadrants = np.asarray(classify_quadrants(
+            jnp.asarray(z_all), jnp.asarray(lag_all), None, alpha))
+
+    adata.obsm[f"{key_added}_I"] = I_all
+    adata.obsm[f"{key_added}_z"] = z_all
+    adata.obsm[f"{key_added}_lag"] = lag_all
+    adata.obsm[f"{key_added}_p"] = p_all
+    adata.obsm[f"{key_added}_p_adj"] = p_adj
+    adata.obsm[f"{key_added}_quadrant"] = quadrants
+
+    elapsed = time.time() - start
+    adata.uns[f"{key_added}_params"] = {
+        "genes": gene_names,
+        "n_neighbors": n_neighbors,
+        "n_permutations": n_permutations,
+        "fdr_correction": fdr_correction,
+        "alpha": alpha,
+        "seed": seed,
+        "quadrant_labels": dict(QUADRANT_LABELS),
+        "computation_time_seconds": elapsed,
+    }
+    logger.info(f"Local Moran's I completed in {elapsed:.1f}s")
+
+    update_metadata(
+        adata, "local_morans_i",
+        parameters={"genes": gene_names[:10], "n_genes": n_genes,
+                    "n_neighbors": n_neighbors, "n_permutations": n_permutations,
+                    "fdr_correction": fdr_correction, "alpha": alpha, "seed": seed},
+        outputs={f"obsm_{s}": f"{key_added}_{s}"
+                 for s in ("I", "z", "lag", "p", "p_adj", "quadrant")} |
+                {"uns_params": f"{key_added}_params"},
+    )
+    return adata
+
+
+# ---------------------------------------------------------------------------
+# Lee's L
+# ---------------------------------------------------------------------------
+
+def _normalize_pairs(gene_pairs) -> Tuple[List[Tuple[str, str]], bool]:
+    if isinstance(gene_pairs, tuple) and len(gene_pairs) == 2 \
+            and isinstance(gene_pairs[0], str):
+        return [gene_pairs], True
+    return list(gene_pairs), False
+
+
+def lees_l(
+    adata,
+    gene_pairs: Union[Tuple[str, str], List[Tuple[str, str]]],
+    layer: Optional[str] = None,
+    spatial_key: str = "spatial",
+    n_neighbors: int = 6,
+    n_permutations: int = 199,
+    seed: int = 0,
+    use_existing_graph: bool = False,
+) -> Union[dict, List[dict]]:
+    """Global Lee's L for gene pair(s); returns dict(s), does not write adata.
+
+    L = Σ_i z_x,i · lag(z_y)_i with two-tailed permutation p (reference
+    convention, autocorrelation.py:307-332). Zero-variance pairs get
+    L=0, p=1 with a warning.
+    """
+    start = time.time()
+    if spatial_key not in adata.obsm:
+        raise ValueError(
+            f"adata.obsm['{spatial_key}'] not found. Spatial coordinates are required.")
+    if n_neighbors < 1:
+        raise ValueError(f"n_neighbors must be >= 1, got {n_neighbors}")
+    if n_permutations < 0:
+        raise ValueError(f"n_permutations must be >= 0, got {n_permutations}")
+
+    pairs, single = _normalize_pairs(gene_pairs)
+    all_genes = sorted({g for p in pairs for g in p})
+    missing = [g for g in all_genes if g not in adata.var_names]
+    if missing:
+        raise ValueError(f"Genes not found in adata.var_names: {missing}")
+
+    graph = _get_graph(adata, n_neighbors, spatial_key, use_existing_graph)
+    X = _dense_expression(adata, all_genes, layer)
+    Z, zero_var = standardize(jnp.asarray(X))
+    zero_var = np.asarray(zero_var)
+    gi = {g: i for i, g in enumerate(all_genes)}
+
+    ok_pairs = [(gx, gy) for gx, gy in pairs
+                if not (zero_var[gi[gx]] or zero_var[gi[gy]])]
+    results_map = {}
+    if ok_pairs:
+        Zx = Z[:, [gi[gx] for gx, _ in ok_pairs]]
+        Zy = Z[:, [gi[gy] for _, gy in ok_pairs]]
+        res = lees_l_pairs(graph, Zx, Zy, seed, n_permutations)
+        Lg = np.asarray(res.L_global)
+        pg = np.asarray(res.p_global)
+        for i, (gx, gy) in enumerate(ok_pairs):
+            results_map[(gx, gy)] = {"gene_x": gx, "gene_y": gy,
+                                     "L": float(Lg[i]), "p_value": float(pg[i])}
+    results = []
+    for gx, gy in pairs:
+        if (gx, gy) in results_map:
+            results.append(results_map[(gx, gy)])
+        else:
+            logger.warning(f"Gene pair ({gx}, {gy}) has zero-variance gene — L set to 0")
+            results.append({"gene_x": gx, "gene_y": gy, "L": 0.0, "p_value": 1.0})
+
+    logger.info(f"Global Lee's L completed in {time.time() - start:.1f}s")
+    return results[0] if single else results
+
+
+def lees_l_local(
+    adata,
+    gene_pairs: Optional[Union[Tuple[str, str], List[Tuple[str, str]]]] = None,
+    genes: Optional[List[str]] = None,
+    layer: Optional[str] = None,
+    spatial_key: str = "spatial",
+    n_neighbors: int = 6,
+    n_permutations: int = 199,
+    compute_cell_pvalues: bool = False,
+    significance_filter: bool = False,
+    alpha: float = 0.05,
+    seed: int = 0,
+    copy: bool = False,
+    use_existing_graph: bool = False,
+):
+    """Local Lee's L per cell for gene pair(s).
+
+    Writes ``obs[f"{gx}_{gy}_lees_l"]``, ``obs[f"{gx}_{gy}_quadrant"]``
+    (categorical NS/HH/LL/HL/LH), optional ``obs[f"{gx}_{gy}_pvalue"]`` and
+    ``uns[f"{gx}_{gy}_lees_l_params"]`` with quadrant counts — the
+    reference's output contract (autocorrelation.py:1429-1453).
+    """
+    start = time.time()
+    if copy:
+        adata = adata.copy()
+    if spatial_key not in adata.obsm:
+        raise ValueError(
+            f"adata.obsm['{spatial_key}'] not found. Spatial coordinates are required.")
+    if n_permutations < 0:
+        raise ValueError(f"n_permutations must be >= 0, got {n_permutations}")
+    if significance_filter and not compute_cell_pvalues:
+        raise ValueError("significance_filter=True requires compute_cell_pvalues=True")
+
+    if genes is not None:
+        n_pairs = len(genes) * (len(genes) - 1) // 2
+        logger.warning(
+            f"All-pairs mode: {len(genes)} genes = {n_pairs} pairs. "
+            "Consider explicit gene_pairs for better performance.")
+        pairs = list(combinations(genes, 2))
+    else:
+        if gene_pairs is None:
+            raise ValueError("Provide gene_pairs or genes")
+        pairs, _ = _normalize_pairs(gene_pairs)
+
+    all_genes = sorted({g for p in pairs for g in p})
+    missing = [g for g in all_genes if g not in adata.var_names]
+    if missing:
+        raise ValueError(f"Genes not found in adata.var_names: {missing}")
+
+    graph = _get_graph(adata, n_neighbors, spatial_key, use_existing_graph)
+    X = _dense_expression(adata, all_genes, layer)
+    Z, zero_var = standardize(jnp.asarray(X))
+    zero_var = np.asarray(zero_var)
+    gi = {g: i for i, g in enumerate(all_genes)}
+    n_cells = adata.n_obs
+
+    ok_pairs = [(gx, gy) for gx, gy in pairs
+                if not (zero_var[gi[gx]] or zero_var[gi[gy]])]
+    if ok_pairs:
+        Zx = Z[:, [gi[gx] for gx, _ in ok_pairs]]
+        Zy = Z[:, [gi[gy] for _, gy in ok_pairs]]
+        res = lees_l_pairs(graph, Zx, Zy, seed, n_permutations,
+                           compute_cell_pvalues=compute_cell_pvalues)
+        L_local = np.asarray(res.L_local)
+        L_global = np.asarray(res.L_global)
+        p_global = np.asarray(res.p_global)
+        p_local = np.asarray(res.p_local)
+        Zx_np, lag_np = np.asarray(Zx), np.asarray(res.lag_zy)
+
+    cat = ["NS", "HH", "LL", "HL", "LH"]
+    for gx, gy in pairs:
+        key = f"{gx}_{gy}"
+        if (gx, gy) not in ok_pairs:
+            logger.warning(f"Pair ({gx}, {gy}): zero-variance gene — writing zeros")
+            adata.obs[f"{key}_lees_l"] = np.zeros(n_cells, np.float32)
+            adata.obs[f"{key}_quadrant"] = pd.Categorical(["NS"] * n_cells,
+                                                          categories=cat)
+            adata.uns[f"{key}_lees_l_params"] = {
+                "gene_x": gx, "gene_y": gy, "global_L": 0.0, "global_pvalue": 1.0,
+                "n_neighbors": n_neighbors, "n_permutations": n_permutations,
+                "zero_variance": True,
+            }
+            continue
+        i = ok_pairs.index((gx, gy))
+        pv = p_local[:, i] if compute_cell_pvalues else None
+        q = np.asarray(classify_quadrants(
+            jnp.asarray(Zx_np[:, i]), jnp.asarray(lag_np[:, i]),
+            jnp.asarray(pv) if (significance_filter and pv is not None) else None,
+            alpha))
+        labels = [QUADRANT_LABELS[int(c)] for c in q]
+        adata.obs[f"{key}_lees_l"] = L_local[:, i].astype(np.float32)
+        adata.obs[f"{key}_quadrant"] = pd.Categorical(labels, categories=cat)
+        if compute_cell_pvalues:
+            adata.obs[f"{key}_pvalue"] = p_local[:, i].astype(np.float32)
+        counts = {c: 0 for c in cat}
+        for lbl in labels:
+            counts[lbl] += 1
+        adata.uns[f"{key}_lees_l_params"] = {
+            "gene_x": gx, "gene_y": gy,
+            "global_L": float(L_global[i]), "global_pvalue": float(p_global[i]),
+            "n_neighbors": n_neighbors, "n_permutations": n_permutations,
+            "compute_cell_pvalues": compute_cell_pvalues,
+            "significance_filter": significance_filter, "alpha": alpha,
+            "quadrant_counts": counts,
+        }
+
+    elapsed = time.time() - start
+    logger.info(f"Local Lee's L completed in {elapsed:.1f}s for {len(pairs)} pair(s)")
+    update_metadata(
+        adata, "lees_l_local",
+        parameters={"gene_pairs": [list(p) for p in pairs[:10]],
+                    "n_pairs": len(pairs), "n_neighbors": n_neighbors,
+                    "n_permutations": n_permutations,
+                    "compute_cell_pvalues": compute_cell_pvalues,
+                    "significance_filter": significance_filter,
+                    "alpha": alpha, "seed": seed},
+        outputs={"obs_keys": [f"{gx}_{gy}_lees_l" for gx, gy in pairs[:5]],
+                 "uns_keys": [f"{gx}_{gy}_lees_l_params" for gx, gy in pairs[:5]]},
+    )
+    return adata

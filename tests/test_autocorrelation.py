@@ -1,0 +1,329 @@
+"""Golden-value tests for Moran's I / Geary's C / Lee's L against independent
+numpy/scipy reference implementations using the squidpy/esda estimator
+conventions (SURVEY.md §7 hard part 1)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from conftest import make_adata
+
+
+# ---------------------------------------------------------------------------
+# Reference implementations (independent of the library code)
+# ---------------------------------------------------------------------------
+
+def ref_weights(coords, k):
+    from sklearn.neighbors import NearestNeighbors
+
+    n = coords.shape[0]
+    nn = NearestNeighbors(n_neighbors=k + 1).fit(coords)
+    _, idx = nn.kneighbors(coords)
+    rows = np.repeat(np.arange(n), k)
+    W = sp.csr_matrix((np.ones(n * k), (rows, idx[:, 1:].ravel())), shape=(n, n))
+    return W.multiply(1.0 / np.asarray(W.sum(axis=1))).tocsr()
+
+
+def ref_moran(W, x):
+    n = len(x)
+    z = x - x.mean()
+    S0 = W.sum()
+    return float(n / S0 * (z @ (W @ z)) / (z @ z))
+
+
+def ref_geary(W, x):
+    n = len(x)
+    z = x - x.mean()
+    Wc = W.tocoo()
+    num = (Wc.data * (x[Wc.row] - x[Wc.col]) ** 2).sum()
+    return float((n - 1) * num / (2 * W.sum() * (z @ z)))
+
+
+def ref_local_moran(W, x):
+    z = (x - x.mean()) / x.std()
+    lag = W @ z
+    return z * lag, z, lag
+
+
+def ref_lees_l(W, x, y):
+    zx = (x - x.mean()) / x.std()
+    zy = (y - y.mean()) / y.std()
+    lag = W @ zy
+    return zx * lag, float((zx * lag).sum()), lag
+
+
+def smooth_field(coords, seed=0, scale=200.0):
+    """Spatially smooth values: strong positive autocorrelation."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(coords.min(), coords.max(), (5, 2))
+    vals = np.zeros(coords.shape[0])
+    for c in centers:
+        d2 = ((coords - c) ** 2).sum(1)
+        vals += np.exp(-d2 / (2 * scale ** 2))
+    return vals + rng.normal(0, 0.01, coords.shape[0])
+
+
+@pytest.fixture(scope="module")
+def spatial_adata():
+    adata = make_adata(n_obs=400, n_vars=10, seed=5)
+    coords = np.asarray(adata.obsm["spatial"], dtype=np.float64)
+    # gene 0: smooth (autocorrelated); others: iid noise
+    X = np.asarray(adata.X, dtype=np.float64)
+    X[:, 0] = smooth_field(coords) * 10
+    adata.X = X.astype(np.float32)
+    return adata
+
+
+# ---------------------------------------------------------------------------
+# Global Moran's I
+# ---------------------------------------------------------------------------
+
+def test_morans_i_matches_reference(spatial_adata):
+    from spatialcore_tpu.spatial import morans_i
+
+    adata = spatial_adata.copy()
+    morans_i(adata, n_neighbors=6, n_permutations=0)
+    df = adata.uns["morans_i"]
+    assert list(df.columns) == ["gene", "I", "expected_I", "z_score", "p_value"]
+
+    W = ref_weights(np.asarray(adata.obsm["spatial"]), 6)
+    X = np.asarray(adata.X, dtype=np.float64)
+    for i, g in enumerate(adata.var_names):
+        expected = ref_moran(W, X[:, i])
+        got = float(df.loc[df.gene == g, "I"].iloc[0])
+        assert abs(got - expected) < 1e-5, (g, got, expected)
+    np.testing.assert_allclose(df["expected_I"], -1 / (400 - 1), rtol=1e-6)
+
+
+def test_morans_i_detects_structure(spatial_adata):
+    from spatialcore_tpu.spatial import morans_i
+
+    adata = spatial_adata.copy()
+    morans_i(adata, n_permutations=99, seed=0)
+    df = adata.uns["morans_i"].set_index("gene")
+    assert df.loc["GENE0", "I"] > 0.3          # smooth field: strong autocorr
+    assert df.loc["GENE0", "p_value"] <= 0.01  # minimum possible = 1/100
+    noise_I = df.drop("GENE0")["I"]
+    assert (noise_I.abs() < 0.15).all()
+
+
+def test_morans_i_permutation_reproducible(spatial_adata):
+    from spatialcore_tpu.spatial import morans_i
+
+    a1, a2 = spatial_adata.copy(), spatial_adata.copy()
+    morans_i(a1, n_permutations=49, seed=7)
+    morans_i(a2, n_permutations=49, seed=7)
+    pd.testing.assert_frame_equal(a1.uns["morans_i"], a2.uns["morans_i"])
+    a3 = spatial_adata.copy()
+    morans_i(a3, n_permutations=49, seed=8)
+    assert not a1.uns["morans_i"]["p_value"].equals(a3.uns["morans_i"]["p_value"])
+
+
+def test_moran_analytic_variance_matches_empirical():
+    """Var_rand from Cliff-Ord must match the empirical permutation variance."""
+    from spatialcore_tpu.ops import (build_graph, graph_moments,
+                                     moran_analytic_moments, moran_observed,
+                                     permutation_test_global, standardize)
+
+    rng = np.random.default_rng(0)
+    coords = rng.uniform(0, 100, (300, 2)).astype(np.float32)
+    x = rng.gamma(2.0, 1.0, 300).astype(np.float32)  # skewed, tests b2 term
+    g = build_graph(coords, n_neighbors=8)
+    m = graph_moments(g)
+    Z, _ = standardize(jnp.asarray(x[:, None]))
+    EI, var_rand = moran_analytic_moments(Z, m["S0"], m["S1"], m["S2"],
+                                          "randomization")
+    obs = moran_observed(g, Z, m["S0"])
+    _, perm_mean, perm_std = permutation_test_global(
+        g, Z, m["S0"], obs, 0, 2000, stat="moran")
+    assert abs(float(perm_mean[0]) - EI) < 0.005
+    assert abs(float(perm_std[0]) - float(jnp.sqrt(var_rand[0]))) / float(
+        jnp.sqrt(var_rand[0])) < 0.08
+
+
+def test_use_existing_graph(spatial_adata):
+    from spatialcore_tpu.spatial import build_spatial_weights, morans_i
+
+    adata = spatial_adata.copy()
+    build_spatial_weights(adata, n_neighbors=6)
+    assert "spatial_graph" in adata.uns
+    morans_i(adata, n_permutations=0, use_existing_graph=True)
+    assert "morans_i" in adata.uns
+
+
+def test_morans_i_validation(spatial_adata):
+    from spatialcore_tpu.spatial import morans_i
+
+    adata = spatial_adata.copy()
+    with pytest.raises(ValueError, match="not found in adata.var_names"):
+        morans_i(adata, genes=["NOPE"])
+    del adata.obsm["spatial"]
+    with pytest.raises(ValueError, match="spatial"):
+        morans_i(adata)
+
+
+# ---------------------------------------------------------------------------
+# Geary's C
+# ---------------------------------------------------------------------------
+
+def test_gearys_c_matches_reference(spatial_adata):
+    from spatialcore_tpu.spatial import gearys_c
+
+    adata = spatial_adata.copy()
+    gearys_c(adata, n_permutations=0)
+    df = adata.uns["gearys_c"].set_index("gene")
+    W = ref_weights(np.asarray(adata.obsm["spatial"]), 6)
+    X = np.asarray(adata.X, dtype=np.float64)
+    for i, g in enumerate(adata.var_names):
+        assert abs(df.loc[g, "C"] - ref_geary(W, X[:, i])) < 1e-5
+    assert df.loc["GENE0", "C"] < 0.8  # positive autocorr → C < 1
+    assert (df["expected_C"] == 1.0).all()
+
+
+def test_gearys_c_permutation_significance(spatial_adata):
+    from spatialcore_tpu.spatial import gearys_c
+
+    adata = spatial_adata.copy()
+    gearys_c(adata, genes=["GENE0"], n_permutations=99, seed=0)
+    df = adata.uns["gearys_c"].set_index("gene")
+    assert df.loc["GENE0", "p_value"] <= 0.01
+
+
+# ---------------------------------------------------------------------------
+# Local Moran
+# ---------------------------------------------------------------------------
+
+def test_local_morans_i_matches_reference(spatial_adata):
+    from spatialcore_tpu.spatial import local_morans_i
+
+    adata = spatial_adata.copy()
+    local_morans_i(adata, n_permutations=0)
+    W = ref_weights(np.asarray(adata.obsm["spatial"]), 6)
+    X = np.asarray(adata.X, dtype=np.float64)
+    for i in range(adata.n_vars):
+        ref_I, ref_z, ref_lag = ref_local_moran(W, X[:, i])
+        np.testing.assert_allclose(adata.obsm["local_morans_I"][:, i], ref_I,
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(adata.obsm["local_morans_z"][:, i], ref_z,
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(adata.obsm["local_morans_lag"][:, i], ref_lag,
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_local_morans_outputs_and_quadrants(spatial_adata):
+    from spatialcore_tpu.spatial import local_morans_i
+
+    adata = spatial_adata.copy()
+    # fdr="none": with 49 perms the p floor (1/50) cannot survive BH over
+    # 400 cells, so everything would be NS — an expected small-P artifact.
+    local_morans_i(adata, genes=["GENE0", "GENE1"], n_permutations=49, seed=0,
+                   fdr_correction="none")
+    for suffix in ("I", "z", "lag", "p", "p_adj", "quadrant"):
+        assert f"local_morans_{suffix}" in adata.obsm
+        assert adata.obsm[f"local_morans_{suffix}"].shape == (400, 2)
+    q = adata.obsm["local_morans_quadrant"]
+    assert set(np.unique(q)).issubset({0, 1, 2, 3, 4})
+    # smooth gene should yield significant HH/LL cells
+    assert ((q[:, 0] == 1) | (q[:, 0] == 2)).sum() > 20
+    p = adata.obsm["local_morans_p"]
+    padj = adata.obsm["local_morans_p_adj"]
+    assert (padj >= p - 1e-7).all()  # BH never decreases p
+    params = adata.uns["local_morans_params"]
+    assert params["genes"] == ["GENE0", "GENE1"]
+    assert "computation_time_seconds" in params
+
+
+def test_local_morans_zero_variance_gene():
+    from spatialcore_tpu.spatial import local_morans_i
+
+    adata = make_adata(n_obs=100, n_vars=3, seed=1)
+    X = np.asarray(adata.X)
+    X[:, 2] = 5.0
+    adata.X = X
+    local_morans_i(adata, n_permutations=9)
+    assert (adata.obsm["local_morans_I"][:, 2] == 0).all()
+    assert (adata.obsm["local_morans_p"][:, 2] == 1.0).all()
+    assert (adata.obsm["local_morans_quadrant"][:, 2] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Lee's L
+# ---------------------------------------------------------------------------
+
+def test_lees_l_matches_reference(spatial_adata):
+    from spatialcore_tpu.spatial import lees_l
+
+    adata = spatial_adata.copy()
+    res = lees_l(adata, ("GENE0", "GENE1"), n_permutations=0)
+    W = ref_weights(np.asarray(adata.obsm["spatial"]), 6)
+    X = np.asarray(adata.X, dtype=np.float64)
+    _, ref_L, _ = ref_lees_l(W, X[:, 0], X[:, 1])
+    assert abs(res["L"] - ref_L) < 1e-2 * max(1.0, abs(ref_L))
+    assert res["gene_x"] == "GENE0"
+
+    multi = lees_l(adata, [("GENE0", "GENE1"), ("GENE2", "GENE3")],
+                   n_permutations=19, seed=0)
+    assert isinstance(multi, list) and len(multi) == 2
+    assert all(0 < r["p_value"] <= 1 for r in multi)
+
+
+def test_lees_l_self_pair_significant(spatial_adata):
+    from spatialcore_tpu.spatial import lees_l
+
+    adata = spatial_adata.copy()
+    res = lees_l(adata, ("GENE0", "GENE0"), n_permutations=99, seed=0)
+    assert res["L"] > 0
+    assert res["p_value"] <= 0.02
+
+
+def test_lees_l_local_outputs(spatial_adata):
+    from spatialcore_tpu.spatial import lees_l_local
+
+    adata = spatial_adata.copy()
+    lees_l_local(adata, gene_pairs=("GENE0", "GENE1"), n_permutations=19,
+                 compute_cell_pvalues=True, seed=0)
+    assert "GENE0_GENE1_lees_l" in adata.obs
+    assert "GENE0_GENE1_quadrant" in adata.obs
+    assert "GENE0_GENE1_pvalue" in adata.obs
+    params = adata.uns["GENE0_GENE1_lees_l_params"]
+    assert set(params["quadrant_counts"]) == {"NS", "HH", "LL", "HL", "LH"}
+    assert sum(params["quadrant_counts"].values()) == 400
+
+    W = ref_weights(np.asarray(adata.obsm["spatial"]), 6)
+    X = np.asarray(adata.X, dtype=np.float64)
+    ref_local, ref_L, _ = ref_lees_l(W, X[:, 0], X[:, 1])
+    np.testing.assert_allclose(adata.obs["GENE0_GENE1_lees_l"], ref_local,
+                               rtol=1e-3, atol=1e-3)
+    assert abs(params["global_L"] - ref_L) < 1e-2 * max(1.0, abs(ref_L))
+
+
+def test_lees_l_local_all_pairs_mode(spatial_adata):
+    from spatialcore_tpu.spatial import lees_l_local
+
+    adata = spatial_adata.copy()
+    lees_l_local(adata, genes=["GENE0", "GENE1", "GENE2"], n_permutations=0)
+    for key in ("GENE0_GENE1", "GENE0_GENE2", "GENE1_GENE2"):
+        assert f"{key}_lees_l" in adata.obs
+
+
+def test_lees_l_local_significance_filter_requires_pvalues(spatial_adata):
+    from spatialcore_tpu.spatial import lees_l_local
+
+    with pytest.raises(ValueError, match="requires compute_cell_pvalues"):
+        lees_l_local(spatial_adata.copy(), gene_pairs=("GENE0", "GENE1"),
+                     significance_filter=True)
+
+
+def test_fdr_bh_matches_scipy():
+    from scipy.stats import false_discovery_control
+
+    from spatialcore_tpu.ops import benjamini_hochberg
+
+    rng = np.random.default_rng(0)
+    p = rng.uniform(0, 1, 200).astype(np.float32)
+    ours = np.asarray(benjamini_hochberg(jnp.asarray(p)))
+    ref = false_discovery_control(p.astype(np.float64), method="bh")
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)

@@ -1,0 +1,152 @@
+"""Graph kernels vs scipy/sklearn golden references."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+from scipy.spatial import cKDTree
+from sklearn.neighbors import NearestNeighbors
+
+import jax.numpy as jnp
+
+
+def _coords(n=500, seed=0, scale=1000.0):
+    return np.random.default_rng(seed).uniform(0, scale, (n, 2)).astype(np.float32)
+
+
+def test_knn_exact_matches_ckdtree():
+    from spatialcore_tpu.ops import knn_exact
+
+    coords = _coords(400)
+    k = 8
+    idx, dist = knn_exact(jnp.asarray(coords), k)
+    idx, dist = np.asarray(idx), np.asarray(dist)
+
+    tree = cKDTree(coords)
+    ref_d, ref_i = tree.query(coords, k=k + 1)
+    ref_d, ref_i = ref_d[:, 1:], ref_i[:, 1:]  # drop self
+
+    np.testing.assert_allclose(dist, ref_d, rtol=1e-4, atol=1e-3)
+    # index sets equal where distances are untied
+    same = (np.sort(idx, axis=1) == np.sort(ref_i, axis=1)).mean()
+    assert same > 0.999
+
+
+def test_knn_exact_include_self():
+    from spatialcore_tpu.ops import knn_exact
+
+    coords = _coords(100)
+    idx, dist = knn_exact(jnp.asarray(coords), 5, include_self=True)
+    idx, dist = np.asarray(idx), np.asarray(dist)
+    np.testing.assert_array_equal(idx[:, 0], np.arange(100))
+    np.testing.assert_allclose(dist[:, 0], 0.0, atol=1e-5)
+
+
+def test_knn_exact_nonmultiple_tile_sizes():
+    from spatialcore_tpu.ops import knn_exact
+
+    coords = _coords(333)
+    idx, dist = knn_exact(jnp.asarray(coords), 4, tile_q=128, tile_c=100)
+    ref_d, _ = cKDTree(coords).query(coords, k=5)
+    np.testing.assert_allclose(np.asarray(dist), ref_d[:, 1:], rtol=1e-4, atol=1e-3)
+
+
+def test_knn_grid_matches_exact():
+    from spatialcore_tpu.ops import knn_grid
+
+    coords = _coords(3000, seed=3)
+    k = 10
+    idx, dist = knn_grid(coords, k)
+    ref_d, ref_i = cKDTree(coords).query(coords, k=k + 1)
+    np.testing.assert_allclose(dist, ref_d[:, 1:], rtol=1e-4, atol=1e-3)
+    same = (np.sort(idx, axis=1) == np.sort(ref_i[:, 1:], axis=1)).mean()
+    assert same > 0.999
+
+
+def test_knn_grid_clustered_density():
+    from spatialcore_tpu.ops import knn_grid
+
+    # two tight clusters + sparse background: stresses window expansion
+    rng = np.random.default_rng(7)
+    a = rng.normal(0, 1, (800, 2))
+    b = rng.normal(50, 1, (800, 2))
+    c = rng.uniform(-100, 150, (100, 2))
+    coords = np.vstack([a, b, c]).astype(np.float32)
+    idx, dist = knn_grid(coords, 6)
+    ref_d, _ = cKDTree(coords).query(coords, k=7)
+    np.testing.assert_allclose(dist, ref_d[:, 1:], rtol=1e-4, atol=1e-4)
+
+
+def test_build_graph_rows_sum_to_one_and_match_sklearn():
+    from spatialcore_tpu.ops import build_graph
+
+    coords = _coords(300)
+    g = build_graph(coords, n_neighbors=6)
+    W = g.to_csr()
+    np.testing.assert_allclose(np.asarray(W.sum(axis=1)).ravel(), 1.0, atol=1e-6)
+
+    nn = NearestNeighbors(n_neighbors=7, algorithm="ball_tree").fit(coords)
+    _, ref_i = nn.kneighbors(coords)
+    ref_rows = np.repeat(np.arange(300), 6)
+    ref = sp.csr_matrix((np.ones(300 * 6), (ref_rows, ref_i[:, 1:].ravel())),
+                        shape=(300, 300))
+    ref = ref.multiply(1.0 / ref.sum(axis=1))
+    assert abs((W - ref).toarray()).max() < 1e-6
+
+
+def test_build_graph_include_self():
+    from spatialcore_tpu.ops import build_graph
+
+    coords = _coords(100)
+    g = build_graph(coords, n_neighbors=4, include_self=True)
+    assert g.degree == 5
+    W = g.to_csr()
+    np.testing.assert_allclose(W.diagonal(), 0.2, atol=1e-6)
+
+
+def test_radius_neighbors_and_overflow():
+    from spatialcore_tpu.ops import build_graph, radius_neighbors
+
+    coords = _coords(300, scale=100.0)
+    idx, dist, valid = radius_neighbors(coords, radius=10.0, k_max=40)
+    tree = cKDTree(coords)
+    for i in [0, 17, 123]:
+        ref = set(tree.query_ball_point(coords[i], 10.0)) - {i}
+        got = set(np.asarray(idx[i])[np.asarray(valid[i])])
+        assert got == ref
+
+    with pytest.raises(ValueError, match="more than k_max"):
+        radius_neighbors(coords, radius=50.0, k_max=5)
+
+    g = build_graph(coords, radius=10.0, k_max=40)
+    W = g.to_csr()
+    rs = np.asarray(W.sum(axis=1)).ravel()
+    assert ((np.abs(rs - 1) < 1e-6) | (rs == 0)).all()
+
+
+def test_spatial_lag_matches_scipy():
+    from spatialcore_tpu.ops import build_graph, spatial_lag
+
+    coords = _coords(200)
+    g = build_graph(coords, n_neighbors=6)
+    Z = np.random.default_rng(1).normal(size=(200, 7)).astype(np.float32)
+    lag = np.asarray(spatial_lag(g, jnp.asarray(Z)))
+    ref = g.to_csr() @ Z
+    np.testing.assert_allclose(lag, ref, rtol=1e-5, atol=1e-5)
+    # 1-D variant
+    lag1 = np.asarray(spatial_lag(g, jnp.asarray(Z[:, 0])))
+    np.testing.assert_allclose(lag1, ref[:, 0], rtol=1e-5, atol=1e-5)
+
+
+def test_graph_moments():
+    from spatialcore_tpu.ops import build_graph, graph_moments
+
+    coords = _coords(150)
+    g = build_graph(coords, n_neighbors=5)
+    m = graph_moments(g)
+    W = g.to_csr()
+    assert abs(m["S0"] - W.sum()) < 1e-6
+    sym = W + W.T
+    assert abs(m["S1"] - 0.5 * sym.multiply(sym).sum()) < 1e-6
+    row = np.asarray(W.sum(axis=1)).ravel()
+    col = np.asarray(W.sum(axis=0)).ravel()
+    assert abs(m["S2"] - ((row + col) ** 2).sum()) < 1e-4
