@@ -28,7 +28,11 @@ def key_for(seed: int, *stream: Union[int, str]) -> jax.Array:
     for part in stream:
         if isinstance(part, str):
             part = _fnv1a(part)
-        key = jax.random.fold_in(key, np.uint32(part & 0xFFFFFFFF))
+        if isinstance(part, (int, np.integer)):
+            part = np.uint32(int(part) & 0xFFFFFFFF)
+        else:  # traced value inside jit/vmap
+            part = jnp.asarray(part).astype(jnp.uint32)
+        key = jax.random.fold_in(key, part)
     return key
 
 

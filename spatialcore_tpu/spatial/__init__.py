@@ -1,5 +1,6 @@
 """Spatial statistics: autocorrelation, neighborhoods, niches, domains."""
 
+from .neighborhoods import compute_neighborhood_profile, identify_niches
 from .autocorrelation import (
     build_spatial_weights,
     gearys_c,
@@ -12,4 +13,5 @@ from .autocorrelation import (
 __all__ = [
     "build_spatial_weights", "morans_i", "gearys_c", "local_morans_i",
     "lees_l", "lees_l_local",
+    "compute_neighborhood_profile", "identify_niches",
 ]

@@ -7,13 +7,22 @@ import anywhere in the test session.
 
 import os
 
+# JAX_PLATFORMS is overridden by the axon TPU plugin on this host;
+# JAX_PLATFORM_NAME is honored. Set both.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
+
+jax.config.update("jax_platform_name", "cpu")
+
+assert jax.default_backend() == "cpu", (
+    f"tests must run on CPU, got {jax.default_backend()}")
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 # Persistent compilation cache: compile-bound on this single-core host.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
