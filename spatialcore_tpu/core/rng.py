@@ -43,6 +43,17 @@ def _fnv1a(s: str) -> int:
     return h
 
 
+def np_rng(seed: int, *stream: Union[int, str]) -> np.random.Generator:
+    """Host-side numpy Generator seeded from the same hierarchical path.
+
+    For cheap host decisions (subsampling, plot sampling) that must be
+    reproducible but never touch the device.
+    """
+    parts = [seed] + [_fnv1a(p) if isinstance(p, str) else int(p)
+                      for p in stream]
+    return np.random.default_rng(parts)
+
+
 def permutation_keys(seed: int, n_permutations: int, stream: str = "perm") -> jax.Array:
     """A stacked array of ``n_permutations`` independent keys."""
     base = key_for(seed, stream)
