@@ -1,6 +1,8 @@
 """Spatial statistics: autocorrelation, neighborhoods, niches, domains."""
 
 from .neighborhoods import compute_neighborhood_profile, identify_niches
+from .domains import detect_platform, get_domain_summary, make_spatial_domains
+from .distance import calculate_domain_distances, get_distance_matrix
 from .autocorrelation import (
     build_spatial_weights,
     gearys_c,
@@ -14,4 +16,6 @@ __all__ = [
     "build_spatial_weights", "morans_i", "gearys_c", "local_morans_i",
     "lees_l", "lees_l_local",
     "compute_neighborhood_profile", "identify_niches",
+    "make_spatial_domains", "get_domain_summary", "detect_platform",
+    "calculate_domain_distances", "get_distance_matrix",
 ]
