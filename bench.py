@@ -62,12 +62,10 @@ def main():
     I_obs = observed(Z)
     jax.block_until_ready(I_obs)
 
-    chunk = 1 if n_cells * n_genes > 2e8 else 8
-
     def run():
         p, m, s = permutation_test_global(
             graph, Z, S0, I_obs, seed=0, n_permutations=n_perms,
-            chunk=chunk, alternative="greater")
+            alternative="greater")
         jax.block_until_ready(p)
         return p
 

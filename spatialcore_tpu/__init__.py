@@ -22,6 +22,31 @@ from typing import Dict, List
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Opt into JAX's persistent compilation cache (kernel compiles for the
+    1M-cell graph/permutation programs take minutes on remote TPU backends;
+    the cache makes them one-time). User-set config/env always wins."""
+    try:
+        import jax
+
+        if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            return
+        if jax.config.jax_compilation_cache_dir:
+            return
+        cache_dir = _os.path.join(
+            _os.path.expanduser("~"), ".cache", "spatialcore_tpu",
+            "jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # never block import on cache setup
+        pass
+
+
+_enable_persistent_compile_cache()
+
 from . import core  # mandatory
 from .core import SpatialData, get_logger, read_h5ad, update_metadata, write_h5ad
 

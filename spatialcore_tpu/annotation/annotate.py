@@ -1,0 +1,204 @@
+"""Cell-type annotation with trained models (single or ensemble).
+
+Parity with ``annotate_celltypist``
+(/root/reference/src/spatialcore/annotation/annotate.py:253-708): model
+loading, the 25% gene-overlap gate (:155-187), subset-and-renormalize
+(:461-514), optional cell batching, multi-model max-confidence ensembling
+(:596-621), and the CellxGene-standard output columns + decision-score
+matrix. Models here are spatialcore_tpu ``CellTypeModel`` artifacts (JAX LR)
+rather than CellTypist pickles; scoring runs jit-compiled on device.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+import pandas as pd
+import scipy.sparse as sp
+
+from ..core.logging import get_logger
+from ..core.metadata import update_metadata
+from .confidence import ConfidenceMethod, transform_confidence
+from .model import CellTypeModel
+
+logger = get_logger("annotation.annotate")
+
+DEFAULT_MODELS_DIR = Path.home() / ".spatialcore_tpu" / "models"
+
+# Tissue → suggested model artifact names (train locally or drop into
+# DEFAULT_MODELS_DIR; parity with the reference's pretrained-model presets,
+# annotate.py:40-123, minus the network download).
+TISSUE_MODEL_PRESETS: Dict[str, List[str]] = {
+    "lung": ["lung_airway", "lung_parenchyma", "immune_global"],
+    "liver": ["liver", "immune_global"],
+    "brain": ["brain_cortex", "brain_glia"],
+    "heart": ["heart", "immune_global"],
+    "kidney": ["kidney", "immune_global"],
+    "breast": ["breast", "immune_global"],
+    "colon": ["intestine_colon", "immune_global"],
+    "intestine": ["intestine_colon", "immune_global"],
+    "pancreas": ["pancreas", "immune_global"],
+    "skin": ["skin", "immune_global"],
+    "blood": ["immune_blood", "immune_global"],
+    "bone_marrow": ["immune_bone_marrow", "immune_global"],
+    "lymph_node": ["immune_lymphoid", "immune_global"],
+    "spleen": ["immune_lymphoid", "immune_global"],
+    "tonsil": ["immune_lymphoid", "immune_global"],
+}
+
+
+def get_models_for_tissue(tissue: str) -> List[str]:
+    """Suggested model names for a tissue preset."""
+    key = tissue.strip().lower().replace(" ", "_")
+    if key not in TISSUE_MODEL_PRESETS:
+        raise ValueError(
+            f"Unknown tissue '{tissue}'. Available: "
+            f"{sorted(TISSUE_MODEL_PRESETS)}")
+    return TISSUE_MODEL_PRESETS[key]
+
+
+def _resolve_model(m, models_dir: Path) -> CellTypeModel:
+    if isinstance(m, CellTypeModel):
+        return m
+    p = Path(m)
+    if p.exists() or p.with_suffix(".npz").exists():
+        return CellTypeModel.load(p)
+    cand = models_dir / f"{m}.npz"
+    if cand.exists():
+        return CellTypeModel.load(cand)
+    raise FileNotFoundError(
+        f"Model '{m}' not found (looked at '{p}' and '{cand}'). Train one "
+        "with annotation.train_cell_type_model and save it there.")
+
+
+def _gene_overlap(model: CellTypeModel, var_names) -> np.ndarray:
+    """int32 [n_model_genes] index into var_names (−1 where absent)."""
+    pos = {g: i for i, g in enumerate(var_names)}
+    return np.array([pos.get(g, -1) for g in model.genes], np.int32)
+
+
+def annotate_cells(
+    adata,
+    models: Union[str, CellTypeModel, Sequence],
+    confidence_method: ConfidenceMethod = "zscore",
+    min_gene_overlap_pct: float = 25.0,
+    batch_size: Optional[int] = None,
+    renormalize_overlap: bool = True,
+    models_dir: Optional[Union[str, Path]] = None,
+    store_decision_scores: bool = True,
+    copy: bool = False,
+):
+    """Annotate cells with one model or an ensemble (max confidence wins).
+
+    Outputs: ``obs['cell_type']`` (final label), ``'cell_type_predicted'``,
+    ``'cell_type_confidence'`` (transformed), ``'cell_type_confidence_raw'``
+    (winning logit), ``'cell_type_model'`` (source model per cell), and
+    ``obsm['cell_type_decision_scores']`` (+ class list in uns) for the
+    model that won the most cells.
+    """
+    start = time.time()
+    if copy:
+        adata = adata.copy()
+    models_dir = Path(models_dir) if models_dir else DEFAULT_MODELS_DIR
+    if isinstance(models, (str, Path, CellTypeModel)):
+        models = [models]
+    resolved = [_resolve_model(m, models_dir) for m in models]
+    if not resolved:
+        raise ValueError("At least one model is required")
+
+    X = adata.X
+    var_names = list(adata.var_names)
+    n = adata.n_obs
+    batch = batch_size or n
+
+    per_model = []
+    for model in resolved:
+        name = model.metadata.get("model_name", "model")
+        gene_idx = _gene_overlap(model, var_names)
+        n_overlap = int((gene_idx >= 0).sum())
+        overlap_pct = 100.0 * n_overlap / model.n_genes
+        if overlap_pct < min_gene_overlap_pct:
+            raise ValueError(
+                f"Model '{name}': only {n_overlap}/{model.n_genes} genes "
+                f"({overlap_pct:.1f}%) overlap the panel — below the "
+                f"{min_gene_overlap_pct}% gate. Train a panel-specific "
+                "model (train_and_annotate) instead.")
+        logger.info(f"Model '{name}': {n_overlap}/{model.n_genes} genes "
+                    f"({overlap_pct:.1f}% overlap), {model.n_classes} types")
+
+        scores = np.empty((n, model.n_classes), np.float32)
+        present = gene_idx >= 0
+        cols = gene_idx[present]
+        for s in range(0, n, batch):
+            xb = X[s:s + batch][:, cols]
+            if sp.issparse(xb):
+                xb = np.asarray(xb.todense())
+            xb = np.asarray(xb, np.float32)
+            if renormalize_overlap:
+                counts = np.expm1(xb)
+                tot = counts.sum(axis=1, keepdims=True)
+                tot = np.where(tot <= 0, 1.0, tot)
+                xb = np.log1p(counts / tot * 1e4)
+            full = np.broadcast_to(
+                model.scaler_mean[None, :], (xb.shape[0], model.n_genes)
+            ).copy()
+            full[:, present] = xb
+            scores[s:s + batch] = model.decision_scores(full)
+        conf = transform_confidence(scores, confidence_method)
+        raw = scores.max(axis=1)
+        pred = np.asarray(model.classes, object)[scores.argmax(axis=1)]
+        per_model.append({
+            "name": name, "model": model, "scores": scores,
+            "conf": conf, "raw": raw, "pred": pred,
+            "overlap_pct": overlap_pct,
+        })
+
+    # ensemble: max transformed confidence wins per cell
+    conf_stack = np.stack([m["conf"] for m in per_model])     # [M, N]
+    winner = conf_stack.argmax(axis=0)
+    final_pred = np.empty(n, object)
+    final_conf = np.empty(n, float)
+    final_raw = np.empty(n, float)
+    final_model = np.empty(n, object)
+    for mi, m in enumerate(per_model):
+        rows = winner == mi
+        final_pred[rows] = m["pred"][rows]
+        final_conf[rows] = m["conf"][rows]
+        final_raw[rows] = m["raw"][rows]
+        final_model[rows] = m["name"]
+
+    adata.obs["cell_type_predicted"] = pd.Categorical(final_pred)
+    adata.obs["cell_type"] = pd.Categorical(final_pred)
+    adata.obs["cell_type_confidence"] = final_conf
+    adata.obs["cell_type_confidence_raw"] = final_raw
+    adata.obs["cell_type_model"] = pd.Categorical(final_model)
+
+    if store_decision_scores:
+        # scores of the model that won the most cells
+        best_mi = int(np.bincount(winner, minlength=len(per_model)).argmax())
+        best = per_model[best_mi]
+        adata.obsm["cell_type_decision_scores"] = best["scores"]
+        adata.uns["cell_type_decision_scores_classes"] = \
+            list(best["model"].classes)
+
+    n_types = len(pd.unique(final_pred))
+    logger.info(f"Annotated {n:,} cells → {n_types} types using "
+                f"{len(per_model)} model(s) ({time.time() - start:.1f}s)")
+    update_metadata(
+        adata, "annotate_cells",
+        parameters={"models": [m["name"] for m in per_model],
+                    "confidence_method": confidence_method,
+                    "min_gene_overlap_pct": min_gene_overlap_pct,
+                    "gene_overlap_pct": [round(m["overlap_pct"], 2)
+                                         for m in per_model]},
+        outputs={"obs": ["cell_type", "cell_type_confidence",
+                         "cell_type_model"],
+                 "obsm": "cell_type_decision_scores"})
+    return adata
+
+
+# Drop-in name parity with the reference API.
+annotate_celltypist = annotate_cells

@@ -1,0 +1,419 @@
+"""Reference combination, balanced subsampling, and classifier training.
+
+Parity targets in /root/reference/src/spatialcore/annotation/training.py:
+``combine_references`` (:84-457), ``train_celltypist_model`` (:556-729, here
+a JAX/optax multinomial logistic regression instead of sklearn SGD),
+``subsample_balanced`` "Cap & Fill" source-aware balancing (:1218-1618),
+color schemes (:818-900) and ``save_model_artifacts`` (:907-1021). Training
+runs entirely on-device: standardized minibatches, class-balanced
+cross-entropy, deterministic counter-based shuffling.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pandas as pd
+import scipy.sparse as sp
+
+from ..core import container as _container
+from ..core.genes import normalize_gene_names
+from ..core.io import read_h5ad
+from ..core.logging import get_logger
+from ..core.normalization import check_normalization_status, normalize_log1p_from_raw
+from ..core.rng import key_for, np_rng
+from .model import _CLIP_Z, CellTypeModel
+
+logger = get_logger("annotation.training")
+
+# Labels that poison a training reference (uncertain / artifact classes).
+DEFAULT_EXCLUDE_LABELS = [
+    "unknown", "unassigned", "na", "n/a", "nan", "none", "null",
+    "doublet", "multiplet", "low quality", "low_count", "low count",
+    "filtered", "ambiguous", "undetermined",
+]
+
+HIGH_CONTRAST_PALETTE = [
+    "#e6194B", "#3cb44b", "#ffe119", "#4363d8", "#f58231",
+    "#911eb4", "#42d4f4", "#f032e6", "#bfef45", "#fabed4",
+    "#469990", "#dcbeff", "#9A6324", "#fffac8", "#800000",
+    "#aaffc3", "#808000", "#ffd8b1", "#000075", "#a9a9a9",
+]
+
+
+def _is_excluded(label: str, exclude: Sequence[str]) -> bool:
+    return str(label).strip().lower() in {e.lower() for e in exclude}
+
+
+# ---------------------------------------------------------------------------
+# combine_references
+# ---------------------------------------------------------------------------
+
+
+def combine_references(
+    references: Sequence,
+    cell_type_column: str = "cell_type",
+    panel_genes: Optional[Sequence[str]] = None,
+    max_cells_per_reference: Optional[int] = None,
+    exclude_labels: Optional[Sequence[str]] = None,
+    min_cells_per_type: int = 10,
+    normalize_genes: bool = True,
+    source_column: str = "reference_source",
+    seed: int = 0,
+):
+    """Merge reference datasets into one training SpatialData.
+
+    Per reference: load (path or SpatialData), validate the label column,
+    optionally cap cells (stratified), map Ensembl→HUGO names, subset to
+    panel genes, re-normalize to log1p-10k (from raw counts when present),
+    then inner-join shared genes, concatenate, drop excluded labels and
+    types below ``min_cells_per_type``.
+    """
+    if exclude_labels is None:
+        exclude_labels = DEFAULT_EXCLUDE_LABELS
+    if not references:
+        raise ValueError("At least one reference is required")
+
+    loaded = []
+    for i, ref in enumerate(references):
+        name = f"ref{i}"
+        if isinstance(ref, (str, Path)):
+            name = Path(ref).stem
+            logger.info(f"Loading reference {name} from {ref}")
+            adata = read_h5ad(ref)
+        else:
+            adata = ref.copy()
+            name = adata.uns.get("reference_name", name)
+        if cell_type_column not in adata.obs.columns:
+            raise ValueError(
+                f"Reference {name}: column '{cell_type_column}' not found "
+                f"in obs (has {list(adata.obs.columns)[:8]}...)")
+        labels = adata.obs[cell_type_column].astype(str)
+        if labels.isna().any() or (labels == "nan").mean() > 0.05:
+            logger.warning(f"Reference {name}: >5% null labels")
+
+        if max_cells_per_reference and adata.n_obs > max_cells_per_reference:
+            idx = _stratified_indices(
+                labels.to_numpy(), max_cells_per_reference,
+                np_rng(seed, "combine_cap", i))
+            adata = adata[np.sort(idx)]
+        if normalize_genes:
+            normalize_gene_names(adata)
+        if panel_genes is not None:
+            keep = [g for g in adata.var_names if g in set(panel_genes)]
+            if not keep:
+                raise ValueError(
+                    f"Reference {name} shares no genes with the panel")
+            adata = adata[:, keep]
+        ensure_normalized(adata)
+        adata.obs[source_column] = name
+        loaded.append(adata)
+
+    shared = set(loaded[0].var_names)
+    for adata in loaded[1:]:
+        shared &= set(adata.var_names)
+    if not shared:
+        raise ValueError("References share no genes after name mapping")
+    shared_genes = sorted(shared)
+    logger.info(f"{len(shared_genes)} shared genes across "
+                f"{len(loaded)} references")
+    loaded = [a[:, shared_genes] for a in loaded]
+    combined = _container.concat(loaded)
+
+    labels = combined.obs[cell_type_column].astype(str)
+    keep_mask = ~labels.map(lambda l: _is_excluded(l, exclude_labels))
+    counts = labels[keep_mask].value_counts()
+    small = set(counts[counts < min_cells_per_type].index)
+    if small:
+        logger.info(f"Dropping {len(small)} cell types below "
+                    f"{min_cells_per_type} cells: {sorted(small)[:5]}...")
+        keep_mask &= ~labels.isin(small)
+    n_dropped = int((~keep_mask).sum())
+    if n_dropped:
+        logger.info(f"Excluding {n_dropped:,} cells "
+                    "(bad labels / tiny types)")
+    combined = combined[keep_mask.to_numpy()]
+    logger.info(f"Combined reference: {combined.n_obs:,} cells × "
+                f"{combined.n_vars:,} genes, "
+                f"{combined.obs[cell_type_column].nunique()} types")
+    return combined
+
+
+def _stratified_indices(labels: np.ndarray, n_target: int, rng) -> np.ndarray:
+    """Proportional per-class sample of ``n_target`` indices."""
+    classes, counts = np.unique(labels, return_counts=True)
+    frac = n_target / labels.shape[0]
+    out = []
+    for cls, cnt in zip(classes, counts):
+        idx = np.nonzero(labels == cls)[0]
+        take = max(1, int(round(cnt * frac)))
+        out.append(rng.choice(idx, size=min(take, cnt), replace=False))
+    idx = np.concatenate(out)
+    if idx.size > n_target:
+        idx = rng.choice(idx, size=n_target, replace=False)
+    return idx
+
+
+def ensure_normalized(adata, target_sum: float = 1e4,
+                      unsafe_force: bool = False):
+    """Guarantee X is log1p target-sum normalized (safe paths only).
+
+    Safe: raw counts found anywhere (re-normalize from them) or X already
+    verified log1p_10k. Anything else raises unless ``unsafe_force``
+    (reference loading.py:344-488).
+    """
+    status = check_normalization_status(adata)
+    state = status["x_state"]
+    if state == "log1p_10k":
+        return adata
+    if status.get("raw_source") is not None:
+        normalize_log1p_from_raw(adata, target_sum=target_sum)
+        return adata
+    if unsafe_force:
+        logger.warning(
+            f"ensure_normalized: X state '{state}' is not verifiable; "
+            "proceeding because unsafe_force=True")
+        return adata
+    raise ValueError(
+        f"Cannot safely normalize: X looks like '{state}' and no raw "
+        "counts were found in layers/raw. Provide raw counts, pre-normalize "
+        "to log1p 10k, or pass unsafe_force=True.")
+
+
+# ---------------------------------------------------------------------------
+# subsample_balanced — "Cap & Fill"
+# ---------------------------------------------------------------------------
+
+
+def _source_targets(counts: Dict[str, int], cap: int,
+                    min_cells_per_source: int) -> Dict[str, int]:
+    """Per-source allocation: equal shares, floors, shortfall redistributed.
+
+    Mirrors the reference ``_calculate_source_targets``
+    (training.py:1543-1618): every source gets at least
+    ``min(min_cells_per_source, available)``; remaining budget spreads
+    equally, with unused share redistributed to sources that have cells
+    left.
+    """
+    sources = list(counts)
+    alloc = {s: min(min_cells_per_source, counts[s]) for s in sources}
+    budget = cap - sum(alloc.values())
+    if budget <= 0:
+        # floors already exceed cap: scale floors down proportionally
+        total = sum(alloc.values())
+        scaled = {s: int(alloc[s] * cap / total) for s in sources}
+        return scaled
+    remaining = {s: counts[s] - alloc[s] for s in sources}
+    while budget > 0:
+        open_sources = [s for s in sources if remaining[s] > 0]
+        if not open_sources:
+            break
+        share = max(budget // len(open_sources), 1)
+        spent = 0
+        for s in open_sources:
+            take = min(share, remaining[s], budget - spent)
+            alloc[s] += take
+            remaining[s] -= take
+            spent += take
+            if spent >= budget:
+                break
+        if spent == 0:
+            break
+        budget -= spent
+    return alloc
+
+
+def subsample_balanced(
+    adata,
+    cell_type_column: str = "cell_type",
+    max_cells_per_type: int = 5000,
+    min_cells_per_source: int = 50,
+    source_column: str = "reference_source",
+    group_by_column: Optional[str] = None,
+    seed: int = 0,
+):
+    """Cap & Fill balancing: cap each cell type, fill fairly across sources.
+
+    Types under the cap keep all cells. Over-cap types are downsampled with
+    per-source targets from ``_source_targets`` so no single reference
+    dominates. ``group_by_column`` (e.g. the CL ID column) groups labels
+    semantically before balancing (reference training.py:1375-1389).
+    """
+    group_col = group_by_column or cell_type_column
+    if group_col not in adata.obs.columns:
+        raise ValueError(f"Column '{group_col}' not found in obs")
+    groups = adata.obs[group_col].astype(str).to_numpy()
+    has_source = source_column in adata.obs.columns
+    sources = (adata.obs[source_column].astype(str).to_numpy()
+               if has_source else np.full(adata.n_obs, "all"))
+
+    keep = []
+    for gi, group in enumerate(pd.unique(groups)):
+        g_idx = np.nonzero(groups == group)[0]
+        if g_idx.size <= max_cells_per_type:
+            keep.append(g_idx)
+            continue
+        counts = pd.Series(sources[g_idx]).value_counts().to_dict()
+        alloc = _source_targets(counts, max_cells_per_type,
+                                min_cells_per_source)
+        rng = np_rng(seed, "cap_fill", gi)
+        for s, n_take in alloc.items():
+            s_idx = g_idx[sources[g_idx] == s]
+            if n_take >= s_idx.size:
+                keep.append(s_idx)
+            else:
+                keep.append(rng.choice(s_idx, size=n_take, replace=False))
+    idx = np.sort(np.concatenate(keep))
+    logger.info(f"subsample_balanced: {adata.n_obs:,} → {idx.size:,} cells "
+                f"(cap {max_cells_per_type}/type)")
+    return adata[idx]
+
+
+# ---------------------------------------------------------------------------
+# training
+# ---------------------------------------------------------------------------
+
+
+def train_cell_type_model(
+    adata,
+    cell_type_column: str = "cell_type",
+    epochs: int = 30,
+    batch_size: int = 1024,
+    learning_rate: float = 0.05,
+    l2: float = 1e-4,
+    balance_cell_type: bool = True,
+    seed: int = 0,
+    model_name: str = "spatialcore_tpu_model",
+) -> CellTypeModel:
+    """Train the multinomial LR classifier on log1p expression.
+
+    Deterministic minibatch SGD (adamw) over standardized genes with
+    class-balanced cross-entropy — the celltypist.train replacement
+    (reference training.py:667-689). Runs as one jitted ``lax.scan`` per
+    epoch.
+    """
+    start = time.time()
+    if cell_type_column not in adata.obs.columns:
+        raise ValueError(f"Column '{cell_type_column}' not found in obs")
+    X = adata.X
+    if sp.issparse(X):
+        X = np.asarray(X.todense())
+    X = np.asarray(X, np.float32)
+    labels = adata.obs[cell_type_column].astype(str).to_numpy()
+    classes = sorted(pd.unique(labels).tolist())
+    if len(classes) < 2:
+        raise ValueError("Need at least 2 cell types to train")
+    class_to_idx = {c: i for i, c in enumerate(classes)}
+    y = np.array([class_to_idx[l] for l in labels], np.int32)
+    n, g = X.shape
+    c = len(classes)
+    logger.info(f"Training LR: {n:,} cells × {g:,} genes → {c} classes "
+                f"({epochs} epochs, batch {batch_size})")
+
+    mean = X.mean(axis=0)
+    std = X.std(axis=0)
+    std = np.where(std < 1e-8, 1.0, std).astype(np.float32)
+    Z = np.clip((X - mean) / std, -_CLIP_Z, _CLIP_Z).astype(np.float32)
+
+    if balance_cell_type:
+        freq = np.bincount(y, minlength=c).astype(np.float64)
+        cw = (n / (c * freq)).astype(np.float32)
+    else:
+        cw = np.ones(c, np.float32)
+
+    batch_size = min(batch_size, n)
+    steps = max(n // batch_size, 1)
+    opt = optax.adamw(learning_rate, weight_decay=l2)
+
+    Zj = jnp.asarray(Z)
+    yj = jnp.asarray(y)
+    cwj = jnp.asarray(cw)
+
+    def loss_fn(params, xb, yb):
+        W, b = params
+        logits = xb @ W + b
+        logp = jax.nn.log_softmax(logits)
+        nll = -jnp.take_along_axis(logp, yb[:, None], axis=1)[:, 0]
+        return jnp.mean(nll * cwj[yb])
+
+    @jax.jit
+    def epoch(params, opt_state, perm):
+        def step(carry, s):
+            params, opt_state = carry
+            idx = jax.lax.dynamic_slice(perm, (s * batch_size,),
+                                        (batch_size,))
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, Zj[idx], yj[idx])
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), jnp.arange(steps))
+        return params, opt_state, jnp.mean(losses)
+
+    params = (jnp.zeros((g, c), jnp.float32), jnp.zeros((c,), jnp.float32))
+    opt_state = opt.init(params)
+    for e in range(epochs):
+        perm = jax.random.permutation(key_for(seed, "train_epoch", e), n)
+        params, opt_state, loss = epoch(params, opt_state, perm)
+        if e % max(epochs // 5, 1) == 0 or e == epochs - 1:
+            logger.info(f"  epoch {e + 1}/{epochs}: loss={float(loss):.4f}")
+
+    W, b = (np.asarray(p) for p in params)
+    model = CellTypeModel(
+        genes=list(adata.var_names), classes=classes, W=W, b=b,
+        scaler_mean=mean.astype(np.float32), scaler_std=std,
+        metadata={
+            "model_name": model_name,
+            "n_training_cells": int(n),
+            "epochs": epochs, "batch_size": batch_size,
+            "learning_rate": learning_rate, "l2": l2,
+            "balance_cell_type": balance_cell_type, "seed": seed,
+            "final_loss": float(loss),
+            "trained_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        })
+    logger.info(f"Training done in {time.time() - start:.1f}s "
+                f"(final loss {float(loss):.4f})")
+    return model
+
+
+# Drop-in name parity with the reference API.
+train_celltypist_model = train_cell_type_model
+
+
+# ---------------------------------------------------------------------------
+# artifacts
+# ---------------------------------------------------------------------------
+
+
+def generate_color_scheme(classes: Sequence[str],
+                          palette: Optional[Sequence[str]] = None) -> Dict[str, str]:
+    """Deterministic class→hex colors (sorted labels, cycled palette)."""
+    base = list(palette or HIGH_CONTRAST_PALETTE)
+    return {c: base[i % len(base)] for i, c in enumerate(sorted(classes))}
+
+
+def save_model_artifacts(
+    model: CellTypeModel,
+    output_dir: Union[str, Path],
+    colors: Optional[Dict[str, str]] = None,
+) -> Dict[str, Path]:
+    """Save model (.npz), metadata (.json), and colors (.json)."""
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    name = model.metadata.get("model_name", "model")
+    model_path = model.save(out / f"{name}.npz")
+    colors = colors or generate_color_scheme(model.classes)
+    colors_path = out / f"{name}_colors.json"
+    with open(colors_path, "w") as f:
+        json.dump(colors, f, indent=2)
+    return {"model": model_path,
+            "metadata": model_path.with_suffix(".json"),
+            "colors": colors_path}

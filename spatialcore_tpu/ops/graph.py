@@ -144,20 +144,61 @@ def knn_exact(
 # Grid-bucketed kNN for large N (exact, adaptive window)
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("k", "r", "include_self"))
+def _bucket_knn_round(q_coords, q_ids, qbx, qby, coords, table,
+                      nbx, nby, k: int, r: int, include_self: bool):
+    """Window-bucket kNN for all query tiles in ONE device dispatch.
+
+    ``table`` is the padded bucket table [nbx*nby, C] of original cell ids
+    (−1 pad); queries arrive pre-tiled as [n_tiles, T, …] and a ``lax.map``
+    walks the tiles on device — no per-tile host round-trips (the tunnel
+    latency of a Python tile loop dominated the 1M-cell build). Each of the
+    (2r+1)² window cells contributes one gather + distance block + running
+    top-k merge.
+    """
+    def one_tile(args):
+        qc, qi, bx_t, by_t = args
+        tq = qc.shape[0]
+        best_d = jnp.full((tq, k), jnp.inf, jnp.float32)
+        best_i = jnp.full((tq, k), -1, jnp.int32)
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                gx = bx_t + dx
+                gy = by_t + dy
+                ok = (gx >= 0) & (gx < nbx) & (gy >= 0) & (gy < nby)
+                b = jnp.where(ok, gx * nby + gy, 0)
+                cand = table[b]                          # [Tq, C] int32
+                valid = (cand >= 0) & ok[:, None]
+                if not include_self:
+                    valid &= cand != qi[:, None]
+                cc = coords[jnp.maximum(cand, 0)]        # [Tq, C, 2]
+                d = jnp.sum((qc[:, None, :] - cc) ** 2, axis=-1)
+                d = jnp.where(valid, d, jnp.inf)
+                all_d = jnp.concatenate([best_d, d], axis=1)
+                all_i = jnp.concatenate([best_i, cand], axis=1)
+                neg, arg = jax.lax.top_k(-all_d, k)
+                best_d = -neg
+                best_i = jnp.take_along_axis(all_i, arg, axis=1)
+        return best_d, best_i
+
+    return jax.lax.map(one_tile, (q_coords, q_ids, qbx, qby))
+
+
 def knn_grid(
     coords_np: np.ndarray,
     k: int,
     include_self: bool = False,
-    bucket_target: int = 24,
+    bucket_target: int = 32,
+    tile: int = 8192,
     max_rounds: int = 6,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Exact kNN via uniform-grid candidate windows (host orchestration).
+    """Exact kNN via uniform-grid buckets with on-device window top-k.
 
-    Cells are binned on a uniform 2D grid sized so the average bucket holds
-    ``bucket_target`` points. Each cell gathers candidates from a (2r+1)²
-    window; if the kth-neighbor distance exceeds the guaranteed-covered
-    radius the window expands (exactness check), so results equal the exact
-    scan. Scales O(N·window) instead of O(N²).
+    Host work is O(N) numpy (binning + one scatter into a padded bucket
+    table); all distance/top-k math runs jit-compiled on device. Each cell
+    searches a (2r+1)² bucket window; cells whose kth-neighbor distance
+    exceeds the window's guaranteed-covered radius re-run with a wider
+    window (exactness check), so results equal the O(N²) scan.
     """
     coords_np = np.asarray(coords_np, dtype=np.float32)
     n, d = coords_np.shape
@@ -177,112 +218,66 @@ def knn_grid(
     bx = np.minimum((coords_np[:, 0] - mins[0]) // h[0], nbx - 1).astype(np.int64)
     by = np.minimum((coords_np[:, 1] - mins[1]) // h[1], nby - 1).astype(np.int64)
     bucket = bx * nby + by
-    order = np.argsort(bucket, kind="stable")
+    order = np.argsort(bucket, kind="stable").astype(np.int64)
     sorted_bucket = bucket[order]
-    # CSR offsets over buckets
     n_buckets = nbx * nby
     counts = np.bincount(sorted_bucket, minlength=n_buckets)
     offsets = np.concatenate([[0], np.cumsum(counts)])
-    max_occupancy = int(counts.max()) if n_buckets else n
+    C = max(int(counts.max()), 1)
+    # padded bucket table: one vectorized scatter
+    table_np = np.full((n_buckets, C), -1, np.int32)
+    pos = np.arange(n) - offsets[sorted_bucket]
+    table_np[sorted_bucket, pos] = order.astype(np.int32)
 
-    sorted_coords = coords_np[order]
+    coords_j = jnp.asarray(coords_np)
+    table_j = jnp.asarray(table_np)
+    bx32 = bx.astype(np.int32)
+    by32 = by.astype(np.int32)
+
     out_idx = np.full((n, k), -1, np.int32)
     out_dist = np.full((n, k), np.inf, np.float32)
     unresolved = np.arange(n)
-
-    radius_cells = 1
+    r = 1
     for _ in range(max_rounds):
         if unresolved.size == 0:
             break
-        win = 2 * radius_cells + 1
-        cap = max_occupancy * win * win
-        idx_r, dist_r = _grid_round(
-            coords_np, unresolved, bx, by, nbx, nby, offsets, sorted_coords,
-            order, k, include_self, radius_cells, cap)
-        # exactness: kth distance must be within the radius guaranteed covered
-        guaranteed = radius_cells * min(h[0], h[1])
-        kth = dist_r[:, k - 1]
-        ok = kth <= guaranteed
-        # also resolved if the window already covers the whole grid
-        if win >= 2 * max(nbx, nby) + 1:
+        nq = unresolved.size
+        t = min(tile, 1 << max(int(np.ceil(np.log2(max(nq, 1)))), 6))
+        q_pad = _pad_to(coords_np[unresolved], t, np.float32(1e18))
+        id_pad = _pad_to(unresolved.astype(np.int32), t, np.int32(-2))
+        bx_pad = _pad_to(bx32[unresolved], t, np.int32(-10))
+        by_pad = _pad_to(by32[unresolved], t, np.int32(-10))
+        n_tiles = q_pad.shape[0] // t
+        bd, bi = _bucket_knn_round(
+            jnp.asarray(q_pad).reshape(n_tiles, t, 2),
+            jnp.asarray(id_pad).reshape(n_tiles, t),
+            jnp.asarray(bx_pad).reshape(n_tiles, t),
+            jnp.asarray(by_pad).reshape(n_tiles, t),
+            coords_j, table_j, jnp.int32(nbx), jnp.int32(nby),
+            k, r, include_self)
+        dist_r = np.asarray(bd).reshape(-1, k)[:nq]
+        idx_r = np.asarray(bi).reshape(-1, k)[:nq]
+        guaranteed = r * min(h[0], h[1])
+        ok = dist_r[:, k - 1] <= guaranteed ** 2
+        if 2 * r + 1 >= 2 * max(nbx, nby) + 1:
             ok[:] = True
         done = unresolved[ok]
         out_idx[done] = idx_r[ok]
         out_dist[done] = dist_r[ok]
         unresolved = unresolved[~ok]
-        radius_cells *= 2
-
+        r *= 2
     if unresolved.size:
-        # tiny remainder: exact scan against all points
-        idx_r, dist_r = _brute_subset(coords_np, unresolved, k, include_self)
-        out_idx[unresolved] = idx_r
-        out_dist[unresolved] = dist_r
-    return out_idx, out_dist
-
-
-def _grid_round(coords, queries, bx, by, nbx, nby, offsets, sorted_coords,
-                order, k, include_self, radius_cells, cap):
-    """One window-radius round: gather capped candidates, top-k on device."""
-    win = 2 * radius_cells + 1
-    q = queries
-    nq = q.shape[0]
-    # candidate slots: for each query, for each window bucket, up to its count
-    cand_idx = np.full((nq, cap), -1, np.int64)
-    fill = np.zeros(nq, np.int64)
-    for dx in range(-radius_cells, radius_cells + 1):
-        gx = bx[q] + dx
-        okx = (gx >= 0) & (gx < nbx)
-        for dy in range(-radius_cells, radius_cells + 1):
-            gy = by[q] + dy
-            ok = okx & (gy >= 0) & (gy < nby)
-            b = np.where(ok, gx * nby + gy, 0)
-            starts = offsets[b]
-            ends = offsets[b + 1]
-            lens = np.where(ok, ends - starts, 0)
-            # vectorized ragged fill
-            maxlen = lens.max() if nq else 0
-            if maxlen == 0:
-                continue
-            ar = np.arange(maxlen)
-            take = ar[None, :] < lens[:, None]
-            src = starts[:, None] + ar[None, :]
-            dst = fill[:, None] + ar[None, :]
-            rows = np.broadcast_to(np.arange(nq)[:, None], take.shape)[take]
-            cand_idx[rows, dst[take]] = src[take]
-            fill += lens
-    # gather coordinates, compute distances on device in tiles
-    valid = cand_idx >= 0
-    safe = np.where(valid, cand_idx, 0)
-    cand_orig = order[safe]  # original ids
-    qc = coords[q]
-    cc = sorted_coords[safe]
-    dist = ((qc[:, None, :] - cc) ** 2).sum(-1).astype(np.float32)
-    dist[~valid] = np.inf
-    if not include_self:
-        dist[cand_orig == q[:, None]] = np.inf
-    # top-k (numpy argpartition then sort)
-    kk = min(k, dist.shape[1])
-    part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
-    pd_ = np.take_along_axis(dist, part, axis=1)
-    orddd = np.argsort(pd_, axis=1)
-    top = np.take_along_axis(part, orddd, axis=1)
-    top_d = np.take_along_axis(pd_, orddd, axis=1)
-    top_i = np.take_along_axis(cand_orig, top, axis=1)
-    if kk < k:
-        top_i = np.pad(top_i, ((0, 0), (0, k - kk)), constant_values=-1)
-        top_d = np.pad(top_d, ((0, 0), (0, k - kk)), constant_values=np.inf)
-    return top_i.astype(np.int32), np.sqrt(top_d)
-
-
-def _brute_subset(coords, queries, k, include_self):
-    d = ((coords[queries][:, None, :] - coords[None, :, :]) ** 2).sum(-1)
-    if not include_self:
-        d[np.arange(queries.size), queries] = np.inf
-    part = np.argpartition(d, k - 1, axis=1)[:, :k]
-    pd_ = np.take_along_axis(d, part, axis=1)
-    o = np.argsort(pd_, axis=1)
-    return (np.take_along_axis(part, o, axis=1).astype(np.int32),
-            np.sqrt(np.take_along_axis(pd_, o, axis=1)).astype(np.float32))
+        # pathological remainder: exact scan for those queries only
+        dd = ((coords_np[unresolved][:, None, :]
+               - coords_np[None, :, :]) ** 2).sum(-1)
+        if not include_self:
+            dd[np.arange(unresolved.size), unresolved] = np.inf
+        part = np.argpartition(dd, k - 1, axis=1)[:, :k]
+        pd_ = np.take_along_axis(dd, part, axis=1)
+        o = np.argsort(pd_, axis=1)
+        out_idx[unresolved] = np.take_along_axis(part, o, axis=1)
+        out_dist[unresolved] = np.take_along_axis(pd_, o, axis=1)
+    return out_idx, np.sqrt(out_dist)
 
 
 # ---------------------------------------------------------------------------
@@ -370,16 +365,21 @@ def build_graph(
 def spatial_lag(graph: SpatialGraph, Z: jax.Array) -> jax.Array:
     """Compute ``W @ Z`` for Z of shape [N] or [N, G].
 
-    Unrolls over the small static degree k: k gathers of [N(, G)] rows each,
-    which XLA fuses into vectorized dynamic-gathers — no sparse CSR needed.
+    Unrolls over the small static degree k: k gathers of [N(, G)] rows each.
+    For large N·G an ``optimization_barrier`` sequences the per-neighbor
+    accumulation — otherwise XLA batches the k gathers into one [N, k, G]
+    temp (k·|Z| bytes), which OOMs at 1M cells × thousands of genes.
     """
     squeeze = Z.ndim == 1
     if squeeze:
         Z = Z[:, None]
     k = graph.neighbor_idx.shape[1]
+    sequence = Z.shape[0] * Z.shape[1] > 50_000_000
     lag = jnp.zeros_like(Z)
     for j in range(k):
         lag = lag + graph.neighbor_w[:, j:j + 1] * Z[graph.neighbor_idx[:, j]]
+        if sequence:
+            lag = jax.lax.optimization_barrier(lag)
     return lag[:, 0] if squeeze else lag
 
 

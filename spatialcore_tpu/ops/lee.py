@@ -40,7 +40,12 @@ def lees_l_pairs(
     compute_cell_pvalues: bool = False,
     chunk: int = 16,
 ) -> LeesLResult:
-    """Lee's L for P gene pairs at once (vectorized over the pair axis)."""
+    """Lee's L for P gene pairs at once (vectorized over the pair axis).
+
+    ``chunk`` is accepted for API compatibility but ignored: each draw is
+    one scan step so peak memory stays O(N·P).
+    """
+    del chunk
     lag = spatial_lag(graph, Zy)
     L_local = Zx * lag
     L_global = jnp.sum(L_local, axis=0)
@@ -51,35 +56,26 @@ def lees_l_pairs(
                            ones_local)
 
     n = Zx.shape[0]
-    n_chunks = -(-n_permutations // chunk)
     abs_g = jnp.abs(L_global)
     abs_l = jnp.abs(L_local)
+    base = key_for(seed, "perm_lee", 0)
 
-    def body(carry, c):
+    def body(carry, p):
         count_g, count_l = carry
-
-        def one(p):
-            key = key_for(seed, "perm_lee", 0)
-            key = jax.random.fold_in(key, c * chunk + p)
-            perm = jax.random.permutation(key, n)
-            lag_p = spatial_lag(graph, Zy[perm])
-            Lp_local = Zx * lag_p
-            Lp = jnp.sum(Lp_local, axis=0)
-            in_range = (c * chunk + p) < n_permutations
-            eg = (jnp.abs(Lp) >= abs_g) & in_range
-            if compute_cell_pvalues:
-                el = (jnp.abs(Lp_local) >= abs_l) & in_range
-            else:
-                el = jnp.zeros_like(abs_l, dtype=bool)
-            return eg, el
-
-        eg, el = jax.vmap(one)(jnp.arange(chunk))
-        return (count_g + jnp.sum(eg, axis=0, dtype=jnp.int32),
-                count_l + jnp.sum(el, axis=0, dtype=jnp.int32)), None
+        key = jax.random.fold_in(base, p)
+        perm = jax.random.permutation(key, n)
+        lag_p = spatial_lag(graph, Zy[perm])
+        Lp_local = Zx * lag_p
+        Lp = jnp.sum(Lp_local, axis=0)
+        count_g = count_g + (jnp.abs(Lp) >= abs_g).astype(jnp.int32)
+        if compute_cell_pvalues:
+            count_l = count_l + (jnp.abs(Lp_local) >= abs_l).astype(jnp.int32)
+        return (count_g, count_l), None
 
     init = (jnp.zeros_like(L_global, dtype=jnp.int32),
             jnp.zeros(L_local.shape, dtype=jnp.int32))
-    (count_g, count_l), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    (count_g, count_l), _ = jax.lax.scan(body, init,
+                                         jnp.arange(n_permutations))
     P = n_permutations
     p_g = (count_g + 1.0) / (P + 1.0)
     p_l = ((count_l + 1.0) / (P + 1.0)) if compute_cell_pvalues \

@@ -70,10 +70,13 @@ def geary_observed(graph: SpatialGraph, Z: jax.Array, S0: float) -> jax.Array:
     """
     n = Z.shape[0]
     k = graph.neighbor_idx.shape[1]
+    sequence = Z.size > 50_000_000
     num = jnp.zeros((Z.shape[1],), jnp.float32)
     for j in range(k):
         diff = Z - Z[graph.neighbor_idx[:, j]]
         num = num + jnp.sum(graph.neighbor_w[:, j:j + 1] * diff * diff, axis=0)
+        if sequence:
+            num = jax.lax.optimization_barrier(num)
     den = jnp.sum(Z * Z, axis=0)
     den = jnp.where(den > 0, den, 1.0)
     return (n - 1) * num / (2.0 * S0 * den)
@@ -152,7 +155,7 @@ def permutation_test_global(
     seed: int,
     n_permutations: int,
     stat: str = "moran",
-    chunk: int = 32,
+    chunk: int = 1,
     alternative: str = "greater",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Monte-Carlo permutation p-values for a global statistic.
@@ -162,40 +165,32 @@ def permutation_test_global(
     but each draw has its own counter-based key ⇒ bitwise reproducible for a
     given (seed, draw index) regardless of device layout.
 
-    Returns (p_value, perm_mean, perm_std) per gene.
+    One ``lax.scan`` step per draw: peak temps stay at O(N·G) no matter how
+    many permutations run, so 1M cells × 5k genes × 1k draws fits HBM.
+    ``chunk`` is accepted for API compatibility but ignored.
     """
-    n = Z.shape[0]
-    n_chunks = -(-n_permutations // chunk)
-    G = Z.shape[1]
+    del chunk
+    n, G = Z.shape
+    base = key_for(seed, "perm_global", 0)
 
-    def body(carry, c):
+    def body(carry, p):
         count, s1, s2 = carry
-
-        def one(p):
-            key = key_for(seed, "perm_global", 0)
-            key = jax.random.fold_in(key, c * chunk + p)
-            perm = jax.random.permutation(key, n)
-            val = _perm_stat_global(graph, Z, S0, perm, stat)
-            in_range = (c * chunk + p) < n_permutations
-            return jnp.where(in_range, val, jnp.nan), in_range
-
-        vals, mask = jax.vmap(one)(jnp.arange(chunk))
-        vals = jnp.where(mask[:, None], vals, 0.0)
+        key = jax.random.fold_in(base, p)
+        perm = jax.random.permutation(key, n)
+        val = _perm_stat_global(graph, Z, S0, perm, stat)
         if alternative == "greater":
-            extreme = vals >= observed[None, :]
+            extreme = val >= observed
         elif alternative == "less":
-            extreme = vals <= observed[None, :]
+            extreme = val <= observed
         else:
-            extreme = jnp.abs(vals) >= jnp.abs(observed)[None, :]
-        extreme = extreme & mask[:, None]
-        count = count + jnp.sum(extreme, axis=0)
-        s1 = s1 + jnp.sum(vals, axis=0)
-        s2 = s2 + jnp.sum(vals * vals, axis=0)
-        return (count, s1, s2), None
+            extreme = jnp.abs(val) >= jnp.abs(observed)
+        return (count + extreme.astype(jnp.int32), s1 + val,
+                s2 + val * val), None
 
     init = (jnp.zeros((G,), jnp.int32), jnp.zeros((G,), jnp.float32),
             jnp.zeros((G,), jnp.float32))
-    (count, s1, s2), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    (count, s1, s2), _ = jax.lax.scan(body, init,
+                                      jnp.arange(n_permutations))
     P = n_permutations
     p = (count + 1.0) / (P + 1.0)
     mean = s1 / P
@@ -229,8 +224,10 @@ def local_moran(
     per draw across genes). Two-tailed p per cell:
     (#{|I_perm| ≥ |I_obs|} + 1)/(P + 1). The reference computes this with a
     nested Python loop over cells×genes (autocorrelation.py:888-896) — its
-    worst bottleneck; here it is one vectorized comparison per chunk.
+    worst bottleneck; here each draw is one fused scan step with O(N·G)
+    peak memory. ``chunk`` is accepted for API compatibility but ignored.
     """
+    del chunk
     n, G = Z.shape
     lag = spatial_lag(graph, Z)
     I_obs = Z * lag
@@ -238,24 +235,19 @@ def local_moran(
     if n_permutations == 0:
         return LocalMoranResult(I_obs, Z, lag, jnp.ones_like(I_obs))
 
-    n_chunks = -(-n_permutations // chunk)
     abs_obs = jnp.abs(I_obs)
+    base = key_for(seed, "perm_local", 0)
 
-    def body(count, c):
-        def one(p):
-            key = key_for(seed, "perm_local", 0)
-            key = jax.random.fold_in(key, c * chunk + p)
-            perm = jax.random.permutation(key, n)
-            Zp = Z[perm]
-            Ip = Zp * spatial_lag(graph, Zp)
-            in_range = (c * chunk + p) < n_permutations
-            return (jnp.abs(Ip) >= abs_obs) & in_range
-
-        extreme = jax.vmap(one)(jnp.arange(chunk))  # [chunk, N, G] bool
-        return count + jnp.sum(extreme, axis=0, dtype=jnp.int32), None
+    def body(count, p):
+        key = jax.random.fold_in(base, p)
+        perm = jax.random.permutation(key, n)
+        Zp = Z[perm]
+        Ip = Zp * spatial_lag(graph, Zp)
+        extreme = jnp.abs(Ip) >= abs_obs
+        return count + extreme.astype(jnp.int32), None
 
     count, _ = jax.lax.scan(body, jnp.zeros((n, G), jnp.int32),
-                            jnp.arange(n_chunks))
+                            jnp.arange(n_permutations))
     p = (count + 1.0) / (n_permutations + 1.0)
     return LocalMoranResult(I_obs, Z, lag, p)
 
