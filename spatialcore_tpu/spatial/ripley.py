@@ -1,0 +1,115 @@
+"""Public Ripley's K/L API on the SpatialData container.
+
+BASELINE config 3: univariate K/L with CSR envelopes and cross-type K with
+random-labeling envelopes (extension beyond the reference; see
+ops/ripley.py for the kernel design).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from ..core.logging import get_logger
+from ..core.metadata import update_metadata
+from ..ops.ripley import cross_type_k, ripley_k
+
+logger = get_logger("spatial.ripley")
+
+
+def _default_radii(coords: np.ndarray, n_radii: int) -> np.ndarray:
+    span = coords.max(axis=0) - coords.min(axis=0)
+    r_max = 0.25 * float(min(span[0], span[1]))
+    return np.linspace(r_max / n_radii, r_max, n_radii).astype(np.float32)
+
+
+def ripleys_k(
+    adata,
+    radii: Optional[Sequence[float]] = None,
+    n_radii: int = 20,
+    n_simulations: int = 99,
+    seed: int = 0,
+    spatial_key: str = "spatial",
+    key_added: str = "ripley_k",
+    copy: bool = False,
+):
+    """Univariate Ripley's K/L with CSR envelopes → ``uns[key_added]``."""
+    start = time.time()
+    if copy:
+        adata = adata.copy()
+    if spatial_key not in adata.obsm:
+        raise ValueError(f"adata.obsm['{spatial_key}'] not found")
+    coords = np.asarray(adata.obsm[spatial_key], np.float32)[:, :2]
+    if radii is None:
+        radii = _default_radii(coords, n_radii)
+    radii = np.asarray(sorted(radii), np.float32)
+    if radii.min() <= 0:
+        raise ValueError("All radii must be > 0")
+
+    logger.info(f"Ripley's K: {adata.n_obs:,} cells, {len(radii)} radii, "
+                f"{n_simulations} CSR simulations")
+    res = ripley_k(coords, radii, n_simulations=n_simulations, seed=seed)
+    res = {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+           for k, v in res.items()}
+    res["computation_time_seconds"] = round(time.time() - start, 2)
+    adata.uns[key_added] = res
+    update_metadata(adata, "ripleys_k",
+                    parameters={"n_radii": len(radii),
+                                "n_simulations": n_simulations,
+                                "seed": seed},
+                    outputs={"uns": key_added})
+    return adata
+
+
+def cross_type_ripleys_k(
+    adata,
+    cluster_key: str,
+    radii: Optional[Sequence[float]] = None,
+    n_radii: int = 20,
+    n_permutations: int = 99,
+    seed: int = 0,
+    spatial_key: str = "spatial",
+    key_added: str = "ripley_k_cross",
+    copy: bool = False,
+):
+    """Cross-type K for all type pairs with random-labeling envelopes.
+
+    ``uns[key_added]``: K_cross [R, T, T] (+ envelopes), type order in
+    ``uns[f"{key_added}_types"]``.
+    """
+    start = time.time()
+    if copy:
+        adata = adata.copy()
+    if spatial_key not in adata.obsm:
+        raise ValueError(f"adata.obsm['{spatial_key}'] not found")
+    if cluster_key not in adata.obs.columns:
+        raise ValueError(f"adata.obs['{cluster_key}'] not found")
+    coords = np.asarray(adata.obsm[spatial_key], np.float32)[:, :2]
+    labels = adata.obs[cluster_key].astype(str)
+    types = sorted(labels.unique())
+    if len(types) < 2:
+        raise ValueError("cross_type_ripleys_k needs ≥2 types")
+    codes = labels.map({t: i for i, t in enumerate(types)}).to_numpy(np.int32)
+    if radii is None:
+        radii = _default_radii(coords, n_radii)
+    radii = np.asarray(sorted(radii), np.float32)
+
+    logger.info(f"Cross-type K: {adata.n_obs:,} cells, {len(types)} types, "
+                f"{len(radii)} radii, {n_permutations} label permutations")
+    res = cross_type_k(coords, codes, len(types), radii,
+                       n_permutations=n_permutations, seed=seed)
+    res = {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+           for k, v in res.items()}
+    res["computation_time_seconds"] = round(time.time() - start, 2)
+    adata.uns[key_added] = res
+    adata.uns[f"{key_added}_types"] = types
+    update_metadata(adata, "cross_type_ripleys_k",
+                    parameters={"cluster_key": cluster_key,
+                                "n_radii": len(radii),
+                                "n_permutations": n_permutations,
+                                "seed": seed},
+                    outputs={"uns": [key_added, f"{key_added}_types"]})
+    return adata

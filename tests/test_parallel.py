@@ -1,0 +1,94 @@
+"""Sharded statistics on the 8-virtual-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from spatialcore_tpu.ops.graph import build_graph
+from spatialcore_tpu.ops.moran import (
+    local_moran, moran_observed, permutation_test_global, standardize)
+from spatialcore_tpu.parallel import (
+    auto_mesh, sharded_local_moran, sharded_moran, sharded_permutation_test)
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(0)
+    coords = rng.uniform(0, 1000, (512, 2)).astype(np.float32)
+    X = rng.standard_normal((512, 16)).astype(np.float32)
+    graph = build_graph(coords, n_neighbors=6)
+    return graph, X
+
+
+def test_auto_mesh_shapes():
+    mesh = auto_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("cells", "genes")
+    mesh2 = auto_mesh(cell_shards=2)
+    assert mesh2.devices.shape == (2, 4)
+    with pytest.raises(ValueError):
+        auto_mesh(cell_shards=3)
+
+
+def test_sharded_moran_matches_single_device(world):
+    graph, X = world
+    S0 = float(X.shape[0])
+    mesh = auto_mesh()
+    sharded = np.asarray(sharded_moran(graph, jnp.asarray(X), S0, mesh))
+    Z, _ = standardize(jnp.asarray(X))
+    single = np.asarray(moran_observed(graph, Z, S0))
+    # sharded layouts reassociate the per-gene reductions → 1-ulp drift
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_permutations_bitwise_match(world):
+    graph, X = world
+    S0 = float(X.shape[0])
+    mesh = auto_mesh()
+    p_sh, m_sh, s_sh = sharded_permutation_test(
+        graph, jnp.asarray(X), S0, seed=7, n_permutations=25, mesh=mesh)
+    Z, _ = standardize(jnp.asarray(X))
+    obs = moran_observed(graph, Z, S0)
+    p_1, m_1, s_1 = permutation_test_global(
+        graph, Z, S0, obs, seed=7, n_permutations=25)
+    # permutation COUNTS are integers → p-values must match exactly
+    np.testing.assert_array_equal(np.asarray(p_sh), np.asarray(p_1))
+    np.testing.assert_allclose(np.asarray(m_sh), np.asarray(m_1), atol=1e-6)
+
+
+def test_sharded_local_moran(world):
+    graph, X = world
+    mesh = auto_mesh()
+    res = sharded_local_moran(graph, jnp.asarray(X), seed=3,
+                              n_permutations=10, mesh=mesh)
+    Z, _ = standardize(jnp.asarray(X))
+    single = local_moran(graph, Z, seed=3, n_permutations=10)
+    np.testing.assert_allclose(np.asarray(res.local_I),
+                               np.asarray(single.local_I), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(res.p_value),
+                                  np.asarray(single.p_value))
+
+
+def test_cell_sharded_lag_compiles(world):
+    """Cell-axis sharding: XLA inserts the all-gathers for neighbor gathers."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spatialcore_tpu.ops.graph import SpatialGraph, spatial_lag
+
+    graph, X = world
+    mesh = auto_mesh(cell_shards=8)
+    cs = NamedSharding(mesh, P("cells"))
+    cs2 = NamedSharding(mesh, P("cells", None))
+    g2 = SpatialGraph(
+        neighbor_idx=jax.device_put(graph.neighbor_idx, cs2),
+        neighbor_w=jax.device_put(graph.neighbor_w, cs2),
+        valid=jax.device_put(graph.valid, cs2),
+        distances=jax.device_put(graph.distances, cs2))
+    Xs = jax.device_put(jnp.asarray(X), cs2)
+    with mesh:
+        lag = jax.jit(spatial_lag)(g2, Xs)
+        lag.block_until_ready()
+    want = np.asarray(spatial_lag(graph, jnp.asarray(X)))
+    np.testing.assert_allclose(np.asarray(lag), want, atol=1e-6)
