@@ -39,6 +39,14 @@ from .confidence import (
 )
 from .markers import get_markers_for_type, load_canonical_markers
 from .pipeline import TrainingConfig, train_and_annotate, train_and_annotate_config
+from .loading import load_adata_backed, stratified_sample_indices
+from .acquisition import acquire_reference, resolve_uri_to_local
+from .discovery import (
+    DiscoveredDataset,
+    discover_training_data,
+    make_metadata_template,
+    query_metadata,
+)
 from .ontology import (
     BLACKLISTED_CL_IDS,
     SKIP_LABELS,
@@ -58,6 +66,10 @@ from .validation import (
 
 __all__ = [
     "train_and_annotate", "train_and_annotate_config", "TrainingConfig",
+    "load_adata_backed", "stratified_sample_indices",
+    "acquire_reference", "resolve_uri_to_local",
+    "discover_training_data", "DiscoveredDataset",
+    "make_metadata_template", "query_metadata",
     "add_ontology_ids", "search_ontology_index", "load_ontology_index",
     "extract_biological_tokens", "SKIP_LABELS", "BLACKLISTED_CL_IDS",
     "CELL_TYPE_PATTERNS", "get_canonical_term",

@@ -1,0 +1,192 @@
+"""Spatial scatter figures: cell types, confidence, genes, domains.
+
+Parity with /root/reference/src/spatialcore/plotting/spatial.py
+(``plot_spatial_celltype`` :31 with its dark background + rasterized
+per-type scatter, confidence map :166, gene map :287, multi-gene :404,
+``plot_domain_distances`` :510).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+import scipy.sparse as sp
+
+from .utils import generate_celltype_palette, save_figure, setup_figure
+
+
+def _coords(adata, spatial_key):
+    if spatial_key not in adata.obsm:
+        raise ValueError(f"adata.obsm['{spatial_key}'] not found")
+    return np.asarray(adata.obsm[spatial_key])[:, :2]
+
+
+def plot_spatial_celltype(
+    adata,
+    cell_type_column: str = "cell_type",
+    spatial_key: str = "spatial",
+    highlight: Optional[Sequence[str]] = None,
+    point_size: float = 1.5,
+    dark_background: bool = True,
+    path: Optional[Union[str, Path]] = None,
+):
+    """Spatial map colored by cell type (dark background default)."""
+    coords = _coords(adata, spatial_key)
+    labels = adata.obs[cell_type_column].astype(str)
+    types = sorted(labels.unique())
+    palette = generate_celltype_palette(types)
+    fig, axes = setup_figure(ax_width=9, ax_height=8)
+    ax = axes[0, 0]
+    if dark_background:
+        ax.set_facecolor("#111111")
+        fig.patch.set_facecolor("#111111")
+        ax.tick_params(colors="white")
+        for spine in ax.spines.values():
+            spine.set_color("white")
+    for ct in types:
+        m = (labels == ct).to_numpy()
+        dim = highlight is not None and ct not in highlight
+        ax.scatter(coords[m, 0], coords[m, 1], s=point_size,
+                   c="#333333" if dim else palette[ct],
+                   label=None if dim else ct, rasterized=True, linewidths=0)
+    ax.set_aspect("equal")
+    leg = ax.legend(markerscale=6, fontsize=7, loc="center left",
+                    bbox_to_anchor=(1.0, 0.5), frameon=False)
+    if dark_background and leg:
+        for text in leg.get_texts():
+            text.set_color("white")
+    title_color = "white" if dark_background else "black"
+    ax.set_title(cell_type_column, color=title_color)
+    if path:
+        return save_figure(fig, path)
+    return fig
+
+
+def plot_spatial_confidence(
+    adata,
+    confidence_column: str = "cell_type_confidence",
+    spatial_key: str = "spatial",
+    cmap: str = "viridis",
+    point_size: float = 1.5,
+    path: Optional[Union[str, Path]] = None,
+):
+    """Spatial map colored by annotation confidence."""
+    coords = _coords(adata, spatial_key)
+    conf = adata.obs[confidence_column].to_numpy(float)
+    fig, axes = setup_figure(ax_width=8, ax_height=7)
+    ax = axes[0, 0]
+    sc = ax.scatter(coords[:, 0], coords[:, 1], s=point_size, c=conf,
+                    cmap=cmap, rasterized=True, linewidths=0,
+                    vmin=np.nanmin(conf), vmax=np.nanmax(conf))
+    fig.colorbar(sc, ax=ax, label=confidence_column)
+    ax.set_aspect("equal")
+    if path:
+        return save_figure(fig, path)
+    return fig
+
+
+def _gene_vector(adata, gene):
+    if gene not in adata.var_names:
+        raise ValueError(f"Gene '{gene}' not in var_names")
+    x = adata.X[:, adata.var_names.get_loc(gene)]
+    if sp.issparse(x):
+        x = np.asarray(x.todense()).ravel()
+    return np.asarray(x, float).ravel()
+
+
+def plot_spatial_gene(
+    adata,
+    gene: str,
+    spatial_key: str = "spatial",
+    cmap: str = "magma",
+    point_size: float = 1.5,
+    quantile_clip: float = 0.99,
+    path: Optional[Union[str, Path]] = None,
+):
+    """Spatial expression map for one gene (upper-quantile clipped)."""
+    coords = _coords(adata, spatial_key)
+    x = _gene_vector(adata, gene)
+    vmax = np.quantile(x, quantile_clip) if x.max() > 0 else 1.0
+    fig, axes = setup_figure(ax_width=8, ax_height=7)
+    ax = axes[0, 0]
+    scp = ax.scatter(coords[:, 0], coords[:, 1], s=point_size, c=x,
+                     cmap=cmap, vmin=0, vmax=max(vmax, 1e-9),
+                     rasterized=True, linewidths=0)
+    fig.colorbar(scp, ax=ax, label=gene)
+    ax.set_aspect("equal")
+    ax.set_title(gene)
+    if path:
+        return save_figure(fig, path)
+    return fig
+
+
+def plot_spatial_genes(
+    adata,
+    genes: List[str],
+    spatial_key: str = "spatial",
+    ncols: int = 3,
+    cmap: str = "magma",
+    point_size: float = 1.0,
+    quantile_clip: float = 0.99,
+    path: Optional[Union[str, Path]] = None,
+):
+    """Grid of spatial expression maps for several genes."""
+    coords = _coords(adata, spatial_key)
+    ncols = min(ncols, len(genes))
+    nrows = -(-len(genes) // ncols)
+    fig, axes = setup_figure(ncols=ncols, nrows=nrows, ax_width=4.5,
+                             ax_height=4.0)
+    for i, gene in enumerate(genes):
+        ax = axes[i // ncols, i % ncols]
+        x = _gene_vector(adata, gene)
+        vmax = np.quantile(x, quantile_clip) if x.max() > 0 else 1.0
+        scp = ax.scatter(coords[:, 0], coords[:, 1], s=point_size, c=x,
+                         cmap=cmap, vmin=0, vmax=max(vmax, 1e-9),
+                         rasterized=True, linewidths=0)
+        fig.colorbar(scp, ax=ax, shrink=0.8)
+        ax.set_title(gene, fontsize=9)
+        ax.set_aspect("equal")
+        ax.set_xticks([])
+        ax.set_yticks([])
+    for j in range(len(genes), nrows * ncols):
+        axes[j // ncols, j % ncols].axis("off")
+    if path:
+        return save_figure(fig, path)
+    return fig
+
+
+def plot_domain_distances(
+    adata,
+    distance_column: str = "distance_to_target",
+    nearest_column: str = "nearest_target_domain",
+    spatial_key: str = "spatial",
+    domain_column: Optional[str] = None,
+    boundaries_key: Optional[str] = None,
+    cmap: str = "viridis",
+    point_size: float = 2.0,
+    path: Optional[Union[str, Path]] = None,
+):
+    """Spatial map of per-cell distance-to-target, with optional domain
+    boundary overlays (from ``make_spatial_domains`` boundary export)."""
+    coords = _coords(adata, spatial_key)
+    d = adata.obs[distance_column].to_numpy(float)
+    has = np.isfinite(d)
+    fig, axes = setup_figure(ax_width=9, ax_height=8)
+    ax = axes[0, 0]
+    ax.scatter(coords[~has, 0], coords[~has, 1], s=point_size * 0.5,
+               c="#dddddd", rasterized=True, linewidths=0)
+    scp = ax.scatter(coords[has, 0], coords[has, 1], s=point_size, c=d[has],
+                     cmap=cmap, rasterized=True, linewidths=0)
+    fig.colorbar(scp, ax=ax, label=distance_column)
+    if boundaries_key and boundaries_key in adata.uns:
+        for name, pts in adata.uns[boundaries_key].items():
+            pts = np.asarray(pts)
+            ax.scatter(pts[:, 0], pts[:, 1], s=0.5, c="#d62728",
+                       rasterized=True, linewidths=0)
+    ax.set_aspect("equal")
+    ax.set_title(distance_column)
+    if path:
+        return save_figure(fig, path)
+    return fig

@@ -143,6 +143,145 @@ def plot_2d_validation(
     return fig, summary
 
 
+def plot_marker_dotplot(
+    adata,
+    cell_type_column: str = "cell_type",
+    markers: Optional[Dict[str, List[str]]] = None,
+    max_markers_per_type: int = 3,
+    path: Optional[Union[str, Path]] = None,
+):
+    """Dotplot: dot size = fraction expressing, color = mean expression."""
+    if markers is None:
+        from ..annotation.markers import load_canonical_markers
+
+        markers = load_canonical_markers()
+    var_index = {g: i for i, g in enumerate(adata.var_names)}
+    labels = adata.obs[cell_type_column].astype(str)
+    types = sorted(labels.unique())
+    genes = []
+    for ct in types:
+        for g in [g for g in markers.get(ct, []) if g in var_index][
+                :max_markers_per_type]:
+            if g not in genes:
+                genes.append(g)
+    if not genes:
+        raise ValueError("No canonical markers found in the panel")
+    X = adata.X[:, [var_index[g] for g in genes]]
+    if sp.issparse(X):
+        X = np.asarray(X.todense())
+    X = np.asarray(X, np.float32)
+    frac = np.zeros((len(types), len(genes)))
+    mean = np.zeros((len(types), len(genes)))
+    for i, ct in enumerate(types):
+        sub = X[(labels == ct).to_numpy()]
+        frac[i] = (sub > 0).mean(axis=0)
+        mean[i] = sub.mean(axis=0)
+    fig, axes = setup_figure(ax_width=max(6, 0.3 * len(genes)),
+                             ax_height=max(4, 0.33 * len(types)))
+    ax = axes[0, 0]
+    yy, xx = np.mgrid[0:len(types), 0:len(genes)]
+    scp = ax.scatter(xx.ravel(), yy.ravel(), s=frac.ravel() * 180 + 2,
+                     c=mean.ravel(), cmap="Reds")
+    ax.set_xticks(range(len(genes)))
+    ax.set_xticklabels(genes, rotation=90, fontsize=7)
+    ax.set_yticks(range(len(types)))
+    ax.set_yticklabels(types, fontsize=8)
+    ax.invert_yaxis()
+    fig.colorbar(scp, ax=ax, label="mean expression")
+    if path:
+        return save_figure(fig, path)
+    return fig
+
+
+def plot_deg_heatmap(
+    adata,
+    cell_type_column: str = "cell_type",
+    n_genes: int = 5,
+    min_cells: int = 10,
+    key: str = "rank_genes_groups",
+    path: Optional[Union[str, Path]] = None,
+):
+    """Top DEG-per-type heatmap (z-scored means); runs the JAX wilcoxon
+    ranking if ``uns[key]`` is absent (reference validation.py:732 runs
+    scanpy's)."""
+    labels = adata.obs[cell_type_column].astype(str)
+    big = [t for t, c in labels.value_counts().items() if c >= min_cells]
+    if len(big) < 2:
+        raise ValueError(
+            f"DEG heatmap needs ≥2 types with ≥{min_cells} cells")
+    if key not in adata.uns:
+        from ..stats.deg import rank_genes_groups
+
+        rank_genes_groups(adata, cell_type_column, groups=big,
+                          min_cells=min_cells, key_added=key)
+    deg = adata.uns[key]
+    genes, owners = [], []
+    for grp in sorted(deg["names"]):
+        for g in deg["names"][grp][:n_genes]:
+            if g not in genes:
+                genes.append(g)
+                owners.append(grp)
+    var_index = {g: i for i, g in enumerate(adata.var_names)}
+    X = adata.X[:, [var_index[g] for g in genes]]
+    if sp.issparse(X):
+        X = np.asarray(X.todense())
+    X = np.asarray(X, np.float32)
+    types = sorted(deg["names"])
+    mat = np.vstack([X[(labels == t).to_numpy()].mean(axis=0)
+                     for t in types])
+    mu, sd = mat.mean(axis=0, keepdims=True), mat.std(axis=0, keepdims=True)
+    matz = (mat - mu) / np.where(sd < 1e-9, 1.0, sd)
+    fig, axes = setup_figure(ax_width=max(6, 0.25 * len(genes)),
+                             ax_height=max(4, 0.33 * len(types)))
+    ax = axes[0, 0]
+    im = ax.imshow(matz, aspect="auto", cmap="RdBu_r", vmin=-2.5, vmax=2.5)
+    ax.set_xticks(range(len(genes)))
+    ax.set_xticklabels(genes, rotation=90, fontsize=6)
+    ax.set_yticks(range(len(types)))
+    ax.set_yticklabels(types, fontsize=8)
+    fig.colorbar(im, ax=ax, label="mean expr (z)")
+    ax.set_title(f"top {n_genes} DEGs per type (wilcoxon)")
+    if path:
+        return save_figure(fig, path)
+    return fig
+
+
+def plot_ontology_mapping_table(
+    adata,
+    cell_type_column: str = "cell_type",
+    ontology_column: str = "cell_type_ontology_term_id",
+    path: Optional[Union[str, Path]] = None,
+):
+    """Figure-rendered table: label → CL ID / tier / score / cell count."""
+    cols = [cell_type_column, ontology_column,
+            f"{ontology_column}_tier", f"{ontology_column}_score"]
+    for c in cols[:2]:
+        if c not in adata.obs.columns:
+            raise ValueError(f"Column '{c}' not found; run add_ontology_ids")
+    df = adata.obs[[c for c in cols if c in adata.obs.columns]].copy()
+    agg = (df.groupby(cell_type_column, observed=True)
+           .agg({ontology_column: "first",
+                 **({f"{ontology_column}_tier": "first"}
+                    if f"{ontology_column}_tier" in df else {}),
+                 **({f"{ontology_column}_score": "first"}
+                    if f"{ontology_column}_score" in df else {})}))
+    agg["n_cells"] = df[cell_type_column].value_counts()
+    agg = agg.reset_index().sort_values("n_cells", ascending=False)
+    fig, axes = setup_figure(ax_width=9,
+                             ax_height=max(2.5, 0.3 * len(agg)))
+    ax = axes[0, 0]
+    ax.axis("off")
+    table = ax.table(cellText=agg.round(3).astype(str).values,
+                     colLabels=agg.columns, loc="center",
+                     cellLoc="left")
+    table.auto_set_font_size(False)
+    table.set_fontsize(7)
+    table.scale(1, 1.3)
+    if path:
+        return save_figure(fig, path)
+    return fig
+
+
 def generate_annotation_plots(
     adata,
     output_dir: Union[str, Path],

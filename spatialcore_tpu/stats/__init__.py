@@ -9,6 +9,7 @@ reference's numpy/scipy/sklearn implementations
 """
 
 from .classify import classify_by_threshold
+from .deg import rank_genes_groups
 from .thresholding import (
     GMM1D,
     compute_metagene_score,
@@ -19,6 +20,7 @@ from .thresholding import (
 
 __all__ = [
     "classify_by_threshold",
+    "rank_genes_groups",
     "compute_metagene_score",
     "threshold_ks",
     "threshold_gmm",
