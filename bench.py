@@ -62,10 +62,12 @@ def main():
     I_obs = observed(Z)
     jax.block_until_ready(I_obs)
 
+    null_dtype = os.environ.get("BENCH_NULL_DTYPE", "float32")
+
     def run():
         p, m, s = permutation_test_global(
             graph, Z, S0, I_obs, seed=0, n_permutations=n_perms,
-            alternative="greater")
+            alternative="greater", null_dtype=null_dtype)
         jax.block_until_ready(p)
         return p
 

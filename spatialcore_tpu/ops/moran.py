@@ -138,15 +138,38 @@ def p_from_z(z: jax.Array, alternative: str = "greater") -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _perm_stat_global(graph, Z, S0, perm, stat: str):
+def _perm_stat_global(graph, Z, S0, perm, stat: str, den=None):
+    """Null statistic for one permutation, reduction-fused per neighbor slot.
+
+    The [N, G] spatial lag is never materialized: each neighbor slot does
+    gather → multiply → reduce straight to [G] (with a free [G]-sized
+    barrier between slots), cutting per-draw HBM traffic ~1.6× vs the
+    lag-accumulator formulation. The denominator Σz² is permutation-
+    invariant and passed in precomputed.
+    """
+    n = Z.shape[0]
+    if den is None:
+        den = jnp.sum(Z * Z, axis=0)
+        den = jnp.where(den > 0, den, 1.0)
     Zp = Z[perm]
+    num = jnp.zeros((Z.shape[1],), jnp.float32)
+    for j in range(graph.neighbor_idx.shape[1]):
+        pidx = perm[graph.neighbor_idx[:, j]]        # composite index [N]
+        w = graph.neighbor_w[:, j:j + 1]
+        if stat == "moran":
+            num = num + jnp.sum(w * Zp * Z[pidx], axis=0)
+        else:
+            diff = Zp - Z[pidx]
+            num = num + jnp.sum(w * diff * diff, axis=0)
+        num = jax.lax.optimization_barrier(num)
     if stat == "moran":
-        return moran_observed(graph, Zp, S0)
-    return geary_observed(graph, Zp, S0)
+        return (n / S0) * num / den
+    return (n - 1) * num / (2.0 * S0 * den)
 
 
 @functools.partial(jax.jit, static_argnames=("stat", "n_permutations",
-                                             "chunk", "alternative"))
+                                             "chunk", "alternative",
+                                             "null_dtype"))
 def permutation_test_global(
     graph: SpatialGraph,
     Z: jax.Array,
@@ -157,6 +180,7 @@ def permutation_test_global(
     stat: str = "moran",
     chunk: int = 1,
     alternative: str = "greater",
+    null_dtype: str = "float32",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Monte-Carlo permutation p-values for a global statistic.
 
@@ -172,12 +196,18 @@ def permutation_test_global(
     del chunk
     n, G = Z.shape
     base = key_for(seed, "perm_global", 0)
+    den = jnp.sum(Z * Z, axis=0)
+    den = jnp.where(den > 0, den, 1.0)
+    # bf16 null mode: gathers move half the bytes; per-slot accumulation
+    # stays f32. Null values then carry ~3-digit precision — fine for
+    # Monte-Carlo counting, not for the observed statistic (kept f32).
+    Zg = Z.astype(jnp.bfloat16) if null_dtype == "bfloat16" else Z
 
     def body(carry, p):
         count, s1, s2 = carry
         key = jax.random.fold_in(base, p)
         perm = jax.random.permutation(key, n)
-        val = _perm_stat_global(graph, Z, S0, perm, stat)
+        val = _perm_stat_global(graph, Zg, S0, perm, stat, den=den)
         if alternative == "greater":
             extreme = val >= observed
         elif alternative == "less":
