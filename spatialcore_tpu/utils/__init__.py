@@ -1,0 +1,6 @@
+"""Cross-cutting utilities: profiling hooks and sparse-matrix moments."""
+
+from .profiling import profile_trace, timed, timer
+from .sparse import sparse_gene_moments
+
+__all__ = ["profile_trace", "timer", "timed", "sparse_gene_moments"]
