@@ -11,6 +11,7 @@ from .graph import (
     spatial_lag,
 )
 from .lee import LeesLResult, lees_l_pairs
+from .pallas_knn import pallas_knn
 from .moran import (
     LocalMoranResult,
     QUADRANT_LABELS,
@@ -27,7 +28,7 @@ from .moran import (
 
 __all__ = [
     "SpatialGraph", "build_graph", "graph_moments", "knn_exact", "knn_grid",
-    "radius_neighbors", "spatial_lag",
+    "radius_neighbors", "spatial_lag", "pallas_knn",
     "standardize", "moran_observed", "geary_observed",
     "moran_analytic_moments", "geary_analytic_moments", "p_from_z",
     "permutation_test_global", "local_moran", "LocalMoranResult",

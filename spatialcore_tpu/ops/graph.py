@@ -346,6 +346,10 @@ def build_graph(
         if use_grid:
             idx_np, dist_np = knn_grid(coords, k_eff, include_self=include_self)
             idx, dist = jnp.asarray(idx_np), jnp.asarray(dist_np)
+        elif method == "pallas":
+            from .pallas_knn import pallas_knn
+
+            idx, dist = pallas_knn(coords, k_eff, include_self=include_self)
         else:
             idx, dist = knn_exact(jnp.asarray(coords), k_eff,
                                   include_self=include_self)
