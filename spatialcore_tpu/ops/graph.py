@@ -130,7 +130,8 @@ def knn_exact(
             neg_top, arg = jax.lax.top_k(-all_d, k)
             return (-neg_top, jnp.take_along_axis(all_i, arg, axis=1)), None
 
-        (best_d, best_i), _ = jax.lax.scan(body, init, jnp.arange(n_cand_tiles))
+        (best_d, best_i), _ = jax.lax.scan(
+            body, init, jnp.arange(n_cand_tiles, dtype=jnp.int32))
         return best_d, best_i
 
     best_d, best_i = jax.lax.map(

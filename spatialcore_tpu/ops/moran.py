@@ -37,9 +37,13 @@ def standardize(X: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Per-column z-scores with population std; returns (Z, zero_var mask).
 
     Zero-variance columns get std=1 (z all zeros), matching the reference's
-    zero-variance handling (autocorrelation.py:825-830).
+    zero-variance handling (autocorrelation.py:825-830). float64 inputs stay
+    float64 when ``jax_enable_x64`` is on — the CPU validation mode for the
+    1e-6 ecosystem-agreement bar (SURVEY.md §7 hard part 1).
     """
-    X = jnp.asarray(X, dtype=jnp.float32)
+    X = jnp.asarray(X)
+    if X.dtype not in (jnp.float32, jnp.float64):
+        X = X.astype(jnp.float32)
     mean = jnp.mean(X, axis=0, keepdims=True)
     var = jnp.mean(X * X, axis=0, keepdims=True) - mean ** 2
     zero = var[0] <= 0
