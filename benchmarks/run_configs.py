@@ -1,0 +1,183 @@
+"""Run the BASELINE.md benchmark configs and print one JSON line each.
+
+Configs (BASELINE.json .configs, sizes scaled by --scale):
+  1. Visium-like ~4k spots: kNN-6 graph + Moran's I, 100 perms
+  2. 100k-cell MERFISH-like: radius graph + bivariate Lee's L + Geary's C
+  3. 500k-cell CosMx-like: Ripley's K/L + cross-type K with envelopes
+  4. 1M-cell Xenium-like: Moran's I, 5k genes × 1k perms (gene-batched)
+  5. full niche/domain pipeline (profiles → niches → domains → distances)
+
+Usage: python benchmarks/run_configs.py [--configs 1,2,3,4,5] [--scale 1.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _emit(config, metric, value, unit, **extra):
+    print(json.dumps({"config": config, "metric": metric,
+                      "value": round(value, 3), "unit": unit, **extra}))
+    sys.stdout.flush()
+
+
+def _synthetic(n, g, seed=0, extent=6000.0, structured=True):
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(0, extent, (n, 2)).astype(np.float32)
+    X = rng.standard_normal((n, g), dtype=np.float32)
+    if structured:
+        X[:, 0] += np.sin(coords[:, 0] / (extent / 20)).astype(np.float32) * 2
+    return coords, X
+
+
+def config1(scale):
+    import jax.numpy as jnp
+
+    import spatialcore_tpu as sct
+
+    n = int(4000 * scale)
+    coords, X = _synthetic(n, 64, extent=800.0)
+    adata = sct.SpatialData(X=X)
+    adata.obsm["spatial"] = coords
+    t0 = time.time()
+    adata = sct.spatial.morans_i(adata, n_neighbors=6, n_permutations=100,
+                                 seed=0)
+    dt = time.time() - t0
+    _emit(1, "visium_moran_total_s", dt, "s", n_cells=n, n_genes=64,
+          n_perms=100)
+
+
+def config2(scale):
+    import spatialcore_tpu as sct
+
+    n = int(100_000 * scale)
+    coords, X = _synthetic(n, 32, extent=4000.0)
+    adata = sct.SpatialData(X=np.abs(X))
+    adata.obsm["spatial"] = coords
+    t0 = time.time()
+    sct.spatial.build_spatial_weights(adata, radius=25.0, k_max=64)
+    t_graph = time.time() - t0
+    t0 = time.time()
+    adata = sct.spatial.gearys_c(adata, genes=list(adata.var_names[:8]),
+                                 n_permutations=99, use_existing_graph=True)
+    sct.spatial.lees_l(adata, gene_pairs=("0", "1"), n_permutations=99,
+                       use_existing_graph=True)
+    dt = time.time() - t0
+    _emit(2, "merfish_radius_geary_lee_s", dt + t_graph, "s", n_cells=n,
+          graph_s=round(t_graph, 2))
+
+
+def config3(scale):
+    import spatialcore_tpu as sct
+
+    n = int(500_000 * scale)
+    rng = np.random.default_rng(0)
+    coords = rng.uniform(0, 8000, (n, 2)).astype(np.float32)
+    adata = sct.SpatialData(X=rng.standard_normal((n, 4), dtype=np.float32))
+    adata.obsm["spatial"] = coords
+    adata.obs["cell_type"] = rng.choice(["A", "B", "C"], n)
+    radii = [20.0, 40.0, 80.0]
+    t0 = time.time()
+    adata = sct.spatial.ripleys_k(adata, radii=radii, n_simulations=19,
+                                  seed=0)
+    t_k = time.time() - t0
+    t0 = time.time()
+    adata = sct.spatial.cross_type_ripleys_k(adata, "cell_type",
+                                             radii=radii,
+                                             n_permutations=19, seed=0)
+    t_cross = time.time() - t0
+    _emit(3, "cosmx_ripley_total_s", t_k + t_cross, "s", n_cells=n,
+          k_s=round(t_k, 2), cross_s=round(t_cross, 2))
+
+
+def config4(scale):
+    import jax
+    import jax.numpy as jnp
+
+    from spatialcore_tpu.ops.graph import build_graph
+    from spatialcore_tpu.ops.moran import (
+        moran_observed, permutation_test_global, standardize)
+
+    n = int(1_000_000 * scale)
+    n_genes_total, n_perms = int(5000 * scale) or 8, int(1000 * scale) or 8
+    gene_batch = min(512, n_genes_total)
+    rng = np.random.default_rng(0)
+    coords = rng.uniform(0, 6000, (n, 2)).astype(np.float32)
+    graph = build_graph(coords, n_neighbors=6)
+    jax.block_until_ready(graph.neighbor_w)
+    S0 = float(n)
+
+    total = 0.0
+    done = 0
+    for start in range(0, n_genes_total, gene_batch):
+        g = min(gene_batch, n_genes_total - start)
+        X = rng.standard_normal((n, g), dtype=np.float32)
+        Z, _ = standardize(jnp.asarray(X))
+        obs = moran_observed(graph, Z, S0)
+        jax.block_until_ready(obs)
+        t0 = time.time()
+        p, _, _ = permutation_test_global(graph, Z, S0, obs, seed=0,
+                                          n_permutations=n_perms)
+        jax.block_until_ready(p)
+        total += time.time() - t0
+        done += g
+    rate = done * n_perms / total
+    _emit(4, "xenium_moran_genes_perms_per_s", rate, "genes*perms/s",
+          n_cells=n, n_genes=done, n_perms=n_perms,
+          total_s=round(total, 1))
+
+
+def config5(scale):
+    import spatialcore_tpu as sct
+
+    n = int(150_000 * scale)
+    rng = np.random.default_rng(0)
+    blob = rng.normal([2000, 2000], 150, (n // 10, 2))
+    rest = rng.uniform(0, 8000, (n - n // 10, 2))
+    coords = np.vstack([blob, rest]).astype(np.float32)
+    adata = sct.SpatialData(X=np.abs(
+        rng.standard_normal((n, 8), dtype=np.float32)))
+    adata.obsm["spatial"] = coords
+    types = rng.choice(["T", "B", "Mac", "Fib", "Endo"], n).astype(object)
+    types[:n // 10] = "B"
+    adata.obs["cell_type"] = types
+
+    t0 = time.time()
+    adata = sct.spatial.compute_neighborhood_profile(adata, "cell_type",
+                                                     k=50)
+    adata = sct.spatial.identify_niches(adata, n_niches=10, random_state=0)
+    t_niche = time.time() - t0
+    t0 = time.time()
+    adata = sct.spatial.make_spatial_domains(
+        adata, "cell_type == 'B'", platform="xenium",
+        min_target_cells_domain=20)
+    adata = sct.spatial.calculate_domain_distances(
+        adata, "spatial_domain", "spatial_domain")
+    t_dom = time.time() - t0
+    n_domains = adata.uns["spatial_domain_params"]["n_domains"]
+    _emit(5, "niche_domain_pipeline_s", t_niche + t_dom, "s", n_cells=n,
+          niche_s=round(t_niche, 2), domain_s=round(t_dom, 2),
+          n_domains=n_domains)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--scale", type=float, default=1.0)
+    args = ap.parse_args()
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    for c in [int(x) for x in args.configs.split(",")]:
+        t0 = time.time()
+        try:
+            fns[c](args.scale)
+        except Exception as e:  # keep going; report the failure as data
+            _emit(c, "error", time.time() - t0, "s", error=str(e)[:200])
+
+
+if __name__ == "__main__":
+    main()

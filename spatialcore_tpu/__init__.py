@@ -50,7 +50,8 @@ _enable_persistent_compile_cache()
 from . import core  # mandatory
 from .core import SpatialData, get_logger, read_h5ad, update_metadata, write_h5ad
 
-_OPTIONAL_MODULES = ["ops", "spatial", "stats", "annotation", "plotting", "parallel"]
+_OPTIONAL_MODULES = ["ops", "spatial", "stats", "annotation", "plotting",
+                     "parallel", "utils", "nmf", "diffusion"]
 _module_errors: Dict[str, str] = {}
 
 
@@ -84,6 +85,9 @@ stats = _try_import("stats")
 annotation = _try_import("annotation")
 plotting = _try_import("plotting")
 parallel = _try_import("parallel")
+utils = _try_import("utils")
+nmf = _try_import("nmf")
+diffusion = _try_import("diffusion")
 
 
 def available_modules() -> List[str]:
@@ -106,5 +110,6 @@ def print_info() -> None:
 __all__ = [
     "__version__", "SpatialData", "read_h5ad", "write_h5ad", "get_logger",
     "update_metadata", "core", "ops", "spatial", "stats", "annotation",
-    "plotting", "parallel", "available_modules", "print_info",
+    "plotting", "parallel", "utils", "nmf", "diffusion",
+    "available_modules", "print_info",
 ]

@@ -59,22 +59,29 @@ def build_spatial_weights(
     spatial_key: str = "spatial",
     include_self: bool = False,
     store: bool = True,
+    radius: Optional[float] = None,
+    k_max: Optional[int] = None,
 ) -> SpatialGraph:
     """Build the row-normalized fixed-degree spatial weights graph.
 
     Equivalent of the reference's CSR weights (each row sums to 1, binary kNN
     adjacency, self excluded unless ``include_self``); returns a
     :class:`~spatialcore_tpu.ops.SpatialGraph` whose ``to_csr()`` matches the
-    reference output exactly. When ``store`` is set the graph arrays are
-    cached in ``adata.uns['spatial_graph']`` for ``use_existing_graph``.
+    reference output exactly. Passing ``radius`` (with a ``k_max`` degree
+    cap) builds a radius graph instead — cells whose in-radius neighbor
+    count exceeds ``k_max`` raise loudly (static shapes need a cap). When
+    ``store`` is set the graph arrays are cached in
+    ``adata.uns['spatial_graph']`` for ``use_existing_graph``.
     """
     if spatial_key not in adata.obsm:
         raise ValueError(
             f"adata.obsm['{spatial_key}'] not found. Spatial coordinates are required.")
     coords = np.asarray(adata.obsm[spatial_key])
     n_cells = coords.shape[0]
-    logger.debug(f"Building spatial weights: {n_cells:,} cells, k={n_neighbors}")
-    graph = build_graph(coords, n_neighbors=n_neighbors, include_self=include_self)
+    logger.debug(f"Building spatial weights: {n_cells:,} cells, "
+                 f"{'radius=' + str(radius) if radius else 'k=' + str(n_neighbors)}")
+    graph = build_graph(coords, n_neighbors=n_neighbors,
+                        include_self=include_self, radius=radius, k_max=k_max)
     if store:
         adata.uns[GRAPH_UNS_KEY] = {
             "neighbor_idx": np.asarray(graph.neighbor_idx),
@@ -82,7 +89,8 @@ def build_spatial_weights(
             "valid": np.asarray(graph.valid),
             "distances": np.asarray(graph.distances),
             "params": {"n_neighbors": n_neighbors, "include_self": include_self,
-                       "spatial_key": spatial_key},
+                       "spatial_key": spatial_key, "radius": radius,
+                       "k_max": k_max},
         }
     return graph
 
