@@ -34,25 +34,39 @@ class BucketGrid(NamedTuple):
 
 
 def build_bucket_grid(coords_np: np.ndarray, r_max: float,
-                      target_window: int = 2) -> BucketGrid:
-    """Bucket cells so a (2w+1)² window covers every pair within r_max."""
+                      target_window: int = 2,
+                      bbox=None,
+                      min_capacity: int = 0) -> BucketGrid:
+    """Bucket cells so a (2w+1)² window covers every pair within r_max.
+
+    ``bbox=(mins, maxs)`` and ``min_capacity`` pin the grid geometry and the
+    padded bucket capacity so repeated calls (CSR envelope simulations)
+    reuse one compiled kernel instead of recompiling per table shape.
+    """
     coords_np = np.asarray(coords_np, np.float32)
     n = coords_np.shape[0]
-    mins = coords_np.min(axis=0)
-    span = np.maximum(coords_np.max(axis=0) - mins, 1e-9)
+    if bbox is None:
+        mins = coords_np.min(axis=0)
+        maxs = coords_np.max(axis=0)
+    else:
+        mins, maxs = (np.asarray(b, np.float32) for b in bbox)
+    span = np.maximum(maxs - mins, 1e-9)
     # bucket edge ≥ r_max / window so the window covers r_max
     edge = r_max / max(target_window, 1)
     nbx = max(1, min(int(span[0] / edge) + 1, 4096))
     nby = max(1, min(int(span[1] / edge) + 1, 4096))
     h = span / np.array([nbx, nby])
     window = int(np.ceil(r_max / min(h[0], h[1])))
-    bx = np.minimum((coords_np[:, 0] - mins[0]) // h[0], nbx - 1).astype(np.int64)
-    by = np.minimum((coords_np[:, 1] - mins[1]) // h[1], nby - 1).astype(np.int64)
+    bx = np.clip((coords_np[:, 0] - mins[0]) // h[0], 0, nbx - 1).astype(np.int64)
+    by = np.clip((coords_np[:, 1] - mins[1]) // h[1], 0, nby - 1).astype(np.int64)
     bucket = bx * nby + by
     order = np.argsort(bucket, kind="stable")
     counts = np.bincount(bucket[order], minlength=nbx * nby)
     offsets = np.concatenate([[0], np.cumsum(counts)])
-    C = max(int(counts.max()), 1)
+    C = max(int(counts.max()), 1, min_capacity)
+    if min_capacity == 0:
+        # round up so near-identical datasets share one compiled shape
+        C = 1 << int(np.ceil(np.log2(C)))
     table = np.full((nbx * nby, C), -1, np.int32)
     pos = np.arange(n) - offsets[bucket[order]]
     table[bucket[order], pos] = order.astype(np.int32)
@@ -138,8 +152,14 @@ def ripley_k(
     if area is None:
         area = float(np.prod(np.maximum(maxs - mins, 1e-9)))
 
+    # pin grid geometry + bucket capacity so every CSR simulation reuses
+    # one compiled kernel (table shape would otherwise vary per draw)
+    base_grid = build_bucket_grid(coords, r_max, bbox=(mins, maxs))
+    capacity = int(base_grid.table.shape[1] * 2)
+
     def counts_for(c_np):
-        grid = build_bucket_grid(c_np, r_max)
+        grid = build_bucket_grid(c_np, r_max, bbox=(mins, maxs),
+                                 min_capacity=capacity)
         c, _ = _pair_counts(
             jnp.asarray(c_np), grid.table, grid.bx, grid.by,
             grid.nbx, grid.nby, jnp.asarray(radii ** 2),
