@@ -291,13 +291,19 @@ def train_cell_type_model(
     balance_cell_type: bool = True,
     seed: int = 0,
     model_name: str = "spatialcore_tpu_model",
+    checkpoint_dir=None,
+    checkpoint_every: int = 10,
+    resume: bool = True,
 ) -> CellTypeModel:
     """Train the multinomial LR classifier on log1p expression.
 
     Deterministic minibatch SGD (adamw) over standardized genes with
     class-balanced cross-entropy — the celltypist.train replacement
     (reference training.py:667-689). Runs as one jitted ``lax.scan`` per
-    epoch.
+    epoch. With ``checkpoint_dir`` set, params + optimizer state are
+    checkpointed via orbax every ``checkpoint_every`` epochs and training
+    resumes from the latest checkpoint when ``resume`` (aux-subsystem
+    parity, SURVEY.md §5 checkpoint/resume).
     """
     start = time.time()
     if cell_type_column not in adata.obs.columns:
@@ -360,11 +366,45 @@ def train_cell_type_model(
 
     params = (jnp.zeros((g, c), jnp.float32), jnp.zeros((c,), jnp.float32))
     opt_state = opt.init(params)
-    for e in range(epochs):
+
+    manager = None
+    start_epoch = 0
+    if checkpoint_dir is not None:
+        import orbax.checkpoint as ocp
+        from pathlib import Path as _Path
+
+        manager = ocp.CheckpointManager(
+            _Path(checkpoint_dir).absolute(),
+            options=ocp.CheckpointManagerOptions(max_to_keep=2))
+        latest = manager.latest_step()
+        if resume and latest is not None:
+            restored = manager.restore(
+                latest, args=ocp.args.StandardRestore(
+                    {"params": params, "opt_state": opt_state}))
+            params = tuple(restored["params"])
+            opt_state = jax.tree.map(lambda x: x, restored["opt_state"])
+            start_epoch = latest + 1
+            logger.info(f"  resumed from checkpoint epoch {latest}")
+
+    loss = jnp.float32(float("nan"))
+    for e in range(start_epoch, epochs):
         perm = jax.random.permutation(key_for(seed, "train_epoch", e), n)
         params, opt_state, loss = epoch(params, opt_state, perm)
         if e % max(epochs // 5, 1) == 0 or e == epochs - 1:
             logger.info(f"  epoch {e + 1}/{epochs}: loss={float(loss):.4f}")
+        if manager is not None and (
+                (e + 1) % checkpoint_every == 0 or e == epochs - 1):
+            import orbax.checkpoint as ocp
+
+            manager.save(e, args=ocp.args.StandardSave(
+                {"params": params, "opt_state": opt_state}))
+    if manager is not None:
+        manager.wait_until_finished()
+        manager.close()
+    if start_epoch >= epochs:
+        # fully resumed; recompute the loss for metadata
+        perm = jax.random.permutation(key_for(seed, "train_epoch", 0), n)
+        _, _, loss = epoch(params, opt_state, perm)
 
     W, b = (np.asarray(p) for p in params)
     model = CellTypeModel(
