@@ -89,6 +89,7 @@ def annotate_cells(
     renormalize_overlap: bool = True,
     models_dir: Optional[Union[str, Path]] = None,
     store_decision_scores: bool = True,
+    over_clustering: Optional[str] = None,
     copy: bool = False,
 ):
     """Annotate cells with one model or an ensemble (max confidence wins).
@@ -171,7 +172,23 @@ def annotate_cells(
         final_model[rows] = m["name"]
 
     adata.obs["cell_type_predicted"] = pd.Categorical(final_pred)
-    adata.obs["cell_type"] = pd.Categorical(final_pred)
+    final_label = final_pred
+    if over_clustering is not None:
+        # majority vote within precomputed clusters (the reference's
+        # cluster-mode annotation, annotate.py:521) — smooths per-cell noise
+        if over_clustering not in adata.obs.columns:
+            raise ValueError(
+                f"over_clustering column '{over_clustering}' not in obs")
+        clusters = adata.obs[over_clustering].astype(str).to_numpy()
+        final_label = final_pred.copy()
+        for cl in pd.unique(clusters):
+            rows = clusters == cl
+            vals, cnts = np.unique(final_pred[rows].astype(str),
+                                   return_counts=True)
+            final_label[rows] = vals[cnts.argmax()]
+        logger.info(f"Majority voting over '{over_clustering}' "
+                    f"({len(pd.unique(clusters))} clusters)")
+    adata.obs["cell_type"] = pd.Categorical(final_label)
     adata.obs["cell_type_confidence"] = final_conf
     adata.obs["cell_type_confidence_raw"] = final_raw
     adata.obs["cell_type_model"] = pd.Categorical(final_model)

@@ -186,3 +186,17 @@ def test_misc_helpers():
     assert "lung" in [t for t in ("lung",)] and get_models_for_tissue("lung")
     with pytest.raises(ValueError):
         get_models_for_tissue("made_up_tissue")
+
+
+def test_annotate_over_clustering_majority(trained):
+    _, model = trained
+    query = _make_reference(n_per_type=60, seed=11, source="q4")
+    # clusters aligned with true types -> majority vote cleans noise
+    query.obs["leiden"] = np.repeat([f"c{t}" for t in range(4)], 60)
+    query = annotate_cells(query, model, over_clustering="leiden")
+    labels = query.obs["cell_type"].astype(str).to_numpy()
+    for t in range(4):
+        seg = labels[t * 60:(t + 1) * 60]
+        assert len(set(seg)) == 1          # one label per cluster
+    with pytest.raises(ValueError, match="over_clustering"):
+        annotate_cells(query, model, over_clustering="missing")
