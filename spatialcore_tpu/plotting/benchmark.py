@@ -28,6 +28,41 @@ def _confusion(y_true, y_pred, labels):
     return m
 
 
+def plot_method_comparison(
+    adata,
+    columns,
+    normalize: bool = True,
+    path: Optional[Union[str, Path]] = None,
+):
+    """Side-by-side cell-type composition across annotation methods.
+
+    Grouped bars: one group per cell type, one bar per labeling column —
+    the quick visual for 'did method B collapse the T cells?'.
+    """
+    from .utils import generate_celltype_palette
+
+    if len(columns) < 2:
+        raise ValueError("Need ≥2 columns to compare")
+    comps = {}
+    for col in columns:
+        counts = adata.obs[col].astype(str).value_counts()
+        comps[col] = counts / counts.sum() if normalize else counts
+    types = sorted(set().union(*[c.index for c in comps.values()]))
+    width = 0.8 / len(columns)
+    fig, axes = setup_figure(ax_width=max(7, 0.45 * len(types)))
+    ax = axes[0, 0]
+    for mi, col in enumerate(columns):
+        vals = [comps[col].get(t, 0.0) for t in types]
+        ax.bar(np.arange(len(types)) + mi * width, vals, width, label=col)
+    ax.set_xticks(np.arange(len(types)) + 0.4 - width / 2)
+    ax.set_xticklabels(types, rotation=60, ha="right", fontsize=7)
+    ax.set_ylabel("fraction of cells" if normalize else "cells")
+    ax.legend(frameon=False, fontsize=8)
+    if path:
+        return save_figure(fig, path)
+    return fig
+
+
 def plot_confusion_matrix(
     adata,
     true_column: str,

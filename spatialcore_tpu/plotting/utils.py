@@ -39,6 +39,26 @@ def generate_celltype_palette(
     return {lab: base[i % len(base)] for i, lab in enumerate(labels)}
 
 
+def save_palette(palette: Dict[str, str], path: Union[str, Path]) -> Path:
+    """Persist a label→hex palette as JSON (stable across runs/figures)."""
+    import json
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(palette, f, indent=2, sort_keys=True)
+    return path
+
+
+def load_palette(path: Union[str, Path]) -> Dict[str, str]:
+    """Load a label→hex palette saved by :func:`save_palette`."""
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    return {str(k): str(v) for k, v in data.items()}
+
+
 def setup_figure(ncols: int = 1, nrows: int = 1, ax_width: float = 5.0,
                  ax_height: float = 4.5, dpi: int = 100, **kwargs):
     """Create a (fig, axes) grid with sane defaults for QC figures."""

@@ -103,3 +103,21 @@ def test_plotting_suite_smoke(tmp_path):
     assert met["nmi"] == pytest.approx(1.0)
     for f in "abcdefghijklmno":
         assert (out / f"{f}.png").exists()
+
+
+def test_palette_roundtrip_and_method_comparison(tmp_path):
+    from spatialcore_tpu.plotting.benchmark import plot_method_comparison
+    from spatialcore_tpu.plotting.utils import (
+        generate_celltype_palette, load_palette, save_palette)
+
+    pal = generate_celltype_palette(["B cell", "T cell"])
+    p = save_palette(pal, tmp_path / "pal.json")
+    assert load_palette(p) == pal
+
+    adata, _ = _marker_adata()
+    adata.obs["m1"] = adata.obs["ct"]
+    labels = adata.obs["ct"].to_numpy(object).copy()
+    labels[labels == "C"] = "A"          # method 2 merges C into A
+    adata.obs["m2"] = labels
+    plot_method_comparison(adata, ["m1", "m2"], path=tmp_path / "mc.png")
+    assert (tmp_path / "mc.png").exists()
