@@ -207,24 +207,40 @@ def permutation_test_global(
     # Monte-Carlo counting, not for the observed statistic (kept f32).
     Zg = Z.astype(jnp.bfloat16) if null_dtype == "bfloat16" else Z
 
-    def body(carry, p):
+    # a few concurrent draws hide gather latency (+~20% measured) as long
+    # as the vmapped [c, N, G] temps stay well under HBM
+    c = max(1, min(4, int(5.4e8 // max(n * G, 1))))
+    while n_permutations % c:
+        c -= 1
+
+    def body(carry, step):
         count, s1, s2 = carry
-        key = jax.random.fold_in(base, p)
-        perm = jax.random.permutation(key, n)
-        val = _perm_stat_global(graph, Zg, S0, perm, stat, den=den)
-        if alternative == "greater":
-            extreme = val >= observed
-        elif alternative == "less":
-            extreme = val <= observed
+
+        def one(p):
+            key = jax.random.fold_in(base, step * c + p)
+            perm = jax.random.permutation(key, n)
+            return _perm_stat_global(graph, Zg, S0, perm, stat, den=den)
+
+        if c == 1:
+            vals = one(jnp.int32(0))[None, :]        # [1, G], no vmap —
+            # a unit-batch vmap re-batches the slot gathers and regresses
+            # fusion (~20% slower measured at 1M×512)
         else:
-            extreme = jnp.abs(val) >= jnp.abs(observed)
-        return (count + extreme.astype(jnp.int32), s1 + val,
-                s2 + val * val), None
+            vals = jax.vmap(one)(jnp.arange(c))      # [c, G]
+        if alternative == "greater":
+            extreme = vals >= observed[None, :]
+        elif alternative == "less":
+            extreme = vals <= observed[None, :]
+        else:
+            extreme = jnp.abs(vals) >= jnp.abs(observed)[None, :]
+        return (count + jnp.sum(extreme, axis=0, dtype=jnp.int32),
+                s1 + vals.sum(axis=0),
+                s2 + (vals * vals).sum(axis=0)), None
 
     init = (jnp.zeros((G,), jnp.int32), jnp.zeros((G,), jnp.float32),
             jnp.zeros((G,), jnp.float32))
     (count, s1, s2), _ = jax.lax.scan(body, init,
-                                      jnp.arange(n_permutations))
+                                      jnp.arange(n_permutations // c))
     P = n_permutations
     p = (count + 1.0) / (P + 1.0)
     mean = s1 / P
