@@ -103,8 +103,11 @@ def config4(scale):
     from spatialcore_tpu.ops.moran import (
         moran_observed, permutation_test_global, standardize)
 
+    import os
+
     n = int(1_000_000 * scale)
-    n_genes_total, n_perms = int(5000 * scale) or 8, int(1000 * scale) or 8
+    n_genes_total = int(os.environ.get("BENCH4_GENES", int(5000 * scale) or 8))
+    n_perms = int(os.environ.get("BENCH4_PERMS", int(1000 * scale) or 8))
     gene_batch = min(512, n_genes_total)
     rng = np.random.default_rng(0)
     coords = rng.uniform(0, 6000, (n, 2)).astype(np.float32)
