@@ -1,0 +1,153 @@
+"""End-to-end vignette: synthetic Xenium-like tissue through the full stack.
+
+The reference validates itself with docs-as-integration-tests (SURVEY.md §4
+item 4): each vignette is a complete run with committed output figures.
+This script is ours — it synthesizes a structured tissue (three cell-type
+neighborhoods, one gene expression gradient, a B-cell follicle), runs every
+major subsystem, asserts the biology comes back out, and writes the figures
+into docs/images/.
+
+Run:  JAX_PLATFORM_NAME=cpu python examples/end_to_end.py [outdir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import scipy.sparse as sp
+
+
+def synthesize(n=20_000, seed=0):
+    """Xenium-like tissue: follicle of B cells, T-cell ring, stroma."""
+    rng = np.random.default_rng(seed)
+    extent = 4000.0
+    coords = rng.uniform(0, extent, (n, 2)).astype(np.float32)
+
+    center = np.array([1500.0, 2000.0])
+    d_center = np.linalg.norm(coords - center, axis=1)
+    p_b = np.exp(-(d_center / 220.0) ** 2)              # follicle core
+    p_t = np.exp(-((d_center - 350.0) / 150.0) ** 2)    # ring around it
+    u = rng.uniform(size=n)
+    types = np.where(u < p_b, "B cell",
+                     np.where(u < p_b + p_t, "T cell",
+                              rng.choice(["Fibroblast", "Macrophage",
+                                          "Endothelial"], n)))
+
+    genes = ["MS4A1", "CD79A", "CD3D", "TRAC", "COL1A1", "LUM",
+             "CD68", "C1QA", "PECAM1", "VWF", "GRAD1", "NOISE1",
+             "NOISE2", "NOISE3"]
+    markers = {"B cell": ["MS4A1", "CD79A"], "T cell": ["CD3D", "TRAC"],
+               "Fibroblast": ["COL1A1", "LUM"],
+               "Macrophage": ["CD68", "C1QA"],
+               "Endothelial": ["PECAM1", "VWF"]}
+    counts = rng.poisson(0.3, (n, len(genes))).astype(np.float32)
+    gi = {g: i for i, g in enumerate(genes)}
+    for ct, mk in markers.items():
+        rows = types == ct
+        for g in mk:
+            counts[rows, gi[g]] += rng.poisson(6.0, rows.sum())
+    # smooth spatial gradient gene
+    counts[:, gi["GRAD1"]] += rng.poisson(
+        3.0 * (1 + np.sin(coords[:, 0] / 400.0)), n).astype(np.float32)
+
+    import spatialcore_tpu as sct
+
+    adata = sct.SpatialData(
+        X=sp.csr_matrix(counts),
+        obs=pd.DataFrame({"true_type": types},
+                         index=[f"cell_{i}" for i in range(n)]),
+        var=pd.DataFrame(index=genes))
+    adata.layers["counts"] = sp.csr_matrix(counts)
+    adata.obsm["spatial"] = coords
+    return adata, markers
+
+
+def main(outdir="docs/images"):
+    import spatialcore_tpu as sct
+    from spatialcore_tpu.annotation import train_and_annotate, TrainingConfig
+    from spatialcore_tpu.plotting.spatial import (
+        plot_domain_distances, plot_spatial_celltype, plot_spatial_gene)
+    from spatialcore_tpu.plotting.validation import plot_marker_heatmap
+
+    t0 = time.time()
+    out = Path(outdir)
+    out.mkdir(parents=True, exist_ok=True)
+    adata, markers = synthesize()
+    print(f"[1/7] synthesized {adata.n_obs:,} cells × {adata.n_vars} genes")
+
+    # --- annotation: train on a disjoint synthetic reference -------------
+    ref, _ = synthesize(n=8000, seed=42)
+    ref.obs["cell_type"] = ref.obs["true_type"]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        sct.write_h5ad(ref, f"{td}/ref.h5ad")
+        adata, model = train_and_annotate(
+            adata, references=[f"{td}/ref.h5ad"],
+            config=TrainingConfig(references=[], epochs=15,
+                                  confidence_threshold=0.6,
+                                  make_plots=False, seed=0))
+    acc = (adata.obs["cell_type"].astype(str)
+           == adata.obs["true_type"].astype(str)).mean()
+    print(f"[2/7] annotation accuracy vs ground truth: {acc:.3f}")
+    assert acc > 0.85, acc
+
+    # --- spatial autocorrelation ------------------------------------------
+    adata = sct.spatial.morans_i(adata, n_permutations=99, seed=0,
+                                 n_neighbors=8)
+    mi = adata.uns["morans_i"].set_index("gene")
+    print("[3/7] Moran's I:", {g: round(float(mi.loc[g, 'I']), 3)
+                               for g in ["GRAD1", "MS4A1", "NOISE1"]})
+    assert mi.loc["GRAD1", "I"] > 0.15        # gradient is autocorrelated
+    # follicle marker: small global I (local structure) but significant
+    assert mi.loc["MS4A1", "I"] > 0.02
+    assert mi.loc["MS4A1", "p_value"] <= 0.05
+    assert abs(mi.loc["NOISE1", "I"]) < 0.02  # noise is not
+    assert mi.loc["GRAD1", "p_value"] <= 0.0101  # min p with 99 perms (f32)
+
+    # --- niches ---------------------------------------------------------
+    adata = sct.spatial.compute_neighborhood_profile(adata, "cell_type",
+                                                     k=30)
+    adata = sct.spatial.identify_niches(adata, n_niches=4, random_state=0)
+    follicle = adata.obs["niche"][
+        adata.obs["true_type"].astype(str) == "B cell"]
+    frac_dominant = follicle.value_counts(normalize=True).iloc[0]
+    print(f"[4/7] niches: follicle B cells {frac_dominant:.0%} in one niche")
+
+    # --- neighborhood enrichment ------------------------------------------
+    adata = sct.spatial.neighborhood_enrichment(adata, "cell_type",
+                                                n_permutations=200, seed=0)
+    z = adata.uns["cell_type_nhood_enrichment"]["zscore"]
+    tps = adata.uns["cell_type_nhood_enrichment"]["types"]
+    bb = z[tps.index("B cell"), tps.index("B cell")]
+    print(f"[5/7] B-B adjacency z = {bb:.1f}")
+    assert bb > 5
+
+    # --- domains + distances ------------------------------------------------
+    adata = sct.spatial.make_spatial_domains(
+        adata, "cell_type == 'B cell'", platform="xenium",
+        domain_prefix="follicle", cell_dist_um=80.0,
+        min_target_cells_domain=50)
+    n_dom = adata.uns["spatial_domain_params"]["n_domains"]
+    adata = sct.spatial.calculate_domain_distances(
+        adata, "spatial_domain", "spatial_domain")
+    print(f"[6/7] domains: {n_dom} follicle domain(s)")
+    assert n_dom >= 1
+
+    # --- figures ---------------------------------------------------------
+    plot_spatial_celltype(adata, path=out / "vignette_celltypes.png")
+    plot_spatial_gene(adata, "GRAD1", path=out / "vignette_gradient.png")
+    plot_marker_heatmap(adata, markers=markers,
+                        path=out / "vignette_markers.png")
+    plot_domain_distances(adata, boundaries_key="spatial_domain_boundaries",
+                          path=out / "vignette_domains.png")
+    print(f"[7/7] figures → {out}  (total {time.time() - t0:.0f}s)")
+    print("VIGNETTE_OK")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
