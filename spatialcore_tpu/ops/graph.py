@@ -290,6 +290,7 @@ def radius_neighbors(
     radius: float,
     k_max: int,
     include_self: bool = False,
+    grid_threshold: int = 50_000,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Neighbors within ``radius``, capped at ``k_max`` per cell.
 
@@ -298,8 +299,17 @@ def radius_neighbors(
     checked loudly rather than silently truncating — mirroring the
     reference's fail-loud empty-neighborhood policy,
     /root/reference/src/spatialcore/spatial/neighborhoods.py:253-260).
+    Large 2D inputs route through the bucket-grid kNN instead of the
+    O(N²) scan.
     """
-    idx, dist = knn_exact(jnp.asarray(coords), k_max, include_self=include_self)
+    coords_np = np.asarray(coords, np.float32)
+    if coords_np.shape[0] > grid_threshold and coords_np.shape[1] == 2:
+        idx_np, dist_np = knn_grid(coords_np, k_max,
+                                   include_self=include_self)
+        idx, dist = jnp.asarray(idx_np), jnp.asarray(dist_np)
+    else:
+        idx, dist = knn_exact(jnp.asarray(coords), k_max,
+                              include_self=include_self)
     valid = dist <= radius
     # overflow check: if the k_max-th neighbor is still within radius, the
     # true in-radius count may exceed the cap
