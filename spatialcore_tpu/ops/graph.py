@@ -239,15 +239,20 @@ def knn_grid(
     out_dist = np.full((n, k), np.inf, np.float32)
     unresolved = np.arange(n)
     r = 1
-    for _ in range(max_rounds):
+    for round_i in range(max_rounds):
         if unresolved.size == 0:
             break
         nq = unresolved.size
         t = min(tile, 1 << max(int(np.ceil(np.log2(max(nq, 1)))), 6))
-        q_pad = _pad_to(coords_np[unresolved], t, np.float32(1e18))
+        # host-side padding: eager device pads cost one tunnel round-trip
+        # per op on remote backends and regress the warm path ~50%
+        q_pad = _pad_to(coords_np[unresolved] if round_i else coords_np,
+                        t, np.float32(1e18))
         id_pad = _pad_to(unresolved.astype(np.int32), t, np.int32(-2))
-        bx_pad = _pad_to(bx32[unresolved], t, np.int32(-10))
-        by_pad = _pad_to(by32[unresolved], t, np.int32(-10))
+        bx_pad = _pad_to(bx32[unresolved] if round_i else bx32, t,
+                         np.int32(-10))
+        by_pad = _pad_to(by32[unresolved] if round_i else by32, t,
+                         np.int32(-10))
         n_tiles = q_pad.shape[0] // t
         bd, bi = _bucket_knn_round(
             jnp.asarray(q_pad).reshape(n_tiles, t, 2),
@@ -256,12 +261,18 @@ def knn_grid(
             jnp.asarray(by_pad).reshape(n_tiles, t),
             coords_j, table_j, jnp.int32(nbx), jnp.int32(nby),
             k, r, include_self)
-        dist_r = np.asarray(bd).reshape(-1, k)[:nq]
-        idx_r = np.asarray(bi).reshape(-1, k)[:nq]
+        bd = bd.reshape(-1, k)[:nq]
+        bi = bi.reshape(-1, k)[:nq]
         guaranteed = r * min(h[0], h[1])
-        ok = dist_r[:, k - 1] <= guaranteed ** 2
-        if 2 * r + 1 >= 2 * max(nbx, nby) + 1:
-            ok[:] = True
+        whole_grid = 2 * r + 1 >= 2 * max(nbx, nby) + 1
+        # only the 1-byte/cell exactness mask crosses to host; the [N, k]
+        # results stay on device (a 56MB/1M-cell round-trip otherwise)
+        ok = (np.ones(nq, bool) if whole_grid
+              else np.asarray(bd[:, k - 1] <= guaranteed ** 2))
+        if round_i == 0 and ok.all():
+            return bi, jnp.sqrt(bd)          # common case: all resolved
+        dist_r = np.asarray(bd)
+        idx_r = np.asarray(bi)
         done = unresolved[ok]
         out_idx[done] = idx_r[ok]
         out_dist[done] = dist_r[ok]
@@ -278,7 +289,7 @@ def knn_grid(
         o = np.argsort(pd_, axis=1)
         out_idx[unresolved] = np.take_along_axis(part, o, axis=1)
         out_dist[unresolved] = np.take_along_axis(pd_, o, axis=1)
-    return out_idx, np.sqrt(out_dist)
+    return jnp.asarray(out_idx), jnp.sqrt(jnp.asarray(out_dist))
 
 
 # ---------------------------------------------------------------------------
