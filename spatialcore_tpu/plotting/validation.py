@@ -246,6 +246,66 @@ def plot_deg_heatmap(
     return fig
 
 
+def plot_celltype_confidence_spatial(
+    adata,
+    cell_types=None,
+    cell_type_column: str = "cell_type",
+    confidence_column: str = "cell_type_confidence",
+    spatial_key: str = "spatial",
+    point_size: float = 2.0,
+    seed: int = 0,
+    path: Optional[Union[str, Path]] = None,
+):
+    """Per-type spatial confidence maps + a jittered confidence strip.
+
+    Left: where the type sits in the tissue, colored by confidence (other
+    cells dim gray). Right: jittered per-type confidence distribution
+    (reference validation.py:590).
+    """
+    from ..core.rng import np_rng
+
+    if spatial_key not in adata.obsm:
+        raise ValueError(f"adata.obsm['{spatial_key}'] not found")
+    coords = np.asarray(adata.obsm[spatial_key])[:, :2]
+    labels = adata.obs[cell_type_column].astype(str)
+    conf = adata.obs[confidence_column].to_numpy(float)
+    if cell_types is None:
+        cell_types = labels.value_counts().head(4).index.tolist()
+    rng = np_rng(seed, "conf_jitter")
+
+    nrows = len(cell_types)
+    fig, axes = setup_figure(ncols=2, nrows=nrows, ax_width=5.0,
+                             ax_height=3.6)
+    for i, ct in enumerate(cell_types):
+        m = (labels == ct).to_numpy()
+        ax = axes[i, 0]
+        ax.scatter(coords[~m, 0], coords[~m, 1], s=point_size * 0.4,
+                   c="#dddddd", rasterized=True, linewidths=0)
+        scp = ax.scatter(coords[m, 0], coords[m, 1], s=point_size,
+                         c=conf[m], cmap="viridis", vmin=0, vmax=1,
+                         rasterized=True, linewidths=0)
+        fig.colorbar(scp, ax=ax, shrink=0.85)
+        ax.set_aspect("equal")
+        ax.set_title(f"{ct} (n={int(m.sum()):,})", fontsize=9)
+        ax.set_xticks([])
+        ax.set_yticks([])
+
+        axj = axes[i, 1]
+        y = conf[m]
+        x = rng.uniform(-0.25, 0.25, y.size)
+        axj.scatter(x, y, s=3, alpha=0.35, c="#1f77b4", rasterized=True,
+                    linewidths=0)
+        axj.set_xlim(-1, 1)
+        axj.set_ylim(0, 1.02)
+        axj.set_xticks([])
+        axj.axhline(float(np.median(y)) if y.size else 0, color="#d62728",
+                    lw=1.0)
+        axj.set_ylabel(confidence_column, fontsize=7)
+    if path:
+        return save_figure(fig, path)
+    return fig
+
+
 def plot_ontology_mapping_table(
     adata,
     cell_type_column: str = "cell_type",

@@ -121,3 +121,15 @@ def test_palette_roundtrip_and_method_comparison(tmp_path):
     adata.obs["m2"] = labels
     plot_method_comparison(adata, ["m1", "m2"], path=tmp_path / "mc.png")
     assert (tmp_path / "mc.png").exists()
+
+
+def test_celltype_confidence_spatial(tmp_path):
+    from spatialcore_tpu.plotting.validation import (
+        plot_celltype_confidence_spatial)
+
+    adata, _ = _marker_adata()
+    adata.obs["cell_type"] = adata.obs["ct"]
+    adata.obs["cell_type_confidence"] = np.random.default_rng(0).uniform(
+        0.4, 1.0, adata.n_obs)
+    plot_celltype_confidence_spatial(adata, path=tmp_path / "ccs.png")
+    assert (tmp_path / "ccs.png").exists()
