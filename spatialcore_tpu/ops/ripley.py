@@ -186,6 +186,28 @@ def ripley_k(
     return out
 
 
+def co_occurrence_counts(
+    coords: np.ndarray,
+    type_codes: np.ndarray,
+    n_types: int,
+    radii: np.ndarray,
+) -> np.ndarray:
+    """Cumulative ordered pair counts per (radius, type_a, type_b).
+
+    Shared kernel with cross-type K; callers turn these into conditional
+    co-occurrence ratios or K estimates.
+    """
+    coords = np.asarray(coords, np.float32)
+    radii = np.asarray(radii, np.float32)
+    grid = build_bucket_grid(coords, float(radii.max()))
+    _, ct = _pair_counts(
+        jnp.asarray(coords), grid.table, grid.bx, grid.by, grid.nbx,
+        grid.nby, jnp.asarray(radii ** 2),
+        jnp.asarray(np.asarray(type_codes, np.int32)),
+        window=grid.window, n_radii=len(radii), n_types=n_types)
+    return np.asarray(ct)
+
+
 def cross_type_k(
     coords: np.ndarray,
     type_codes: np.ndarray,

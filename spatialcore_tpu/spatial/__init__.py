@@ -3,7 +3,7 @@
 from .neighborhoods import compute_neighborhood_profile, identify_niches
 from .domains import detect_platform, get_domain_summary, make_spatial_domains
 from .distance import calculate_domain_distances, get_distance_matrix
-from .ripley import cross_type_ripleys_k, ripleys_k
+from .ripley import co_occurrence, cross_type_ripleys_k, ripleys_k
 from .nhood import neighborhood_enrichment
 from .autocorrelation import (
     build_spatial_weights,
@@ -21,4 +21,5 @@ __all__ = [
     "make_spatial_domains", "get_domain_summary", "detect_platform",
     "calculate_domain_distances", "get_distance_matrix",
     "ripleys_k", "cross_type_ripleys_k", "neighborhood_enrichment",
+    "co_occurrence",
 ]

@@ -15,7 +15,7 @@ import pandas as pd
 
 from ..core.logging import get_logger
 from ..core.metadata import update_metadata
-from ..ops.ripley import cross_type_k, ripley_k
+from ..ops.ripley import co_occurrence_counts, cross_type_k, ripley_k
 
 logger = get_logger("spatial.ripley")
 
@@ -61,6 +61,63 @@ def ripleys_k(
                                 "n_simulations": n_simulations,
                                 "seed": seed},
                     outputs={"uns": key_added})
+    return adata
+
+
+def co_occurrence(
+    adata,
+    cluster_key: str,
+    radii: Optional[Sequence[float]] = None,
+    n_radii: int = 20,
+    spatial_key: str = "spatial",
+    key_added: str = "co_occurrence",
+    copy: bool = False,
+):
+    """Conditional co-occurrence score per distance interval (squidpy-style).
+
+    ``score[r, a, b] = P(type b | within shell r of an a-cell) / P(type b)``
+    over distance shells between consecutive radii. >1 ⇒ b is enriched
+    around a at that range. Output: ``uns[key_added]`` with ``score``
+    [R, T, T], ``interval`` edges, and the type order in
+    ``uns[f"{key_added}_types"]``.
+    """
+    start = time.time()
+    if copy:
+        adata = adata.copy()
+    if spatial_key not in adata.obsm:
+        raise ValueError(f"adata.obsm['{spatial_key}'] not found")
+    if cluster_key not in adata.obs.columns:
+        raise ValueError(f"adata.obs['{cluster_key}'] not found")
+    coords = np.asarray(adata.obsm[spatial_key], np.float32)[:, :2]
+    labels = adata.obs[cluster_key].astype(str)
+    types = sorted(labels.unique())
+    if len(types) < 2:
+        raise ValueError("co_occurrence needs ≥2 types")
+    codes = labels.map({t: i for i, t in enumerate(types)}).to_numpy(np.int32)
+    if radii is None:
+        radii = _default_radii(coords, n_radii)
+    radii = np.asarray(sorted(radii), np.float32)
+
+    logger.info(f"co_occurrence: {adata.n_obs:,} cells, {len(types)} types, "
+                f"{len(radii)} distance shells")
+    cum = co_occurrence_counts(coords, codes, len(types), radii)  # [R,T,T]
+    shells = np.diff(np.concatenate([np.zeros((1,) + cum.shape[1:]), cum],
+                                    axis=0), axis=0)              # per shell
+    totals = shells.sum(axis=2, keepdims=True)                    # pairs a→*
+    cond = shells / np.maximum(totals, 1.0)                       # P(b | a, r)
+    frac = (np.bincount(codes, minlength=len(types))
+            / len(codes))[None, None, :]
+    score = np.where(totals > 0, cond / frac, np.nan)
+    adata.uns[key_added] = {
+        "score": score.astype(np.float32),
+        "interval": radii.tolist(),
+        "computation_time_seconds": round(time.time() - start, 2),
+    }
+    adata.uns[f"{key_added}_types"] = types
+    update_metadata(adata, "co_occurrence",
+                    parameters={"cluster_key": cluster_key,
+                                "n_radii": len(radii)},
+                    outputs={"uns": [key_added, f"{key_added}_types"]})
     return adata
 
 

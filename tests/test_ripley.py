@@ -93,3 +93,27 @@ def test_public_api_and_uns():
     assert K.shape == (1, len(types), len(types))
     with pytest.raises(ValueError, match="radii"):
         ripleys_k(adata, radii=[0.0, 5.0])
+
+
+def test_co_occurrence_detects_attraction():
+    from spatialcore_tpu.spatial import co_occurrence
+
+    rng = np.random.default_rng(7)
+    centers = rng.uniform(20, 80, (8, 2))
+    a = centers[rng.integers(0, 8, 250)] + rng.normal(0, 1.0, (250, 2))
+    b = centers[rng.integers(0, 8, 250)] + rng.normal(0, 1.0, (250, 2))
+    c = rng.uniform(0, 100, (500, 2))
+    adata = make_adata(n_obs=1000, n_vars=3, with_spatial=False)
+    adata.obsm["spatial"] = np.vstack([a, b, c]).astype(np.float32)
+    adata.obs["ct"] = ["A"] * 250 + ["B"] * 250 + ["C"] * 500
+    adata = co_occurrence(adata, "ct", radii=[3.0, 10.0, 40.0])
+    score = adata.uns["co_occurrence"]["score"]
+    types = adata.uns["co_occurrence_types"]
+    iA, iB, iC = (types.index(t) for t in ("A", "B", "C"))
+    # at close range, B is enriched around A, C is depleted
+    assert score[0, iA, iB] > 1.5
+    assert score[0, iA, iC] < 0.7
+    # at the largest shell the ratio decays toward 1
+    assert abs(score[2, iA, iB] - 1.0) < 0.5
+    with pytest.raises(ValueError, match="not found"):
+        co_occurrence(adata, "nope")
