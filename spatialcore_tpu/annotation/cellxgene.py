@@ -10,12 +10,10 @@ requires the optional ``cellxgene_census`` dependency.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Union
+from typing import Dict, Union
 
-import numpy as np
 
 from ..core.logging import get_logger
-from ..core.rng import np_rng
 
 logger = get_logger("annotation.cellxgene")
 

@@ -10,7 +10,7 @@ marker-score classifier from ``stats``.
 
 from __future__ import annotations
 
-from typing import List, Literal, Optional, Sequence, Tuple
+from typing import List, Literal, Optional, Tuple
 
 import numpy as np
 import pandas as pd

@@ -16,7 +16,6 @@ from typing import Optional, Union
 
 import h5py
 import numpy as np
-import pandas as pd
 import scipy.sparse as sp
 
 from ..core.container import SpatialData

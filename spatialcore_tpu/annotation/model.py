@@ -10,7 +10,6 @@ sidecar JSON metadata (no pickle, loadable anywhere).
 
 from __future__ import annotations
 
-import functools
 import json
 from dataclasses import dataclass, field
 from pathlib import Path

@@ -13,9 +13,8 @@ from __future__ import annotations
 import time
 from dataclasses import asdict, dataclass, field
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Union
+from typing import List, Optional, Sequence, Union
 
-import numpy as np
 
 from ..core.logging import get_logger
 from ..core.metadata import update_metadata

@@ -10,7 +10,7 @@ real anndata and vice versa for the subset of types we emit.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Optional, Union
+from typing import Any, Union
 
 import h5py
 import numpy as np

@@ -10,7 +10,7 @@ identical regardless of device count, sharding, or evaluation order
 
 from __future__ import annotations
 
-from typing import Sequence, Union
+from typing import Union
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ import scipy.sparse as sp
 from .core.logging import get_logger
 from .core.metadata import update_metadata
 from .core.rng import key_for
-from .ops.graph import SpatialGraph, spatial_lag
+from .ops.graph import spatial_lag
 
 logger = get_logger("diffusion")
 

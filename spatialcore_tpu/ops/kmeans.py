@@ -11,7 +11,7 @@ inertia and NMI/ARI in tests.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ Permutations are counter-based and run as a scanned vmap on device.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

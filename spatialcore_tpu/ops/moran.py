@@ -23,7 +23,6 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..core.rng import key_for
 from .graph import SpatialGraph, spatial_lag

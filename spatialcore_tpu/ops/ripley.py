@@ -15,7 +15,7 @@ distances and accumulates per-radius counts on device. Envelopes:
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ sharding degenerates to replication, so the same code runs everywhere.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

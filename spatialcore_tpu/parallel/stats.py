@@ -14,13 +14,12 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from ..ops.graph import SpatialGraph
 from ..ops.moran import (
     local_moran, moran_observed, permutation_test_global, standardize)
-from .mesh import cell_sharding, gene_sharding, replicated
+from .mesh import gene_sharding, replicated
 
 
 def _place(graph: SpatialGraph, X: jax.Array, mesh: Mesh):

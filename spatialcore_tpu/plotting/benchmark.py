@@ -10,7 +10,7 @@ except silhouette which uses our pairwise kernel on a subsample).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Union
+from typing import Dict, Optional, Union
 
 import numpy as np
 import pandas as pd

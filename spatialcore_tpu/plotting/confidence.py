@@ -9,7 +9,6 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Optional, Union
 
-import numpy as np
 
 from .utils import generate_celltype_palette, save_figure, setup_figure
 

@@ -10,7 +10,7 @@ is seeded and deterministic.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional, Union
+from typing import List, Union
 
 import numpy as np
 

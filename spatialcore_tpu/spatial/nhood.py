@@ -17,7 +17,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pandas as pd
 
 from ..core.logging import get_logger
 from ..core.metadata import update_metadata

@@ -11,7 +11,6 @@ import time
 from typing import Optional, Sequence
 
 import numpy as np
-import pandas as pd
 
 from ..core.logging import get_logger
 from ..core.metadata import update_metadata

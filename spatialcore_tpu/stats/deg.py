@@ -13,12 +13,11 @@ from __future__ import annotations
 
 import functools
 import time
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pandas as pd
 import scipy.sparse as sp
 
 from ..core.logging import get_logger
