@@ -64,16 +64,18 @@ def main():
 
     null_dtype = os.environ.get("BENCH_NULL_DTYPE", "float32")
 
-    def run():
+    def run(seed):
         p, m, s = permutation_test_global(
-            graph, Z, S0, I_obs, seed=0, n_permutations=n_perms,
+            graph, Z, S0, I_obs, seed=seed, n_permutations=n_perms,
             alternative="greater", null_dtype=null_dtype)
         jax.block_until_ready(p)
         return p
 
-    run()  # compile
+    run(0)  # compile
+    # the timed run uses a different seed: some backends cache identical
+    # executions, which would make a repeat of the warm-up measure nothing
     t0 = time.time()
-    run()
+    run(1)
     elapsed = time.time() - t0
 
     rate = n_genes * n_perms / elapsed
