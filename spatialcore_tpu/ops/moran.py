@@ -302,6 +302,66 @@ def local_moran(
 
 
 # ---------------------------------------------------------------------------
+# Join counts (binary autocorrelation)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n_permutations",))
+def join_counts(
+    graph: SpatialGraph,
+    x: jax.Array,
+    seed: int = 0,
+    n_permutations: int = 999,
+):
+    """Join-count statistics for a binary variable over the graph.
+
+    Counts directed joins on the binary adjacency (w > 0):
+    BB = Σ w̄_ij x_i x_j, WW = Σ w̄_ij (1−x_i)(1−x_j), BW = rest. The null
+    permutes labels with counter-based keys (one scan step per draw);
+    returns observed counts and one-sided pseudo p-values
+    (#{BB_perm ≥ BB}+1)/(P+1) for BB clustering (and WW), BW anti-
+    clustering tested as #{BW_perm ≤ BW}.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    adj = (graph.neighbor_w > 0).astype(jnp.float32)   # binary, masked
+
+    def counts(xv):
+        bb = jnp.float32(0)
+        ww = jnp.float32(0)
+        k = graph.neighbor_idx.shape[1]
+        for j in range(k):
+            xn = xv[graph.neighbor_idx[:, j]]
+            a = adj[:, j]
+            bb = bb + jnp.sum(a * xv * xn)
+            ww = ww + jnp.sum(a * (1 - xv) * (1 - xn))
+        total = jnp.sum(adj)
+        return bb, ww, total - bb - ww
+
+    bb_obs, ww_obs, bw_obs = counts(x)
+    base = key_for(seed, "join_counts", 0)
+
+    def body(carry, p):
+        c_bb, c_ww, c_bw = carry
+        perm = jax.random.permutation(jax.random.fold_in(base, p), n)
+        bb, ww, bw = counts(x[perm])
+        return (c_bb + (bb >= bb_obs).astype(jnp.int32),
+                c_ww + (ww >= ww_obs).astype(jnp.int32),
+                c_bw + (bw <= bw_obs).astype(jnp.int32)), None
+
+    (c_bb, c_ww, c_bw), _ = jax.lax.scan(
+        body, (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+        jnp.arange(n_permutations))
+    P = n_permutations
+    return {
+        "BB": bb_obs, "WW": ww_obs, "BW": bw_obs,
+        "p_BB": (c_bb + 1.0) / (P + 1.0),
+        "p_WW": (c_ww + 1.0) / (P + 1.0),
+        "p_BW": (c_bw + 1.0) / (P + 1.0),
+    }
+
+
+# ---------------------------------------------------------------------------
 # Quadrants
 # ---------------------------------------------------------------------------
 

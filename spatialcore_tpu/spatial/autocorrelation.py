@@ -26,6 +26,7 @@ import scipy.sparse as sp
 
 from ..core.logging import get_logger
 from ..core.metadata import update_metadata
+from ..ops.moran import join_counts as _join_counts_kernel
 from ..ops import (
     QUADRANT_LABELS,
     SpatialGraph,
@@ -588,4 +589,67 @@ def lees_l_local(
         outputs={"obs_keys": [f"{gx}_{gy}_lees_l" for gx, gy in pairs[:5]],
                  "uns_keys": [f"{gx}_{gy}_lees_l_params" for gx, gy in pairs[:5]]},
     )
+    return adata
+
+
+# ---------------------------------------------------------------------------
+# Join counts
+# ---------------------------------------------------------------------------
+
+def join_count_statistics(
+    adata,
+    column: str,
+    category=None,
+    spatial_key: str = "spatial",
+    n_neighbors: int = 6,
+    n_permutations: int = 999,
+    seed: int = 0,
+    key_added: str = "join_counts",
+    use_existing_graph: bool = False,
+    copy: bool = False,
+):
+    """Join-count autocorrelation for a binary label (BB / WW / BW joins).
+
+    ``column`` must be boolean, or categorical with ``category`` naming the
+    "black" class. Positive spatial clustering of the class shows as a
+    small ``p_BB``. Results land in ``uns[key_added]``. (esda-family
+    statistic; not in the reference — same kernel substrate as Moran.)
+    """
+    start = time.time()
+    if copy:
+        adata = adata.copy()
+    if column not in adata.obs.columns:
+        raise ValueError(f"adata.obs['{column}'] not found")
+    series = adata.obs[column]
+    if category is not None:
+        x = (series.astype(str) == str(category)).to_numpy()
+    else:
+        uniq = set(series.dropna().unique())
+        if series.dtype == bool or uniq.issubset({True, False}):
+            x = series.fillna(False).astype(bool).to_numpy()
+        else:
+            raise ValueError(
+                f"Column '{column}' is not boolean; pass category=<label> "
+                "to binarize.")
+    frac = float(x.mean())
+    if frac in (0.0, 1.0):
+        raise ValueError(
+            f"Column '{column}' is constant ({frac:.0%} positive); join "
+            "counts need both classes present.")
+
+    graph = _get_graph(adata, n_neighbors, spatial_key, use_existing_graph)
+    res = _join_counts_kernel(graph, jnp.asarray(x.astype(np.float32)),
+                              seed=seed, n_permutations=n_permutations)
+    out = {k: float(v) for k, v in res.items()}
+    out.update({"n_positive": int(x.sum()), "fraction_positive": frac,
+                "n_permutations": n_permutations, "seed": seed,
+                "computation_time_seconds": round(time.time() - start, 2)})
+    adata.uns[key_added] = out
+    logger.info(f"join counts: BB={out['BB']:.0f} (p={out['p_BB']:.4f}), "
+                f"BW={out['BW']:.0f} (p={out['p_BW']:.4f})")
+    update_metadata(adata, "join_count_statistics",
+                    parameters={"column": column, "category": category,
+                                "n_permutations": n_permutations,
+                                "seed": seed},
+                    outputs={"uns": key_added})
     return adata

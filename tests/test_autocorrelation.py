@@ -327,3 +327,43 @@ def test_fdr_bh_matches_scipy():
     ours = np.asarray(benjamini_hochberg(jnp.asarray(p)))
     ref = false_discovery_control(p.astype(np.float64), method="bh")
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_join_counts_detect_clustering(spatial_adata):
+    """Clustered binary labels → significant BB, depleted BW."""
+    from spatialcore_tpu.spatial import join_count_statistics
+
+    adata = spatial_adata
+    coords = np.asarray(adata.obsm["spatial"])
+    # label the left half "black" → strong spatial clustering
+    adata.obs["left"] = coords[:, 0] < np.median(coords[:, 0])
+    adata = join_count_statistics(adata, "left", n_permutations=199, seed=0)
+    res = adata.uns["join_counts"]
+    assert res["p_BB"] <= 0.01
+    assert res["p_BW"] <= 0.01            # fewer BW joins than the null
+    # brute-force BB check on the binary adjacency
+    from spatialcore_tpu.spatial.autocorrelation import _load_stored_graph
+    g = _load_stored_graph(adata)
+    idx = np.asarray(g.neighbor_idx)
+    adj = np.asarray(g.neighbor_w) > 0
+    x = adata.obs["left"].to_numpy()
+    bb = sum(adj[i, j] and x[i] and x[idx[i, j]]
+             for i in range(len(x)) for j in range(idx.shape[1]))
+    np.testing.assert_allclose(res["BB"], bb)
+
+    # random labels → non-significant
+    rng = np.random.default_rng(0)
+    adata.obs["rand"] = rng.uniform(size=adata.n_obs) < 0.5
+    adata = join_count_statistics(adata, "rand", n_permutations=199,
+                                  seed=0, key_added="jc_rand")
+    assert adata.uns["jc_rand"]["p_BB"] > 0.03  # deterministic w/ fixed seeds
+
+    adata.obs["ct"] = ["A", "B"] * (adata.n_obs // 2)
+    with pytest.raises(ValueError, match="not boolean"):
+        join_count_statistics(adata, "ct")
+    adata = join_count_statistics(adata, "ct", category="A",
+                                  n_permutations=49, key_added="jc_cat")
+    assert "BB" in adata.uns["jc_cat"]
+    with pytest.raises(ValueError, match="constant"):
+        adata.obs["const"] = True
+        join_count_statistics(adata, "const")
