@@ -39,6 +39,8 @@ _RULES: List[Tuple[str, str]] = [
     (r"(naive)[\s\-_]+b\b", "naive b cell"),
     (r"(memory)[\s\-_]+b\b", "memory b cell"),
     (r"germinal\s+center\s+b|\bgc\s+b\b", "germinal center b cell"),
+    (r"follicular\s+b\b", "follicular b cell"),
+    (r"marginal\s+zone", "marginal zone b cell"),
     (r"\bb[\s\-_]?(cell|cells|lymphocyte)s?\b", "b cell"),
     # --- myeloid ---------------------------------------------------------
     (r"(classical|cd14\+?)[\s\-_]+mono", "classical monocyte"),
@@ -116,6 +118,12 @@ _RULES: List[Tuple[str, str]] = [
     # --- tumor / generic -------------------------------------------------------
     (r"tumou?r|malignant|cancer\s+cell|carcinoma|neoplastic",
      "malignant cell"),
+    (r"ionocyte", "ionocyte"),
+    (r"stellate", "hepatic stellate cell"),
+    (r"podocyte", "podocyte"),
+    (r"proximal\s+tubule", "epithelial cell of proximal tubule"),
+    (r"stromal", "stromal cell"),
+    (r"progenitor", "progenitor cell"),
     (r"lymphocyte", "lymphocyte"),
     (r"leukocyte|immune\s+cell", "leukocyte"),
 ]
