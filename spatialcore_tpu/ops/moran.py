@@ -302,6 +302,66 @@ def local_moran(
 
 
 # ---------------------------------------------------------------------------
+# Local Geary's C
+# ---------------------------------------------------------------------------
+
+
+class LocalGearyResult(NamedTuple):
+    local_C: jax.Array   # [N, G]
+    p_value: jax.Array   # [N, G] one-sided (low C = positive autocorr)
+
+
+@functools.partial(jax.jit, static_argnames=("n_permutations",))
+def local_geary(
+    graph: SpatialGraph,
+    Z: jax.Array,
+    seed: int = 0,
+    n_permutations: int = 0,
+) -> LocalGearyResult:
+    """Local Geary's C (Anselin 1995/2019): c_i = Σ_j w_ij (z_i − z_j)².
+
+    Small c_i = the cell resembles its neighbors (positive local
+    autocorrelation). Permutation p is one-sided on the low tail,
+    (#{c_perm ≤ c_obs} + 1)/(P + 1), one scan step per draw.
+    """
+    n, G = Z.shape
+    k = graph.neighbor_idx.shape[1]
+
+    def local_c(Zv, perm=None):
+        c = jnp.zeros_like(Zv)
+        for j in range(k):
+            idx = graph.neighbor_idx[:, j]
+            if perm is not None:
+                nb = Zv[perm[idx]]
+                me = Zv[perm]
+            else:
+                nb = Zv[idx]
+                me = Zv
+            d = me - nb
+            c = c + graph.neighbor_w[:, j:j + 1] * d * d
+        return c
+
+    c_obs = local_c(Z)
+    if n_permutations == 0:
+        return LocalGearyResult(c_obs, jnp.ones_like(c_obs))
+
+    base = key_for(seed, "perm_local_geary", 0)
+
+    def body(count, p):
+        perm = jax.random.permutation(jax.random.fold_in(base, p), n)
+        # conditional permutation: own value fixed, neighbors shuffled —
+        # approximated here by whole-column shuffle applied to both sides,
+        # the same total-randomization null as the reference's local stats
+        cp = local_c(Z, perm=perm)
+        return count + (cp <= c_obs).astype(jnp.int32), None
+
+    count, _ = jax.lax.scan(body, jnp.zeros((n, G), jnp.int32),
+                            jnp.arange(n_permutations))
+    p = (count + 1.0) / (n_permutations + 1.0)
+    return LocalGearyResult(c_obs, p)
+
+
+# ---------------------------------------------------------------------------
 # Join counts (binary autocorrelation)
 # ---------------------------------------------------------------------------
 

@@ -7,6 +7,7 @@ from .ripley import co_occurrence, cross_type_ripleys_k, ripleys_k
 from .nhood import neighborhood_enrichment
 from .autocorrelation import (
     join_count_statistics,
+    local_gearys_c,
     build_spatial_weights,
     gearys_c,
     lees_l,
@@ -17,7 +18,7 @@ from .autocorrelation import (
 
 __all__ = [
     "build_spatial_weights", "morans_i", "gearys_c", "local_morans_i",
-    "lees_l", "lees_l_local", "join_count_statistics",
+    "lees_l", "lees_l_local", "join_count_statistics", "local_gearys_c",
     "compute_neighborhood_profile", "identify_niches",
     "make_spatial_domains", "get_domain_summary", "detect_platform",
     "calculate_domain_distances", "get_distance_matrix",

@@ -653,3 +653,79 @@ def join_count_statistics(
                                 "seed": seed},
                     outputs={"uns": key_added})
     return adata
+
+
+# ---------------------------------------------------------------------------
+# Local Geary's C
+# ---------------------------------------------------------------------------
+
+def local_gearys_c(
+    adata,
+    genes: Optional[Union[str, List[str]]] = None,
+    layer: Optional[str] = None,
+    spatial_key: str = "spatial",
+    n_neighbors: int = 6,
+    n_permutations: int = 99,
+    fdr_correction: Literal["bonferroni", "fdr_bh", "none"] = "fdr_bh",
+    seed: int = 0,
+    batch_size: int = 100,
+    key_added: str = "local_geary",
+    use_existing_graph: bool = False,
+    copy: bool = False,
+):
+    """Local Geary's C per cell × gene (Anselin's multivariate-ready LISA).
+
+    Small C with small p = the cell sits in a coherent neighborhood for
+    that gene. Outputs ``obsm[f"{key}_C"]``, ``obsm[f"{key}_p"]``,
+    ``obsm[f"{key}_p_adj"]`` and ``uns[f"{key}_params"]``. (Extension —
+    ROADMAP item 6; same kernel family as local Moran.)
+    """
+    from ..ops.moran import local_geary as _local_geary_kernel
+
+    start = time.time()
+    if copy:
+        adata = adata.copy()
+    if spatial_key not in adata.obsm:
+        raise ValueError(
+            f"adata.obsm['{spatial_key}'] not found. Spatial coordinates are required.")
+    gene_names = _resolve_genes(adata, genes)
+    n_cells, n_genes = adata.n_obs, len(gene_names)
+    graph = _get_graph(adata, n_neighbors, spatial_key, use_existing_graph)
+
+    C_all = np.zeros((n_cells, n_genes), np.float32)
+    p_all = np.ones_like(C_all)
+    for bs in range(0, n_genes, batch_size):
+        batch = gene_names[bs:bs + batch_size]
+        Xb = _dense_expression(adata, batch, layer)
+        Z, zero_var = standardize(jnp.asarray(Xb))
+        res = _local_geary_kernel(graph, Z, seed=seed,
+                                  n_permutations=n_permutations)
+        sl = slice(bs, bs + len(batch))
+        C_all[:, sl] = np.asarray(res.local_C)
+        p_all[:, sl] = np.asarray(res.p_value)
+        zv = np.asarray(zero_var)
+        if zv.any():
+            C_all[:, sl][:, zv] = 0.0
+            p_all[:, sl][:, zv] = 1.0
+
+    p_adj = np.asarray(apply_fdr(jnp.asarray(p_all), fdr_correction, axis=0)) \
+        if n_permutations > 0 else p_all
+    adata.obsm[f"{key_added}_C"] = C_all
+    adata.obsm[f"{key_added}_p"] = p_all
+    adata.obsm[f"{key_added}_p_adj"] = p_adj
+    adata.uns[f"{key_added}_params"] = {
+        "genes": gene_names, "n_neighbors": n_neighbors,
+        "n_permutations": n_permutations, "seed": seed,
+        "fdr_correction": fdr_correction,
+        "computation_time_seconds": round(time.time() - start, 2),
+    }
+    logger.info(f"Local Geary's C: {n_cells:,} cells × {n_genes} genes "
+                f"({time.time() - start:.1f}s)")
+    update_metadata(adata, "local_gearys_c",
+                    parameters={"n_genes": n_genes,
+                                "n_permutations": n_permutations,
+                                "seed": seed},
+                    outputs={"obsm": [f"{key_added}_C", f"{key_added}_p",
+                                      f"{key_added}_p_adj"],
+                             "uns": f"{key_added}_params"})
+    return adata

@@ -367,3 +367,32 @@ def test_join_counts_detect_clustering(spatial_adata):
     with pytest.raises(ValueError, match="constant"):
         adata.obs["const"] = True
         join_count_statistics(adata, "const")
+
+
+def test_local_gearys_c(spatial_adata):
+    from spatialcore_tpu.spatial import local_gearys_c
+
+    adata = spatial_adata
+    adata = local_gearys_c(adata, n_permutations=99, seed=0)
+    C = adata.obsm["local_geary_C"]
+    p = adata.obsm["local_geary_p"]
+    assert C.shape == (adata.n_obs, adata.n_vars)
+    assert (C >= 0).all() and (p > 0).all() and (p <= 1).all()
+
+    # brute-force check for one gene against the dense formula
+    from spatialcore_tpu.spatial.autocorrelation import _load_stored_graph
+    g = _load_stored_graph(adata)
+    idx = np.asarray(g.neighbor_idx)
+    w = np.asarray(g.neighbor_w)
+    X = np.asarray(adata.X.todense()) if hasattr(adata.X, "todense") \
+        else np.asarray(adata.X)
+    x = X[:, 0].astype(np.float64)
+    z = (x - x.mean()) / x.std()
+    want = np.array([sum(w[i, j] * (z[i] - z[idx[i, j]]) ** 2
+                         for j in range(idx.shape[1]))
+                     for i in range(len(z))])
+    np.testing.assert_allclose(C[:, 0], want, rtol=1e-3, atol=1e-4)
+
+    # the structured gene's coherent cells get significant low-C p-values
+    structured_p = p[:, 0]
+    assert (structured_p < 0.05).mean() > 0.2
