@@ -10,6 +10,7 @@ over ICI for the neighbor gathers.
 """
 
 from .mesh import auto_mesh, cell_sharding, gene_sharding, replicated
+from .graph import sharded_build_graph, sharded_knn
 from .stats import (
     sharded_local_moran,
     sharded_moran,
@@ -19,4 +20,5 @@ from .stats import (
 __all__ = [
     "auto_mesh", "gene_sharding", "cell_sharding", "replicated",
     "sharded_moran", "sharded_local_moran", "sharded_permutation_test",
+    "sharded_knn", "sharded_build_graph",
 ]

@@ -92,3 +92,24 @@ def test_cell_sharded_lag_compiles(world):
         lag.block_until_ready()
     want = np.asarray(spatial_lag(graph, jnp.asarray(X)))
     np.testing.assert_allclose(np.asarray(lag), want, atol=1e-6)
+
+
+def test_sharded_knn_matches_single_device(world):
+    from spatialcore_tpu.ops.graph import knn_grid
+    from spatialcore_tpu.parallel import auto_mesh, sharded_build_graph, sharded_knn
+
+    rng = np.random.default_rng(5)
+    coords = rng.uniform(0, 2000, (3000, 2)).astype(np.float32)
+    mesh = auto_mesh()
+    idx_s, dist_s = sharded_knn(coords, 6, mesh, tile=256)
+    idx_1, dist_1 = knn_grid(coords, 6)
+    np.testing.assert_allclose(np.sort(np.asarray(dist_s), axis=1),
+                               np.sort(np.asarray(dist_1), axis=1),
+                               rtol=1e-4, atol=1e-5)
+    same = (np.sort(np.asarray(idx_s), axis=1)
+            == np.sort(np.asarray(idx_1), axis=1)).mean()
+    assert same > 0.999
+
+    g = sharded_build_graph(coords, mesh, n_neighbors=6)
+    np.testing.assert_allclose(np.asarray(g.neighbor_w).sum(axis=1), 1.0,
+                               rtol=1e-6)
