@@ -1,6 +1,7 @@
 """Spatial statistics: autocorrelation, neighborhoods, niches, domains."""
 
-from .neighborhoods import compute_neighborhood_profile, identify_niches
+from .neighborhoods import (compute_neighborhood_profile, identify_niches,
+                            niche_stability)
 from .domains import detect_platform, get_domain_summary, make_spatial_domains
 from .distance import calculate_domain_distances, get_distance_matrix
 from .ripley import co_occurrence, cross_type_ripleys_k, ripleys_k
@@ -19,7 +20,7 @@ from .autocorrelation import (
 __all__ = [
     "build_spatial_weights", "morans_i", "gearys_c", "local_morans_i",
     "lees_l", "lees_l_local", "join_count_statistics", "local_gearys_c",
-    "compute_neighborhood_profile", "identify_niches",
+    "compute_neighborhood_profile", "identify_niches", "niche_stability",
     "make_spatial_domains", "get_domain_summary", "detect_platform",
     "calculate_domain_distances", "get_distance_matrix",
     "ripleys_k", "cross_type_ripleys_k", "neighborhood_enrichment",

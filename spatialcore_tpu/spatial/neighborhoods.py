@@ -129,6 +129,73 @@ def compute_neighborhood_profile(
     return adata
 
 
+def niche_stability(
+    adata,
+    n_niches_range=None,
+    neighborhood_key: str = "neighborhood_profile",
+    n_restarts: int = 5,
+    subsample: float = 0.8,
+    seed: int = 0,
+    key_added: str = "niche_stability",
+    max_iter: int = 100,
+):
+    """Bootstrap stability of the niche clustering across k.
+
+    For each candidate ``n_niches``: run the jit k-means on ``n_restarts``
+    seeded subsamples, score all-pairs ARI between runs on the common
+    cells, and record mean inertia. High mean ARI = the niche structure is
+    reproducible at that k. Results in ``uns[key_added]`` (per-k mean/std
+    ARI + inertia) — the model-selection helper the reference leaves to
+    the user.
+    """
+    from sklearn.metrics import adjusted_rand_score
+
+    from ..core.rng import np_rng
+
+    if neighborhood_key not in adata.obsm:
+        raise ValueError(
+            f"adata.obsm['{neighborhood_key}'] not found. "
+            "Run compute_neighborhood_profile() first.")
+    profiles = np.asarray(adata.obsm[neighborhood_key], dtype=np.float32)
+    n_cells = profiles.shape[0]
+    if n_niches_range is None:
+        n_niches_range = range(3, 11)
+    rows = []
+    for k_niche in n_niches_range:
+        labels_runs = []
+        masks = []
+        inertias = []
+        for r in range(n_restarts):
+            rng = np_rng(seed, "niche_stability", k_niche, r)
+            idx = np.sort(rng.choice(n_cells, int(subsample * n_cells),
+                                     replace=False))
+            res = kmeans(jnp.asarray(profiles[idx]), k_niche,
+                         seed=seed * 1000 + r, n_init=3, max_iter=max_iter)
+            lab = np.full(n_cells, -1, np.int32)
+            lab[idx] = np.asarray(res.labels)
+            labels_runs.append(lab)
+            masks.append(idx)
+            inertias.append(float(res.inertia) / idx.size)
+        aris = []
+        for i in range(n_restarts):
+            for j in range(i + 1, n_restarts):
+                common = np.intersect1d(masks[i], masks[j])
+                aris.append(adjusted_rand_score(labels_runs[i][common],
+                                                labels_runs[j][common]))
+        rows.append({"n_niches": int(k_niche),
+                     "ari_mean": float(np.mean(aris)),
+                     "ari_std": float(np.std(aris)),
+                     "inertia_per_cell": float(np.mean(inertias))})
+        logger.info(f"  k={k_niche}: ARI {rows[-1]['ari_mean']:.3f} ± "
+                    f"{rows[-1]['ari_std']:.3f}")
+    adata.uns[key_added] = rows
+    update_metadata(adata, "niche_stability",
+                    parameters={"n_restarts": n_restarts,
+                                "subsample": subsample, "seed": seed},
+                    outputs={"uns": key_added})
+    return adata
+
+
 def identify_niches(
     adata,
     n_niches: int,

@@ -164,3 +164,22 @@ def test_identify_niches_validation(typed_adata):
         (300, 4)).astype(np.float32)
     with pytest.raises(ValueError, match="n_niches must be >= 2"):
         identify_niches(typed_adata, 1)
+
+
+def test_niche_stability_prefers_true_k():
+    """Profiles with 3 well-separated composition clusters → ARI peaks at 3."""
+    from spatialcore_tpu.spatial import niche_stability
+
+    rng = np.random.default_rng(0)
+    n = 600
+    adata = make_adata(n_obs=n, n_vars=4)
+    base = np.eye(3, 5, dtype=np.float32)
+    prof = base[rng.integers(0, 3, n)] + rng.uniform(0, 0.08, (n, 5))
+    prof /= prof.sum(axis=1, keepdims=True)
+    adata.obsm["neighborhood_profile"] = prof.astype(np.float32)
+    adata = niche_stability(adata, n_niches_range=[2, 3, 6],
+                            n_restarts=4, seed=0)
+    rows = {r["n_niches"]: r for r in adata.uns["niche_stability"]}
+    assert rows[3]["ari_mean"] > 0.95         # true structure is stable
+    assert rows[3]["ari_mean"] >= rows[6]["ari_mean"] - 1e-6
+    assert rows[6]["ari_mean"] < 0.9          # overclustering is unstable
