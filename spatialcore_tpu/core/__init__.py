@@ -3,6 +3,7 @@
 from .cache import cache_result, clear_cache, get_cache_path
 from .container import AlignedDict, Raw, SpatialData, concat
 from .genes import (
+    download_ensembl_mapping,
     is_ensembl_id,
     load_ensembl_to_hugo_mapping,
     normalize_gene_names,
@@ -35,5 +36,6 @@ __all__ = [
     "check_normalization_status", "find_raw_counts_source",
     "normalize_total", "log1p", "normalize_log1p_from_raw",
     "normalize_gene_names", "load_ensembl_to_hugo_mapping", "is_ensembl_id",
+    "download_ensembl_mapping",
     "key_for", "permutation_keys", "batch_permutations",
 ]
