@@ -10,6 +10,7 @@ behavioral ports (string work stays on host, SURVEY.md §7 decision 5).
 from .expression import (
     DEFAULT_ONTOLOGY_COLUMNS,
     evaluate_ontology_expression,
+    get_ontology_ids_in_expression,
 )
 from .model import CellTypeModel
 from .training import (
@@ -18,6 +19,8 @@ from .training import (
     combine_references,
     ensure_normalized,
     generate_color_scheme,
+    get_panel_genes,
+    get_training_summary,
     save_model_artifacts,
     subsample_balanced,
     train_cell_type_model,
@@ -27,32 +30,63 @@ from .annotate import (
     TISSUE_MODEL_PRESETS,
     annotate_cells,
     annotate_celltypist,
+    get_annotation_summary,
+    get_model_gene_overlap,
     get_models_for_tissue,
 )
 from .confidence import (
     ConfidenceMethod,
+    compute_confidence_from_obsm,
     extract_decision_scores,
     filter_by_marker_validation,
     filter_low_confidence,
     filter_low_count_types,
     transform_confidence,
 )
-from .markers import get_markers_for_type, load_canonical_markers
+from .markers import (get_markers_for_type, list_available_cell_types,
+                      load_canonical_markers)
 from .pipeline import TrainingConfig, train_and_annotate, train_and_annotate_config
-from .loading import load_adata_backed, stratified_sample_indices
+from .loading import (
+    estimate_adata_memory_gb,
+    get_available_memory_gb,
+    get_loading_summary,
+    load_adata_backed,
+    stratified_sample_indices,
+    subsample_adata,
+)
+from ..core import (  # reference re-exports these from annotation
+    check_normalization_status,
+    load_ensembl_to_hugo_mapping,
+    normalize_gene_names,
+)
 from .acquisition import acquire_reference, resolve_uri_to_local
+from .cellxgene import (download_cellxgene_reference, list_available_datasets,
+                        query_cellxgene_census)
+from .synapse import (authenticate_synapse, download_synapse_folder,
+                      download_synapse_reference, get_synapse_entity_info,
+                      list_synapse_folder)
 from .discovery import (
     DiscoveredDataset,
+    create_metadata_template,
     discover_training_data,
+    load_local_metadata,
     make_metadata_template,
+    print_discovery_summary,
+    query_local_references,
     query_metadata,
 )
 from .ontology import (
     BLACKLISTED_CL_IDS,
     SKIP_LABELS,
+    UNKNOWN_CELL_TYPE_ID,
+    UNKNOWN_CELL_TYPE_NAME,
+    OntologyMappingResult,
     add_ontology_ids,
+    create_mapping_table,
     extract_biological_tokens,
+    has_ontology_ids,
     load_ontology_index,
+    match_to_canonical,
     search_ontology_index,
 )
 from .patterns import CELL_TYPE_PATTERNS, get_canonical_term
@@ -69,6 +103,8 @@ __all__ = [
     "load_adata_backed", "stratified_sample_indices",
     "acquire_reference", "resolve_uri_to_local",
     "discover_training_data", "DiscoveredDataset",
+    "print_discovery_summary", "query_local_references", "subsample_adata",
+    "query_cellxgene_census", "download_cellxgene_reference",
     "make_metadata_template", "query_metadata",
     "add_ontology_ids", "search_ontology_index", "load_ontology_index",
     "extract_biological_tokens", "SKIP_LABELS", "BLACKLISTED_CL_IDS",

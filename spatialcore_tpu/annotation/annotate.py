@@ -219,3 +219,24 @@ def annotate_cells(
 
 # Drop-in name parity with the reference API.
 annotate_celltypist = annotate_cells
+
+
+def get_model_gene_overlap(adata, model) -> dict:
+    """Overlap stats between a model's genes and the query panel."""
+    gene_idx = _gene_overlap(model, list(adata.var_names))
+    n = int((gene_idx >= 0).sum())
+    return {"n_model_genes": model.n_genes, "n_overlap": n,
+            "overlap_pct": round(100.0 * n / model.n_genes, 2),
+            "missing": [g for g, i in zip(model.genes, gene_idx) if i < 0][:50]}
+
+
+def get_annotation_summary(adata) -> dict:
+    """Post-annotation summary: per-type counts + pipeline provenance."""
+    out = dict(adata.uns.get("spatialcore_annotation", {}))
+    if "cell_type" in adata.obs.columns:
+        out["type_counts"] = (adata.obs["cell_type"].astype(str)
+                              .value_counts().to_dict())
+    if "cell_type_confidence" in adata.obs.columns:
+        conf = adata.obs["cell_type_confidence"]
+        out["median_confidence"] = float(conf.median())
+    return out

@@ -114,3 +114,8 @@ def query_cellxgene_census(
     adata.write_h5ad(out)
     logger.info(f"Census reference → {out}")
     return out
+
+
+def list_available_datasets() -> dict:
+    """The curated CellxGene registry (name → metadata)."""
+    return dict(CELLXGENE_REGISTRY)

@@ -206,3 +206,15 @@ def filter_by_marker_validation(
                         "validated_types": validated_types},
                     outputs={"obs": cell_type_column})
     return adata
+
+
+def compute_confidence_from_obsm(
+    adata,
+    key: str = "cell_type_decision_scores",
+    method: ConfidenceMethod = "zscore",
+    out_column: str = "cell_type_confidence",
+):
+    """Recompute per-cell confidence from stored decision scores."""
+    scores, _ = extract_decision_scores(adata, key)
+    adata.obs[out_column] = transform_confidence(scores, method)
+    return adata

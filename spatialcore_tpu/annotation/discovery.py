@@ -112,3 +112,39 @@ def query_metadata(
     if tissue and "tissue" in df.columns:
         df = df[df["tissue"].astype(str).str.lower() == tissue.lower()]
     return df.reset_index(drop=True)
+
+
+def print_discovery_summary(datasets) -> None:
+    """Human-readable table of discovered datasets."""
+    if not datasets:
+        print("No datasets discovered.")
+        return
+    total = sum(d.size_bytes or 0 for d in datasets)
+    print(f"{len(datasets)} datasets ({total / 1e9:.2f} GB total)")
+    for d in sorted(datasets, key=lambda x: -(x.size_bytes or 0)):
+        size = f"{d.size_gb:.2f} GB" if d.size_gb else "?"
+        print(f"  {d.name:40s} {size:>10s}  {d.source}  {d.uri}")
+
+
+def query_local_references(
+    root,
+    pattern: str = "*.h5ad",
+    tissue: Optional[str] = None,
+    metadata_csv=None,
+):
+    """Discover local references, optionally filtered by a curated CSV."""
+    datasets = discover_training_data(root, pattern=pattern)
+    if metadata_csv is not None:
+        df = query_metadata(metadata_csv, tissue=tissue)
+        keep = set(df["uri"].astype(str))
+        datasets = [d for d in datasets if d.uri in keep]
+    return datasets
+
+
+def load_local_metadata(metadata_csv) -> pd.DataFrame:
+    """Read a curated metadata CSV unfiltered (reference-name alias)."""
+    return pd.read_csv(metadata_csv)
+
+
+# Reference-name alias
+create_metadata_template = make_metadata_template

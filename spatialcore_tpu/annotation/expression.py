@@ -175,3 +175,8 @@ def evaluate_ontology_expression(
     n_match = int(mask.sum())
     logger.info(f"Filter '{expression}': {n_match:,}/{n:,} cells match")
     return pd.Series(mask, index=adata.obs.index)
+
+
+def get_ontology_ids_in_expression(expression: str):
+    """The ontology CURIEs referenced by a boolean expression."""
+    return [t for t in tokenize(expression) if ":" in t]

@@ -131,3 +131,56 @@ def load_adata_backed(
         if "uns" in f:
             adata.uns.update(_read_any(f["uns"]))
     return adata
+
+
+def subsample_adata(
+    adata,
+    n_cells: int,
+    stratify_by: Optional[str] = None,
+    seed: int = 0,
+):
+    """Deterministic (optionally stratified) subsample of an in-memory
+    SpatialData (reference parity name)."""
+    if n_cells >= adata.n_obs:
+        return adata
+    if stratify_by and stratify_by in adata.obs.columns:
+        rows = stratified_sample_indices(
+            adata.obs[stratify_by].astype(str).to_numpy(), n_cells, seed)
+    else:
+        rows = np.sort(np_rng(seed, "subsample_adata").choice(
+            adata.n_obs, size=n_cells, replace=False))
+    return adata[rows]
+
+
+def estimate_adata_memory_gb(path) -> float:
+    """Rough in-memory size of an h5ad (file size ×1.5 for CSR overheads)."""
+    return round(Path(path).stat().st_size * 1.5 / 1e9, 3)
+
+
+def get_available_memory_gb() -> float:
+    """Available system memory in GB (psutil when present, /proc fallback)."""
+    try:
+        import psutil
+
+        return round(psutil.virtual_memory().available / 1e9, 2)
+    except ImportError:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable"):
+                    return round(int(line.split()[1]) * 1024 / 1e9, 2)
+    return float("nan")
+
+
+def get_loading_summary(adata) -> dict:
+    """Shape/sparsity/memory snapshot of a loaded dataset."""
+    import scipy.sparse as _sp
+
+    X = adata.X
+    nnz = int(X.nnz) if _sp.issparse(X) else int(np.count_nonzero(X))
+    bytes_ = X.data.nbytes + X.indices.nbytes + X.indptr.nbytes \
+        if _sp.issparse(X) else X.nbytes
+    return {"n_obs": adata.n_obs, "n_vars": adata.n_vars,
+            "sparsity": round(1 - nnz / max(adata.n_obs * adata.n_vars, 1), 4),
+            "memory_gb": round(bytes_ / 1e9, 3),
+            "layers": list(adata.layers.keys()),
+            "has_raw": adata.raw is not None}

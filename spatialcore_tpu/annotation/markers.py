@@ -44,3 +44,8 @@ def get_markers_for_type(cell_type: str,
         return markers[cell_type]
     low = {k.lower(): v for k, v in markers.items()}
     return low.get(cell_type.lower(), [])
+
+
+def list_available_cell_types(path=None):
+    """Cell types with bundled canonical markers."""
+    return sorted(load_canonical_markers(path))

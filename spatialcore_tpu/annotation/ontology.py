@@ -53,6 +53,17 @@ SKIP_LABELS = {
 
 _INDEX_CACHE: Dict[str, Dict] = {}
 
+UNKNOWN_CELL_TYPE_ID = "unknown"
+UNKNOWN_CELL_TYPE_NAME = "unknown"
+
+
+class OntologyMappingResult(dict):
+    """Mapping result for one label: id / name / score / tier (dict-like)."""
+
+    @property
+    def matched(self) -> bool:
+        return self.get("id") is not None
+
 
 def load_ontology_index(path: Optional[Union[str, Path]] = None) -> Dict:
     """Load (and cache) the ontology index: {"metadata", "cl": {label: …}}."""
@@ -271,3 +282,24 @@ def add_ontology_ids(
         outputs={"obs": [target_column, f"{target_column}_tier",
                          f"{target_column}_score"]})
     return adata
+
+
+def has_ontology_ids(adata,
+                     column: str = "cell_type_ontology_term_id") -> bool:
+    """True if the column exists and carries at least one valid CURIE."""
+    if column not in adata.obs.columns:
+        return False
+    vals = adata.obs[column].dropna().astype(str)
+    return bool(vals.str.match(r"^[A-Z]+:[0-9A-Z]+$").any())
+
+
+def create_mapping_table(labels, **kwargs) -> "pd.DataFrame":
+    """Label → (id, name, score, tier) DataFrame via the tiered matcher."""
+    matches = search_ontology_index(list(labels), **kwargs)
+    return pd.DataFrame(
+        [{"label": l, **m} for l, m in matches.items()])
+
+
+def match_to_canonical(label: str):
+    """Pattern-table canonicalization (reference-name alias)."""
+    return get_canonical_term(label)

@@ -85,3 +85,17 @@ def download_synapse_folder(
             paths.append(Path(entity.path))
     logger.info(f"Downloaded {len(paths)} files from {folder_id}")
     return paths
+
+
+def authenticate_synapse(token: Optional[str] = None):
+    """Login and return the Synapse client (reference-name alias)."""
+    return _login(token)
+
+
+def get_synapse_entity_info(entity_id: str, token: Optional[str] = None) -> dict:
+    """Name/type/size metadata for a Synapse entity without downloading."""
+    syn = _login(token)
+    e = syn.get(entity_id, downloadFile=False)
+    return {"id": entity_id, "name": getattr(e, "name", None),
+            "type": type(e).__name__,
+            "size": getattr(e, "fileSize", None)}

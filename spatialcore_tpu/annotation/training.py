@@ -457,3 +457,17 @@ def save_model_artifacts(
     return {"model": model_path,
             "metadata": model_path.with_suffix(".json"),
             "colors": colors_path}
+
+
+def get_panel_genes(adata) -> list:
+    """The query panel gene list (pipeline Stage 1, reference training.py:460)."""
+    return list(adata.var_names)
+
+
+def get_training_summary(model) -> dict:
+    """Compact summary of a trained CellTypeModel."""
+    return {"model_name": model.metadata.get("model_name"),
+            "n_genes": model.n_genes, "n_classes": model.n_classes,
+            "classes": model.classes,
+            "n_training_cells": model.metadata.get("n_training_cells"),
+            "final_loss": model.metadata.get("final_loss")}

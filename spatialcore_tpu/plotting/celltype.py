@@ -94,3 +94,8 @@ def plot_celltype_embedding(
     if path:
         return save_figure(fig, path)
     return fig
+
+
+def plot_celltype_umap(adata, basis: str = "X_umap", **kwargs):
+    """Embedding scatter under the reference's UMAP-specific name."""
+    return plot_celltype_embedding(adata, basis=basis, **kwargs)

@@ -88,3 +88,13 @@ def plot_model_contribution(
     if path:
         return save_figure(fig, path)
     return fig
+
+
+def plot_confidence_violin(adata, **kwargs):
+    """Violin variant of the per-type confidence figure (reference name)."""
+    kwargs.setdefault("kind", "violin")
+    return plot_confidence_by_celltype(adata, **kwargs)
+
+
+# Reference-name alias
+plot_celltype_confidence = plot_confidence_by_celltype

@@ -190,3 +190,7 @@ def plot_domain_distances(
     if path:
         return save_figure(fig, path)
     return fig
+
+
+# Reference-name alias (plotting/spatial.py:404)
+plot_spatial_multi_gene = plot_spatial_genes

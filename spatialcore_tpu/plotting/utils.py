@@ -93,3 +93,24 @@ def despine(ax, top: bool = True, right: bool = True, left: bool = False,
                       ("bottom", bottom)):
         if off:
             ax.spines[side].set_visible(False)
+
+
+# Reference-name aliases
+save_celltype_palette = save_palette
+load_celltype_palette = load_palette
+setup_multi_figure = setup_figure
+
+
+def close_figure(fig) -> None:
+    """Close a matplotlib figure (frees memory in long loops)."""
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
+def format_axis_labels(ax, rotation: int = 60, fontsize: int = 7) -> None:
+    """Rotate/shrink x tick labels (the QC-figure default styling)."""
+    for lab in ax.get_xticklabels():
+        lab.set_rotation(rotation)
+        lab.set_ha("right")
+        lab.set_fontsize(fontsize)

@@ -375,3 +375,7 @@ def generate_annotation_plots(
         logger.warning(f"2D validation skipped: {e}")
     logger.info(f"QC plots → {out} ({len(written)} figures)")
     return written
+
+
+# Reference-name alias (plotting/validation.py:954)
+plot_ontology_mapping = plot_ontology_mapping_table
