@@ -73,6 +73,38 @@ def sharded_permutation_test(
             alternative=alternative)
 
 
+def sharded_lees_l(
+    graph: SpatialGraph,
+    Zx: jax.Array,
+    Zy: jax.Array,
+    seed: int,
+    n_permutations: int,
+    mesh: Mesh,
+    compute_cell_pvalues: bool = False,
+):
+    """Lee's L for many gene pairs, pair-axis sharded over the mesh.
+
+    ``Zx``/``Zy`` are [N, P] standardized pair columns; the pair axis maps
+    onto the mesh's ``genes`` axis (each draw's shuffle is shared across
+    pairs via counter-based keys, so shards never communicate).
+    """
+    from ..ops.lee import lees_l_pairs
+
+    rep = replicated(mesh)
+    gs = gene_sharding(mesh, ndim=2)
+    graph = SpatialGraph(
+        neighbor_idx=jax.device_put(graph.neighbor_idx, rep),
+        neighbor_w=jax.device_put(graph.neighbor_w, rep),
+        valid=jax.device_put(graph.valid, rep),
+        distances=jax.device_put(graph.distances, rep))
+    Zx = jax.device_put(Zx, gs)
+    Zy = jax.device_put(Zy, gs)
+    with mesh:
+        return lees_l_pairs(graph, Zx, Zy, seed=seed,
+                            n_permutations=n_permutations,
+                            compute_cell_pvalues=compute_cell_pvalues)
+
+
 def sharded_local_moran(
     graph: SpatialGraph,
     X: jax.Array,

@@ -113,3 +113,20 @@ def test_sharded_knn_matches_single_device(world):
     g = sharded_build_graph(coords, mesh, n_neighbors=6)
     np.testing.assert_allclose(np.asarray(g.neighbor_w).sum(axis=1), 1.0,
                                rtol=1e-6)
+
+
+def test_sharded_lees_l_matches_single_device(world):
+    from spatialcore_tpu.ops.lee import lees_l_pairs
+    from spatialcore_tpu.parallel import auto_mesh, sharded_lees_l
+
+    graph, X = world
+    Z, _ = standardize(jnp.asarray(X))
+    Zx, Zy = Z[:, :8], Z[:, 8:16]
+    mesh = auto_mesh()
+    res_s = sharded_lees_l(graph, Zx, Zy, seed=2, n_permutations=20,
+                           mesh=mesh)
+    res_1 = lees_l_pairs(graph, Zx, Zy, seed=2, n_permutations=20)
+    np.testing.assert_allclose(np.asarray(res_s.L_global),
+                               np.asarray(res_1.L_global), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(res_s.p_global),
+                                  np.asarray(res_1.p_global))
