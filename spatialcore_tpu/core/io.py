@@ -87,7 +87,12 @@ def _write_dataframe(group: h5py.Group, name: str, df: pd.DataFrame) -> None:
     g.attrs["_index"] = index_name
     g.attrs["column-order"] = np.array(list(df.columns), dtype=object) \
         if len(df.columns) else np.empty(0, dtype=_STR_DTYPE)
-    _write_array(g, index_name, df.index.astype(str).to_numpy())
+    if pd.api.types.is_numeric_dtype(df.index):
+        # preserve numeric indexes (e.g. RangeIndex of a uns DataFrame);
+        # obs/var string indexes keep the anndata string convention
+        _write_array(g, index_name, df.index.to_numpy())
+    else:
+        _write_array(g, index_name, df.index.astype(str).to_numpy())
     for col in df.columns:
         series = df[col]
         if isinstance(series.dtype, pd.CategoricalDtype):
