@@ -162,6 +162,7 @@ def _global_autocorr(
     assumption: str,
     alternative: Optional[str],
     gene_batch_size: int,
+    mesh=None,
 ):
     start = time.time()
     if copy:
@@ -178,11 +179,39 @@ def _global_autocorr(
     moments = graph_moments(graph)
     S0, S1, S2 = moments["S0"], moments["S1"], moments["S2"]
 
+    place_Z = None
+    if mesh is not None:
+        # gene-shard batches over the mesh: graph replicated, no
+        # collectives in the permutation loop (parallel.stats design)
+        from ..parallel.mesh import gene_sharding, replicated
+        import jax as _jax
+
+        rep = replicated(mesh)
+        graph = SpatialGraph(
+            neighbor_idx=_jax.device_put(graph.neighbor_idx, rep),
+            neighbor_w=_jax.device_put(graph.neighbor_w, rep),
+            valid=_jax.device_put(graph.valid, rep),
+            distances=_jax.device_put(graph.distances, rep))
+        gs = gene_sharding(mesh, ndim=2)
+        n_shards = int(np.prod([mesh.shape[a] for a in ("genes",)
+                                if a in mesh.shape])) or 1
+
+        def place_Z(Xb):
+            pad = (-Xb.shape[1]) % n_shards
+            if pad:
+                Xb = np.pad(Xb, ((0, 0), (0, pad)))
+            return _jax.device_put(jnp.asarray(Xb), gs), pad
+
     rows = []
     for batch_start in range(0, len(gene_names), gene_batch_size):
         batch = gene_names[batch_start:batch_start + gene_batch_size]
         Xb = _dense_expression(adata, batch, layer)
-        Z, zero_var = standardize(jnp.asarray(Xb))
+        pad = 0
+        if place_Z is not None:
+            Xj, pad = place_Z(Xb)
+        else:
+            Xj = jnp.asarray(Xb)
+        Z, zero_var = standardize(Xj)
         if stat == "moran":
             observed = moran_observed(graph, Z, S0)
             expected, var = moran_analytic_moments(Z, S0, S1, S2, assumption)
@@ -199,10 +228,10 @@ def _global_autocorr(
             p_val = p_sim
         else:
             p_val = p_norm
-        observed = np.asarray(observed)
-        z_score = np.asarray(z_score)
-        p_val = np.asarray(p_val)
-        zero_var = np.asarray(zero_var)
+        observed = np.asarray(observed)[:len(batch)]
+        z_score = np.asarray(z_score)[:len(batch)]
+        p_val = np.asarray(p_val)[:len(batch)]
+        zero_var = np.asarray(zero_var)[:len(batch)]
         for i, g in enumerate(batch):
             rows.append({
                 "gene": g,
@@ -248,6 +277,7 @@ def morans_i(
     assumption: Literal["normality", "randomization"] = "normality",
     alternative: Optional[Literal["greater", "less", "two-sided"]] = None,
     gene_batch_size: int = 512,
+    mesh=None,
 ):
     """Global Moran's I per gene.
 
@@ -260,7 +290,7 @@ def morans_i(
     return _global_autocorr(
         adata, "moran", genes, layer, spatial_key, n_neighbors, n_permutations,
         seed, key_added, copy, use_existing_graph, assumption, alternative,
-        gene_batch_size)
+        gene_batch_size, mesh=mesh)
 
 
 def gearys_c(
@@ -277,6 +307,7 @@ def gearys_c(
     assumption: Literal["normality", "randomization"] = "normality",
     alternative: Optional[Literal["greater", "less", "two-sided"]] = None,
     gene_batch_size: int = 512,
+    mesh=None,
 ):
     """Global Geary's C per gene (BASELINE config 2 extension).
 
@@ -287,7 +318,7 @@ def gearys_c(
     return _global_autocorr(
         adata, "geary", genes, layer, spatial_key, n_neighbors, n_permutations,
         seed, key_added, copy, use_existing_graph, assumption, alternative,
-        gene_batch_size)
+        gene_batch_size, mesh=mesh)
 
 
 # ---------------------------------------------------------------------------

@@ -130,3 +130,18 @@ def test_sharded_lees_l_matches_single_device(world):
                                np.asarray(res_1.L_global), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(res_s.p_global),
                                   np.asarray(res_1.p_global))
+
+
+def test_morans_i_with_mesh_matches_single_device():
+    from conftest import make_adata
+    from spatialcore_tpu.parallel import auto_mesh
+    from spatialcore_tpu.spatial import morans_i
+
+    adata = make_adata(n_obs=300, n_vars=10)
+    ref = morans_i(adata.copy(), n_permutations=25, seed=3)
+    mesh = auto_mesh()
+    got = morans_i(adata.copy(), n_permutations=25, seed=3, mesh=mesh)
+    r = ref.uns["morans_i"].set_index("gene")
+    g = got.uns["morans_i"].set_index("gene")
+    np.testing.assert_allclose(g["I"], r["I"], rtol=1e-5, atol=1e-7)
+    np.testing.assert_array_equal(g["p_value"], r["p_value"])
