@@ -249,9 +249,12 @@ def subsample_balanced(
     group_col = group_by_column or cell_type_column
     if group_col not in adata.obs.columns:
         raise ValueError(f"Column '{group_col}' not found in obs")
-    groups = adata.obs[group_col].astype(str).to_numpy()
+    # fillna BEFORE grouping: astype(str) preserves NaN (pandas string
+    # dtype) and nan != nan would silently drop every ungrouped cell
+    groups = (adata.obs[group_col].astype(str).fillna("__ungrouped__")
+              .to_numpy())
     has_source = source_column in adata.obs.columns
-    sources = (adata.obs[source_column].astype(str).to_numpy()
+    sources = (adata.obs[source_column].astype(str).fillna("all").to_numpy()
                if has_source else np.full(adata.n_obs, "all"))
 
     keep = []

@@ -200,3 +200,16 @@ def test_annotate_over_clustering_majority(trained):
         assert len(set(seg)) == 1          # one label per cluster
     with pytest.raises(ValueError, match="over_clustering"):
         annotate_cells(query, model, over_clustering="missing")
+
+
+def test_subsample_balanced_keeps_ungrouped_cells():
+    """Regression: NaN group values (unmapped ontology IDs) must not drop
+    cells — pandas' astype(str) preserves NaN and nan != nan emptied the
+    group selection."""
+    adata = _make_reference(n_per_type=50)
+    ids = np.full(adata.n_obs, None, dtype=object)
+    ids[:50] = "CL:0000236"                  # only one type maps
+    adata.obs["cell_type_ontology_term_id"] = pd.array(ids, dtype=object)
+    sub = subsample_balanced(adata, max_cells_per_type=5000,
+                             group_by_column="cell_type_ontology_term_id")
+    assert sub.n_obs == adata.n_obs          # under cap: nothing dropped

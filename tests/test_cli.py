@@ -53,3 +53,40 @@ def test_cli_moran_and_domains(tmp_path):
     assert out.exists()
     back = sct.read_h5ad(out)
     assert "spatial_domain" in back.obs.columns
+
+
+def test_cli_pipeline(tmp_path):
+    rng = np.random.default_rng(1)
+    TYPES = ["A", "B", "C"]
+    n_per = 120
+    n = n_per * 3
+    counts = rng.poisson(1.0, (n, 18)).astype(np.float32)
+    for t in range(3):
+        counts[t * n_per:(t + 1) * n_per, t * 5:t * 5 + 5] += rng.poisson(
+            7.0, (n_per, 5))
+    ref = make_adata(n_obs=n, n_vars=18)
+    ref.X = sp.csr_matrix(counts)
+    ref.layers["counts"] = sp.csr_matrix(counts)
+    ref.obs["cell_type"] = np.repeat(TYPES, n_per)
+    sct.write_h5ad(ref, tmp_path / "ref.h5ad")
+
+    q = make_adata(n_obs=n, n_vars=18)
+    qc = counts[rng.permutation(n)]
+    q.X = sp.csr_matrix(qc)
+    q.layers["counts"] = sp.csr_matrix(qc)
+    sct.write_h5ad(q, tmp_path / "q.h5ad")
+
+    from spatialcore_tpu.annotation import TrainingConfig
+
+    TrainingConfig(references=[str(tmp_path / "ref.h5ad")], epochs=8,
+                   confidence_threshold=0.5, make_plots=False,
+                   ).to_yaml(tmp_path / "cfg.yaml")
+
+    r = _cli("pipeline", str(tmp_path / "cfg.yaml"),
+             "--adata", str(tmp_path / "q.h5ad"),
+             "--out", str(tmp_path / "annotated.h5ad"))
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "annotated" in r.stdout
+    back = sct.read_h5ad(tmp_path / "annotated.h5ad")
+    assert back.obs["cell_type"].notna().all()
+    assert back.uns["spatialcore_annotation"]["n_types"] == 3
