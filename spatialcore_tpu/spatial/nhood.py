@@ -87,7 +87,12 @@ def neighborhood_enrichment(
 
     graph = _get_graph(adata, n_neighbors, spatial_key,
                        use_existing_graph=True)
-    labels = adata.obs[cluster_key].astype(str)
+    labels = adata.obs[cluster_key]
+    if labels.isna().any():
+        raise ValueError(
+            f"adata.obs['{cluster_key}'] contains null labels; drop or "
+            "fill them first.")
+    labels = labels.astype(str)
     types = sorted(labels.unique())
     if len(types) < 2:
         raise ValueError("neighborhood_enrichment needs ≥2 types")

@@ -88,7 +88,12 @@ def co_occurrence(
     if cluster_key not in adata.obs.columns:
         raise ValueError(f"adata.obs['{cluster_key}'] not found")
     coords = np.asarray(adata.obsm[spatial_key], np.float32)[:, :2]
-    labels = adata.obs[cluster_key].astype(str)
+    labels = adata.obs[cluster_key]
+    if labels.isna().any():
+        raise ValueError(
+            f"adata.obs['{cluster_key}'] contains null labels; drop or "
+            "fill them first.")
+    labels = labels.astype(str)
     types = sorted(labels.unique())
     if len(types) < 2:
         raise ValueError("co_occurrence needs ≥2 types")
@@ -144,7 +149,12 @@ def cross_type_ripleys_k(
     if cluster_key not in adata.obs.columns:
         raise ValueError(f"adata.obs['{cluster_key}'] not found")
     coords = np.asarray(adata.obsm[spatial_key], np.float32)[:, :2]
-    labels = adata.obs[cluster_key].astype(str)
+    labels = adata.obs[cluster_key]
+    if labels.isna().any():
+        raise ValueError(
+            f"adata.obs['{cluster_key}'] contains null labels; drop or "
+            "fill them first.")
+    labels = labels.astype(str)
     types = sorted(labels.unique())
     if len(types) < 2:
         raise ValueError("cross_type_ripleys_k needs ≥2 types")
