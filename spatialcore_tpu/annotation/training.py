@@ -405,9 +405,10 @@ def train_cell_type_model(
         manager.wait_until_finished()
         manager.close()
     if start_epoch >= epochs:
-        # fully resumed; recompute the loss for metadata
-        perm = jax.random.permutation(key_for(seed, "train_epoch", 0), n)
-        _, _, loss = epoch(params, opt_state, perm)
+        # fully resumed: compute a forward-only loss over the full data for
+        # metadata (running epoch() here would apply a discarded epoch of
+        # optimizer updates and report a stale shuffle's mean loss)
+        loss = jax.jit(loss_fn)(params, Zj, yj)
 
     W, b = (np.asarray(p) for p in params)
     model = CellTypeModel(

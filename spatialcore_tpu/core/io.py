@@ -1,10 +1,18 @@
 """h5ad read/write implemented directly on h5py.
 
 The environment (and a TPU host generally) need not carry the anndata stack,
-so we speak the anndata on-disk format (encoding-version 0.1.0 era attrs)
-directly: dense / CSR / CSC matrices, dataframes with numeric, string, bool
-and categorical columns, and nested ``uns`` dicts. Files written here open in
-real anndata and vice versa for the subset of types we emit.
+so we speak the anndata on-disk format directly: dense / CSR / CSC matrices,
+dataframes with numeric, string, bool and categorical columns, and nested
+``uns`` dicts. Files written here open in real anndata and vice versa for
+the subset of types we emit.
+
+Each element carries the (encoding-type, encoding-version) pair that
+anndata >= 0.8 registers readers for — "array"/"string-array"/"string"/
+"numeric-scalar"/"dataframe"/"categorical" at 0.2.0, "dict"/"csr_matrix"/
+"csc_matrix"/"raw" at 0.1.0 — since its IO registry raises on unknown pairs.
+Boolean arrays/scalars are written as native HDF5 bools (what anndata emits);
+the legacy ``__spatialcore_bool__`` uint8 marker from earlier files is still
+understood on read.
 """
 
 from __future__ import annotations
@@ -29,9 +37,26 @@ _STR_DTYPE = h5py.string_dtype(encoding="utf-8")
 # Writers
 # ---------------------------------------------------------------------------
 
-def _set_enc(obj, enc_type: str, version: str = "0.1.0") -> None:
+# versions anndata >= 0.8 registers readers for (its registry hard-fails
+# on unknown (type, version) pairs)
+_ENC_VERSIONS = {
+    "anndata": "0.1.0",
+    "array": "0.2.0",
+    "string-array": "0.2.0",
+    "string": "0.2.0",
+    "numeric-scalar": "0.2.0",
+    "dataframe": "0.2.0",
+    "categorical": "0.2.0",
+    "dict": "0.1.0",
+    "csr_matrix": "0.1.0",
+    "csc_matrix": "0.1.0",
+    "raw": "0.1.0",
+}
+
+
+def _set_enc(obj, enc_type: str) -> None:
     obj.attrs["encoding-type"] = enc_type
-    obj.attrs["encoding-version"] = version
+    obj.attrs["encoding-version"] = _ENC_VERSIONS[enc_type]
 
 
 def _write_array(group: h5py.Group, name: str, value) -> None:
@@ -43,9 +68,8 @@ def _write_array(group: h5py.Group, name: str, value) -> None:
         ds = group.create_dataset(name, data=arr.astype(object), dtype=_STR_DTYPE)
         _set_enc(ds, "string-array")
     elif arr.dtype == bool:
-        ds = group.create_dataset(name, data=arr.astype(np.uint8))
+        ds = group.create_dataset(name, data=arr)  # native HDF5 bool enum
         _set_enc(ds, "array")
-        ds.attrs["__spatialcore_bool__"] = True
     else:
         ds = group.create_dataset(name, data=arr)
         _set_enc(ds, "array")
@@ -68,9 +92,8 @@ def _write_scalar(group: h5py.Group, name: str, value) -> None:
         ds = group.create_dataset(name, data=value, dtype=_STR_DTYPE)
         _set_enc(ds, "string")
     elif isinstance(value, bool) or isinstance(value, np.bool_):
-        ds = group.create_dataset(name, data=np.uint8(value))
+        ds = group.create_dataset(name, data=np.bool_(value))
         _set_enc(ds, "numeric-scalar")
-        ds.attrs["__spatialcore_bool__"] = True
     elif value is None:
         ds = group.create_dataset(name, data="__none__", dtype=_STR_DTYPE)
         _set_enc(ds, "string")
@@ -155,7 +178,7 @@ def write_h5ad(adata: SpatialData, path: Union[str, Path]) -> None:
         _write_mapping(f, "uns", adata.uns)
         if adata.raw is not None:
             rg = f.create_group("raw")
-            _set_enc(rg, "dict")
+            _set_enc(rg, "raw")
             _write_array(rg, "X", adata.raw.X)
             _write_dataframe(rg, "var", adata.raw.var)
     from .metadata import restore_metadata_from_h5ad

@@ -314,17 +314,25 @@ def radius_neighbors(
     O(N²) scan.
     """
     coords_np = np.asarray(coords, np.float32)
-    if coords_np.shape[0] > grid_threshold and coords_np.shape[1] == 2:
-        idx_np, dist_np = knn_grid(coords_np, k_max,
+    n = coords_np.shape[0]
+    # the cap is a capacity, not a requirement: small datasets simply can't
+    # have k_max neighbors, so clamp (validity masking handles the rest)
+    k_eff = min(k_max, n - 1)
+    if k_eff < 1:
+        raise ValueError(f"radius_neighbors needs >= 2 cells, got {n}")
+    if n > grid_threshold and coords_np.shape[1] == 2:
+        idx_np, dist_np = knn_grid(coords_np, k_eff,
                                    include_self=include_self)
         idx, dist = jnp.asarray(idx_np), jnp.asarray(dist_np)
     else:
-        idx, dist = knn_exact(jnp.asarray(coords), k_max,
+        idx, dist = knn_exact(jnp.asarray(coords), k_eff,
                               include_self=include_self)
     valid = dist <= radius
     # overflow check: if the k_max-th neighbor is still within radius, the
-    # true in-radius count may exceed the cap
-    overflow = np.asarray(dist[:, -1] <= radius)
+    # true in-radius count may exceed the cap. Only meaningful when the cap
+    # actually binds (k_eff == k_max < n-1).
+    overflow = (np.asarray(dist[:, -1] <= radius)
+                if k_eff == k_max and k_eff < n - 1 else np.zeros(n, bool))
     if overflow.any():
         n_over = int(overflow.sum())
         raise ValueError(

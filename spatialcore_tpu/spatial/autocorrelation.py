@@ -112,9 +112,28 @@ def _get_graph(adata, n_neighbors, spatial_key, use_existing_graph) -> SpatialGr
     if use_existing_graph:
         g = _load_stored_graph(adata)
         if g is not None:
-            logger.info("Using existing spatial graph (use_existing_graph=True)")
-            return g
-        logger.warning("use_existing_graph=True but no stored graph; rebuilding")
+            params = (adata.uns.get(GRAPH_UNS_KEY) or {}).get("params") or {}
+            is_radius = params.get("radius") is not None
+            mismatch = bool(params) and not is_radius and (
+                params.get("spatial_key", spatial_key) != spatial_key
+                or (params.get("n_neighbors") is not None
+                    and params["n_neighbors"] != n_neighbors))
+            if mismatch:
+                # a cached graph built with different parameters would
+                # silently change the statistics — rebuild instead
+                logger.warning(
+                    f"Stored spatial graph (n_neighbors="
+                    f"{params.get('n_neighbors')}, spatial_key="
+                    f"'{params.get('spatial_key')}') does not match the "
+                    f"request (n_neighbors={n_neighbors}, spatial_key="
+                    f"'{spatial_key}'); rebuilding.")
+            else:
+                logger.info("Using existing spatial graph "
+                            "(use_existing_graph=True)")
+                return g
+        else:
+            logger.warning(
+                "use_existing_graph=True but no stored graph; rebuilding")
     return build_spatial_weights(adata, n_neighbors=n_neighbors,
                                  spatial_key=spatial_key)
 
