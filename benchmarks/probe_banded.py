@@ -27,8 +27,7 @@ def main():
     p = int(os.environ.get("PROBE_PERMS", 20))
     k = int(os.environ.get("PROBE_K", 6))
     prec = os.environ.get("PROBE_PREC", "bf16")
-    halo = os.environ.get("PROBE_HALO")
-    halo = int(halo) if halo else None
+    pm = os.environ.get("PROBE_PERM", "feistel")
     block = int(os.environ.get("PROBE_BLOCK", 512))
 
     dev = jax.devices()[0]
@@ -46,8 +45,8 @@ def main():
     print(f"graph build: {time.time()-t0:.1f}s", flush=True)
 
     t0 = time.time()
-    plan = build_null_plan(graph, np.asarray(coords), block=block, halo=halo)
-    print(f"plan build: {time.time()-t0:.1f}s halo={plan.halo}", flush=True)
+    plan = build_null_plan(graph, np.asarray(coords), block=block)
+    print(f"plan build: {time.time()-t0:.1f}s", flush=True)
 
     Z, _ = standardize(X)
     S0 = float(n)
@@ -64,7 +63,8 @@ def main():
         return r
 
     pb = timed("banded", lambda s: banded_permutation_test(
-        plan, Z, S0, obs, seed=s, n_permutations=p, precision=prec)[0])
+        plan, Z, S0, obs, seed=s, n_permutations=p, precision=prec,
+        perm_method=pm)[0])
 
     if os.environ.get("PROBE_LEGACY", "1") == "1":
         pl_ = timed("legacy", lambda s: permutation_test_global(

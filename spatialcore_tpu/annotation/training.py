@@ -192,63 +192,186 @@ def ensure_normalized(adata, target_sum: float = 1e4,
 # ---------------------------------------------------------------------------
 
 
-def _source_targets(counts: Dict[str, int], cap: int,
-                    min_cells_per_source: int) -> Dict[str, int]:
-    """Per-source allocation: equal shares, floors, shortfall redistributed.
+def _source_targets(counts: Dict[str, int], target_total: int,
+                    min_cells_per_source: int,
+                    source_balance: str = "proportional") -> Dict[str, int]:
+    """Per-source allocation for one cell type's target total.
 
-    Mirrors the reference ``_calculate_source_targets``
-    (training.py:1543-1618): every source gets at least
-    ``min(min_cells_per_source, available)``; remaining budget spreads
-    equally, with unused share redistributed to sources that have cells
-    left.
+    Behavioral port of the reference ``_calculate_source_targets``
+    (/root/reference/src/spatialcore/annotation/training.py:1543-1618):
+
+    * ``"proportional"`` — each source contributes ``ceil(target · share)``
+      of its availability share, floored at ``min_cells_per_source`` when it
+      has that many cells (like the reference, this can slightly overshoot
+      the target; only shortfall is redistributed, never trimmed).
+    * ``"equal"`` — ``target // n_sources`` each (+1 for the first
+      ``remainder`` sources in sorted order), capped at availability.
+
+    Shortfall (sources without enough cells) is redistributed to sources
+    with remaining capacity in sorted-name order.
     """
-    sources = list(counts)
-    alloc = {s: min(min_cells_per_source, counts[s]) for s in sources}
-    budget = cap - sum(alloc.values())
-    if budget <= 0:
-        # floors already exceed cap: scale floors down proportionally
-        total = sum(alloc.values())
-        scaled = {s: int(alloc[s] * cap / total) for s in sources}
-        return scaled
-    remaining = {s: counts[s] - alloc[s] for s in sources}
-    while budget > 0:
-        open_sources = [s for s in sources if remaining[s] > 0]
-        if not open_sources:
-            break
-        share = max(budget // len(open_sources), 1)
-        spent = 0
-        for s in open_sources:
-            take = min(share, remaining[s], budget - spent)
-            alloc[s] += take
-            remaining[s] -= take
-            spent += take
-            if spent >= budget:
+    if source_balance not in ("proportional", "equal"):
+        raise ValueError(
+            f"source_balance must be 'proportional' or 'equal', "
+            f"got {source_balance!r}")
+    sources = sorted(counts)
+    total_available = sum(counts.values())
+    alloc: Dict[str, int] = {}
+    if source_balance == "proportional":
+        for s in sources:
+            available = counts[s]
+            target = int(np.ceil(target_total * available / total_available))
+            if available >= min_cells_per_source:
+                target = max(target, min_cells_per_source)
+            alloc[s] = min(target, available)
+    else:
+        per_source = target_total // len(sources)
+        remainder = target_total % len(sources)
+        for i, s in enumerate(sources):
+            alloc[s] = min(per_source + (1 if i < remainder else 0),
+                           counts[s])
+    shortfall = target_total - sum(alloc.values())
+    if shortfall > 0:
+        for s in sources:
+            if shortfall <= 0:
                 break
-        if spent == 0:
-            break
-        budget -= spent
+            capacity = counts[s] - alloc[s]
+            if capacity > 0:
+                extra = min(capacity, shortfall)
+                alloc[s] += extra
+                shortfall -= extra
     return alloc
+
+
+def _resolve_target_totals(
+    type_counts: Dict[str, int],
+    min_cells_per_type: int,
+    max_cells_per_type: int,
+    props: Optional[Dict[str, float]],
+) -> Dict[str, int]:
+    """Per-type target counts, honoring ``target_proportions``.
+
+    Behavioral port of the reference ``_resolve_target_totals``
+    (/root/reference/src/spatialcore/annotation/training.py:1101-1215):
+    types at/below ``min_cells_per_type`` keep everything; without
+    proportions each type is capped at ``max_cells_per_type``. With
+    proportions, a fixed-point iteration finds the output size T such that
+    each proportioned type contributes ``clip(prop·T, min_cells_per_type,
+    available)`` and the rest contribute their capped counts.
+    """
+    if not props:
+        return {ct: (int(n) if n <= min_cells_per_type
+                     else int(min(max_cells_per_type, n)))
+                for ct, n in type_counts.items()}
+
+    missing = sorted(set(props) - set(type_counts))
+    if missing:
+        raise ValueError(
+            "target_proportions include cell types not found in data: "
+            + ", ".join(missing))
+    eps = 1e-6
+    sum_props = float(sum(props.values()))
+    non_prop = [ct for ct in type_counts if ct not in props]
+    if sum_props > 1.0 + eps:
+        raise ValueError(
+            f"target_proportions sum to {sum_props:.4f}, must be <= 1.0")
+    if sum_props >= 1.0 - eps and non_prop:
+        raise ValueError(
+            "target_proportions sum to 1.0 but there are cell types without "
+            "target proportions. Provide proportions for all types or "
+            "reduce the total.")
+
+    fixed: Dict[str, int] = {}
+    variable_avail: Dict[str, int] = {}
+    for ct, n in type_counts.items():
+        if ct in props and n > min_cells_per_type:
+            variable_avail[ct] = int(n)
+        elif n <= min_cells_per_type:
+            fixed[ct] = int(n)
+        else:
+            fixed[ct] = int(min(max_cells_per_type, n))
+    fixed_total = sum(fixed.values())
+    if not variable_avail:
+        return fixed
+
+    sum_var = sum(props[ct] for ct in variable_avail)
+    if sum_var >= 1.0 - eps and fixed_total > 0:
+        raise ValueError(
+            "target_proportions leave no room for fixed counts. "
+            "Reduce target_proportions or min_cells_per_type.")
+
+    total = fixed_total
+    if sum_var > eps and (1.0 - sum_var) > eps:
+        total = int(round(fixed_total / (1.0 - sum_var)))
+    total = max(total, fixed_total)
+
+    targets_var: Dict[str, int] = {}
+    for _ in range(50):
+        targets_var = {
+            ct: int(min(max(min_cells_per_type, int(props[ct] * total)), n))
+            for ct, n in variable_avail.items()}
+        new_total = fixed_total + sum(targets_var.values())
+        if new_total == total:
+            break
+        total = new_total
+    else:
+        raise RuntimeError(
+            "Failed to resolve target_proportions. "
+            "Check target_proportions and cell counts.")
+
+    targets = dict(fixed)
+    targets.update(targets_var)
+    total = sum(targets.values())
+    for ct, prop in props.items():
+        n = int(type_counts[ct])
+        desired = int(prop * total)
+        if n <= min_cells_per_type:
+            logger.warning(
+                f"Target proportion for '{ct}' cannot be met: only {n} "
+                f"cells available (min_cells_per_type={min_cells_per_type}).")
+        elif desired < min_cells_per_type:
+            logger.warning(
+                f"Target proportion for '{ct}' below min_cells_per_type; "
+                f"using floor {min_cells_per_type} instead of {desired}.")
+        elif desired > n:
+            logger.warning(
+                f"Target proportion for '{ct}' exceeds availability; "
+                f"capping at {n} instead of {desired}.")
+    return targets
 
 
 def subsample_balanced(
     adata,
     cell_type_column: str = "cell_type",
     max_cells_per_type: int = 5000,
+    min_cells_per_type: int = 50,
     min_cells_per_source: int = 50,
     source_column: str = "reference_source",
+    source_balance: str = "proportional",
     group_by_column: Optional[str] = None,
+    target_proportions=None,
     seed: int = 0,
 ):
     """Cap & Fill balancing: cap each cell type, fill fairly across sources.
 
-    Types under the cap keep all cells. Over-cap types are downsampled with
-    per-source targets from ``_source_targets`` so no single reference
-    dominates. ``group_by_column`` (e.g. the CL ID column) groups labels
-    semantically before balancing (reference training.py:1375-1389).
+    Types at/below ``min_cells_per_type`` keep all cells; larger types are
+    capped at ``max_cells_per_type`` and downsampled with per-source targets
+    from ``_source_targets`` (``source_balance`` "proportional" or "equal")
+    so no single reference dominates. ``group_by_column`` (e.g. the CL ID
+    column) groups labels semantically before balancing (reference
+    training.py:1375-1389).
+
+    ``target_proportions`` — a ``{cell_type: fraction}`` dict (or path to a
+    JSON file of one) pinning each type's share of the FINAL output; per-type
+    totals come from the fixed-point solver ``_resolve_target_totals``
+    (reference training.py:1101-1215).
     """
     group_col = group_by_column or cell_type_column
     if group_col not in adata.obs.columns:
         raise ValueError(f"Column '{group_col}' not found in obs")
+    if isinstance(target_proportions, (str, Path)):
+        with open(target_proportions) as f:
+            target_proportions = json.load(f)
     # fillna BEFORE grouping: astype(str) preserves NaN (pandas string
     # dtype) and nan != nan would silently drop every ungrouped cell
     groups = (adata.obs[group_col].astype(str).fillna("__ungrouped__")
@@ -257,15 +380,21 @@ def subsample_balanced(
     sources = (adata.obs[source_column].astype(str).fillna("all").to_numpy()
                if has_source else np.full(adata.n_obs, "all"))
 
+    group_order = pd.unique(groups)
+    type_counts = {g: int((groups == g).sum()) for g in group_order}
+    targets = _resolve_target_totals(type_counts, min_cells_per_type,
+                                     max_cells_per_type, target_proportions)
+
     keep = []
-    for gi, group in enumerate(pd.unique(groups)):
+    for gi, group in enumerate(group_order):
         g_idx = np.nonzero(groups == group)[0]
-        if g_idx.size <= max_cells_per_type:
+        target = targets[group]
+        if g_idx.size <= target:
             keep.append(g_idx)
             continue
         counts = pd.Series(sources[g_idx]).value_counts().to_dict()
-        alloc = _source_targets(counts, max_cells_per_type,
-                                min_cells_per_source)
+        alloc = _source_targets(counts, target, min_cells_per_source,
+                                source_balance)
         rng = np_rng(seed, "cap_fill", gi)
         for s, n_take in alloc.items():
             s_idx = g_idx[sources[g_idx] == s]
@@ -275,7 +404,8 @@ def subsample_balanced(
                 keep.append(rng.choice(s_idx, size=n_take, replace=False))
     idx = np.sort(np.concatenate(keep))
     logger.info(f"subsample_balanced: {adata.n_obs:,} → {idx.size:,} cells "
-                f"(cap {max_cells_per_type}/type)")
+                f"(cap {max_cells_per_type}/type, "
+                f"source_balance={source_balance})")
     return adata[idx]
 
 

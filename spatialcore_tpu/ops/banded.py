@@ -5,34 +5,38 @@ XLA's ~150 GB/s random-row-gather ceiling: 7 gathers of [N, G] per draw.
 This module changes the access pattern instead of the gather implementation:
 
 1. Relabel cells along a Hilbert space-filling curve (or Cuthill-McKee on the
-   graph when no coordinates exist). kNN edges become near-diagonal: for a
-   halo H, all but a small fraction of edges satisfy |i' − j'| ≤ H.
+   graph when no coordinates exist). kNN edges become near-diagonal: with a
+   block size B, all but a few percent of edges connect cells within one
+   block of each other.
 2. Per permutation draw, the only random-access step left is ONE row gather
-   ``Zp = Z_r[perm]`` (the permuted values have no locality by construction —
-   measured in round 1, spatial sorting cannot help *that* gather).
-3. The quadratic form Σ_e w_e·Zp[i_e]·Zp[j_e] is evaluated block-by-block:
-   each block of B rows sees a VMEM-sized window of W = B + 2H rows of Zp,
-   the in-window adjacency is expanded to a dense [B, W] band (built on the
-   fly from compare-with-iota — cheaper than reading a stored band), and the
-   spatial lag becomes a dense [B, W] @ [W, G] matmul on the MXU. Sparse W
-   as dense banded matmul trades ~W/k× redundant FLOPs (nearly free on the
-   MXU in bf16) for sequential HBM traffic.
-4. The few out-of-band edges are handled exactly through a compacted,
-   zero-padded edge list with plain gathers.
+   ``Zp = Z[perm]`` (the permuted values have no locality by construction —
+   measured in round 1, spatial sorting cannot help *that* gather). The
+   permutation itself comes from a sort-free Feistel bijection
+   (``core.rng.feistel_permutation``) — ``jax.random.permutation``'s sort
+   costs ~40 ms at 1M on TPU, dominating everything else.
+3. The quadratic form Σ_e w_e·Zp[i_e]·Zp[j_e] is evaluated with dense
+   BATCHED matmuls: the in-band adjacency is expanded once per call to a
+   block-banded tensor A[nb, B, 3B] (three B-wide slabs: previous / self /
+   next block), and the spatial lag of every block is three einsum
+   contractions against block-shifted views of Zp — pure MXU work with no
+   sequential loop over blocks. Sparse-as-dense trades ~(3B/k)× redundant
+   FLOPs (nearly free in bf16) for fully sequential HBM traffic.
+4. The few percent of out-of-band edges are handled exactly through a
+   compacted, zero-padded edge list with plain gathers.
 
 Geary's C rides the same kernel: Σ w (a−b)² = Σ (r_i+c_i)·zp_i² − 2·cross,
 with row/col weight sums precomputed (permutation-invariant structure).
 
 Replaces the hot loop of the reference's squidpy delegation
 (/root/reference/src/spatialcore/spatial/autocorrelation.py:563-583) at
-1M-cell scale. Estimator conventions identical to ops/moran.py; permutation
-draws use the SAME counter-based keys as ``permutation_test_global`` (purpose
-"perm_global"), so for a given (seed, draw) both paths shuffle identically
-and differ only in floating-point summation order.
+1M-cell scale. Estimator conventions identical to ops/moran.py.
 
-Determinism: block size B and halo H are fixed at plan-build time and baked
-into the compiled program; summation order is independent of device count
-(gene sharding splits columns only), per CLAUDE.md's bitwise rule.
+Determinism: block size is baked into the plan; contraction order is
+independent of device count (gene sharding splits columns only), per
+CLAUDE.md's bitwise rule. With ``perm_method="sort"`` the draws use the SAME
+counter-based keys as ``permutation_test_global`` (purpose "perm_global"), so
+both paths shuffle identically and differ only in floating-point summation
+order; the default "feistel" stream is its own seeded, reproducible sequence.
 """
 
 from __future__ import annotations
@@ -45,7 +49,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.logging import get_logger
-from ..core.rng import key_for
+from ..core.rng import feistel_permutation, key_for
 from .graph import SpatialGraph
 
 logger = get_logger("ops.banded")
@@ -111,8 +115,9 @@ def graph_order(graph: SpatialGraph) -> np.ndarray:
 class NullPlan(NamedTuple):
     """Relabeled, band-split graph structure for the banded null kernel.
 
-    All index arrays live in *padded new-order* coordinates: new position p
-    maps to padded row p + halo of the gathered ``Zp_pad`` buffer.
+    Index arrays live in *new-order* coordinates. ``local_idx`` is relative
+    to each row's 3-block window start (b−1)·B ∈ [0, 3B); far-edge indices
+    carry a +B offset into the front-padded ``Zp`` buffer.
     """
 
     order: jax.Array        # int32 [N] — original index at each new position
@@ -122,8 +127,7 @@ class NullPlan(NamedTuple):
     far_dst: jax.Array      # int32 [F]
     far_w: jax.Array        # f32 [F] (0 = padding)
     rc_sum: jax.Array       # f32 [Npad] — row+col weight sums (Geary terms)
-    block: int              # B (static)
-    halo: int               # H (static)
+    block: int              # B (static); the band covers ±B positions
     n: int                  # true cell count (static)
 
     @property
@@ -131,21 +135,16 @@ class NullPlan(NamedTuple):
         return self.local_idx.shape[0]
 
 
-_HALO_LADDER = (128, 256, 512, 1024, 2048)
-
-
 def build_null_plan(
     graph: SpatialGraph,
     coords: Optional[np.ndarray] = None,
     block: int = 512,
-    halo: Optional[int] = None,
-    max_far_frac: float = 0.02,
 ) -> NullPlan:
-    """Host-side prep: relabel, split edges into band vs far list.
+    """Host-side prep: relabel cells, split edges into band vs far list.
 
-    ``halo=None`` walks a fixed ladder (128…2048) and stops at the first
-    halo keeping the far-edge fraction under ``max_far_frac`` — each halo
-    value compiles its own kernel, so the ladder is coarse on purpose.
+    The band covers neighbor offsets within ±block positions (window =
+    previous/self/next block). Larger blocks lower the far fraction but
+    raise the dense-matmul FLOPs ∝ B; 512 balances both at 1M cells.
     """
     idx = np.asarray(graph.neighbor_idx)
     w = np.asarray(graph.neighbor_w, np.float32)
@@ -157,39 +156,26 @@ def build_null_plan(
     rank = np.empty(n, np.int32)
     rank[order] = np.arange(n, dtype=np.int32)
 
-    idx_r = rank[idx[order]]            # [N, k] neighbor new-positions
-    w_r = w[order]                      # [N, k]
+    idx_r = rank[idx[order]].astype(np.int64)   # [N, k] neighbor new-positions
+    w_r = w[order]                              # [N, k]
     rows = np.arange(n, dtype=np.int64)[:, None]
-    halos = (halo,) if halo is not None else _HALO_LADDER
-    chosen = halos[-1]
-    for h in halos:
-        width = block + 2 * h
-        ws = (rows // block) * block - h
-        rel = idx_r.astype(np.int64) - ws
-        inwin = (rel >= 0) & (rel < width) & (w_r > 0)
-        far_frac = 1.0 - (inwin.sum() / max((w_r > 0).sum(), 1))
-        chosen = h
-        if far_frac <= max_far_frac:
-            break
-    h = chosen
-    width = block + 2 * h
-    ws = (rows // block) * block - h
-    rel = idx_r.astype(np.int64) - ws
+    ws = (rows // block - 1) * block            # window start (b−1)·B
+    rel = idx_r - ws
     valid = w_r > 0
-    inwin = (rel >= 0) & (rel < width) & valid
+    inwin = (rel >= 0) & (rel < 3 * block) & valid
     far = valid & ~inwin
     n_far = int(far.sum())
     logger.info(
-        f"null plan: N={n:,} k={k} block={block} halo={h} "
+        f"null plan: N={n:,} k={k} block={block} "
         f"far_edges={n_far:,} ({n_far / max(valid.sum(), 1):.2%})")
 
     local_idx = np.where(inwin, rel, 0).astype(np.int32)
     w_local = np.where(inwin, w_r, 0.0).astype(np.float32)
 
-    # far list in padded coordinates (+h offsets into Zp_pad)
-    fi, fj = np.nonzero(far)            # row-major: deterministic order
-    far_src = (fi + h).astype(np.int32)
-    far_dst = (idx_r[fi, fj] + h).astype(np.int32)
+    # far list in padded coordinates (+block front pad of Zp)
+    fi, fj = np.nonzero(far)                    # row-major: deterministic
+    far_src = (fi + block).astype(np.int32)
+    far_dst = (idx_r[fi, fj] + block).astype(np.int32)
     far_wv = w_r[fi, fj].astype(np.float32)
     cap = 1 << max(int(np.ceil(np.log2(max(n_far, 1)))), 7)
     pad = cap - n_far
@@ -218,7 +204,6 @@ def build_null_plan(
         far_w=jnp.asarray(far_wv),
         rc_sum=jnp.asarray(rc),
         block=block,
-        halo=h,
         n=n,
     )
 
@@ -228,75 +213,92 @@ def build_null_plan(
 # ---------------------------------------------------------------------------
 
 
-def _banded_stat(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
-                 Z_r, den, S0, perm, *, block: int, halo: int, n: int,
-                 stat: str, precision: str):
-    """One draw's global statistic [G] via banded dense matmuls.
+def _build_band(local_idx, w_local, block: int, dtype):
+    """Expand [Npad, k] (idx, w) into the dense band tensor A[nb, B, 3B].
 
-    ``Zp_pad`` row (p + halo) holds the permuted value of new-position p;
-    the halo/tail pads repeat clipped rows but every adjacency column that
-    could touch them carries weight 0, so their values never contribute.
+    Loop-invariant across draws: built once per call, reused by every
+    permutation. Any window column that could alias a pad row carries
+    weight 0, so pad values never contribute.
     """
-    B, H = block, halo
-    W = B + 2 * H
-    n_padded = local_idx.shape[0]
-    nb = n_padded // B
-    G = Z_r.shape[1]
-    wdt = jnp.bfloat16 if precision == "bf16" else Z_r.dtype
+    nb = local_idx.shape[0] // block
+    k = local_idx.shape[1]
+    li3 = local_idx.reshape(nb, block, k)
+    lw3 = w_local.reshape(nb, block, k)
+    iota = jnp.arange(3 * block, dtype=jnp.int32)[None, None, :]
+    A = jnp.zeros((nb, block, 3 * block), dtype)
+    zero = jnp.zeros((), dtype)
+    for j in range(k):
+        A = A + jnp.where(iota == li3[:, :, j:j + 1],
+                          lw3[:, :, j:j + 1].astype(dtype), zero)
+    return A
 
-    gidx = jnp.clip(jnp.arange(n_padded + 2 * H, dtype=jnp.int32) - H, 0, n - 1)
-    Zp_pad = Z_r[perm[gidx]]                      # ONE random [rows, G] gather
-    iota = jnp.arange(W, dtype=jnp.int32)[None, :]
 
-    def blk(b):
-        win = jax.lax.dynamic_slice(Zp_pad, (b * B, 0), (W, G))
-        li = jax.lax.dynamic_slice(local_idx, (b * B, 0), (B, local_idx.shape[1]))
-        lw = jax.lax.dynamic_slice(w_local, (b * B, 0), (B, w_local.shape[1]))
-        A = jnp.zeros((B, W), wdt)
-        zero = jnp.zeros((), wdt)
-        for j in range(li.shape[1]):
-            A = A + jnp.where(iota == li[:, j:j + 1],
-                              lw[:, j:j + 1].astype(wdt), zero)
-        lag = jnp.dot(A, win.astype(wdt), preferred_element_type=jnp.float32)
-        zblk = win[H:H + B]
-        return jnp.sum(zblk.astype(jnp.float32) * lag, axis=0)  # [G]
+def _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab, den, S0, perm,
+                 *, block: int, n: int, stat: str):
+    """One draw's global statistic [G] via three batched band matmuls.
 
-    per_block = jax.lax.map(blk, jnp.arange(nb, dtype=jnp.int32))
-    cross = jnp.sum(per_block, axis=0)
-    s = Zp_pad[far_src].astype(jnp.float32)
-    t = Zp_pad[far_dst].astype(jnp.float32)
-    cross = cross + jnp.einsum("f,fg,fg->g", far_w, s, t)
+    ``Zp`` is laid out as [nb+2, B, G]: one front and one tail pad block of
+    clipped rows whose values never reach the output (their band columns are
+    all zero-weight). ``Ztab`` may be bf16 (default null mode) or f32.
+    """
+    B = block
+    nb = A.shape[0]
+    G = Ztab.shape[1]
+    gidx = jnp.clip(jnp.arange((nb + 2) * B, dtype=jnp.int32) - B, 0, n - 1)
+    Zp = Ztab[perm[gidx]].reshape(nb + 2, B, G)   # ONE random row gather
+
+    zblk = Zp[1:nb + 1]
+    cross = jnp.zeros((G,), jnp.float32)
+    for s in range(3):
+        lag_s = jnp.einsum("nbw,nwg->nbg", A[:, :, s * B:(s + 1) * B],
+                           Zp[s:s + nb], preferred_element_type=jnp.float32)
+        cross = cross + jnp.einsum("nbg,nbg->g", zblk.astype(jnp.float32),
+                                   lag_s)
+        cross = jax.lax.optimization_barrier(cross)
+
+    flat = Zp.reshape(-1, G)
+    fs = flat[far_src].astype(jnp.float32)
+    ft = flat[far_dst].astype(jnp.float32)
+    cross = cross + jnp.einsum("f,fg,fg->g", far_w, fs, ft)
 
     if stat == "moran":
         return (n / S0) * cross / den
-    zp2 = jnp.square(Zp_pad[H:H + n_padded].astype(jnp.float32))
+    zp2 = jnp.square(flat[B:B + nb * B].astype(jnp.float32))
     sq = jnp.einsum("i,ig->g", rc_sum, zp2)
     return (n - 1) * (sq - 2.0 * cross) / (2.0 * S0 * den)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "block", "halo", "n", "stat", "alternative", "n_permutations",
-    "precision", "seed"))
+    "block", "n", "stat", "alternative", "n_permutations", "precision",
+    "perm_method"))
 def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
-                 Z, S0, observed, *, block: int, halo: int, n: int,
-                 seed: int, n_permutations: int, stat: str,
-                 alternative: str, precision: str):
+                 Z, S0, observed, seed, *, block: int, n: int,
+                 n_permutations: int, stat: str, alternative: str,
+                 precision: str, perm_method: str):
     den = jnp.sum(Z * Z, axis=0)
     den = jnp.where(den > 0, den, 1.0)
-    base = key_for(seed, "perm_global", 0)
+    wdt = jnp.bfloat16 if precision == "bf16" else Z.dtype
+    A = _build_band(local_idx, w_local, block, wdt)
+    Ztab = Z.astype(wdt)
     G = Z.shape[1]
+    if perm_method == "sort":
+        base = key_for(seed, "perm_global", 0)
+    else:
+        base = key_for(seed, "perm_feistel", 0)
 
     def body(carry, step):
         count, s1, s2 = carry
         key = jax.random.fold_in(base, step)
-        # compose with the relabeling so each draw assigns values to cells
-        # EXACTLY as the legacy path does: new position p gets
-        # Z[perm[order[p]]] — draw-for-draw identical null samples
-        perm = jax.random.permutation(key, n)[order]
-        vals = _banded_stat(order, local_idx, w_local, far_src, far_dst,
-                            far_w, rc_sum, Z, den, S0, perm,
-                            block=block, halo=halo, n=n, stat=stat,
-                            precision=precision)
+        if perm_method == "sort":
+            raw = jax.random.permutation(key, n)
+        else:
+            raw = feistel_permutation(key, n)
+        # compose with the relabeling so (with perm_method="sort") each draw
+        # assigns values to cells EXACTLY as the legacy path does: new
+        # position p gets Z[perm[order[p]]]
+        perm = raw[order]
+        vals = _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab, den,
+                            S0, perm, block=block, n=n, stat=stat)
         if alternative == "greater":
             extreme = vals >= observed
         elif alternative == "less":
@@ -327,18 +329,21 @@ def banded_permutation_test(
     stat: str = "moran",
     alternative: str = "greater",
     precision: str = "bf16",
+    perm_method: str = "feistel",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Drop-in replacement for ``permutation_test_global`` using a NullPlan.
 
-    Same (seed, draw)→permutation mapping; values differ from the legacy
-    path only by floating-point summation order (and by ~3-digit rounding
-    with the default bf16 band — nulls feed Monte-Carlo *counting*, where
-    that precision is statistically invisible; pass precision="f32" for
-    exact-order-independent validation).
+    ``perm_method="feistel"`` (default) draws permutations from the sort-free
+    Feistel stream — its own seeded, device-independent sequence.
+    ``perm_method="sort"`` reuses the legacy draw stream: values then differ
+    from ``permutation_test_global`` only by floating-point summation order
+    (and by ~3-digit rounding with the default bf16 band — nulls feed
+    Monte-Carlo *counting*, where that precision is statistically invisible;
+    pass precision="f32" for exact-order validation).
     """
     return _banded_test(
         plan.order, plan.local_idx, plan.w_local, plan.far_src, plan.far_dst,
-        plan.far_w, plan.rc_sum, Z, S0, observed,
-        block=plan.block, halo=plan.halo, n=plan.n, seed=seed,
+        plan.far_w, plan.rc_sum, Z, S0, observed, jnp.uint32(seed),
+        block=plan.block, n=plan.n,
         n_permutations=n_permutations, stat=stat, alternative=alternative,
-        precision=precision)
+        precision=precision, perm_method=perm_method)

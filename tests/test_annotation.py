@@ -160,22 +160,103 @@ def test_combine_references_and_balancing():
     assert combined.n_obs == 800 + 400 - 30
     assert combined.n_vars == 40
 
+    # equal mode enforces the cap strictly; proportional (the default, like
+    # the reference) may overshoot by ceil rounding + per-source floors
     sub = subsample_balanced(combined, max_cells_per_type=150,
-                             source_column="reference_source", seed=0)
+                             source_column="reference_source",
+                             source_balance="equal", seed=0)
     counts = sub.obs["cell_type"].value_counts()
     assert (counts <= 150).all()
     # both sources represented in capped types
     t_sub = sub.obs[sub.obs["cell_type"] == "T cell"]
     assert t_sub["reference_source"].nunique() == 2
+    sub_p = subsample_balanced(combined, max_cells_per_type=150,
+                               source_column="reference_source", seed=0)
+    counts_p = sub_p.obs["cell_type"].value_counts()
+    # bounded overshoot: <= n_sources ceils + one min_cells floor
+    assert (counts_p <= 150 + 52).all()
 
 
 def test_source_targets_allocation():
-    # equal fill with floor and redistribution
-    alloc = _source_targets({"a": 1000, "b": 30, "c": 1000}, cap=500,
-                            min_cells_per_source=50)
+    # equal fill, hand-computed per the reference rules (training.py:
+    # 1543-1618): per_source=166, remainder 2 -> a=167, b=min(167,30)=30,
+    # c=166; shortfall 500-363=137 goes greedily to the first sorted
+    # source with capacity (a)
+    alloc = _source_targets({"a": 1000, "b": 30, "c": 1000}, 500,
+                            min_cells_per_source=50, source_balance="equal")
     assert sum(alloc.values()) == 500
-    assert alloc["b"] == 30            # keeps all (below floor share)
-    assert abs(alloc["a"] - alloc["c"]) <= 1
+    assert alloc == {"a": 167 + 137, "b": 30, "c": 166}
+
+
+def test_source_targets_proportional_matches_reference_arithmetic():
+    # hand-computed per the reference rules (training.py:1543-1618):
+    # shares of 600: a=3000/4000 -> ceil(450), b=800/4000 -> ceil(120),
+    # c=200/4000 -> ceil(30) -> floored to min 50 (c has >= 50 available)
+    alloc = _source_targets({"a": 3000, "b": 800, "c": 200}, 600,
+                            min_cells_per_source=50,
+                            source_balance="proportional")
+    assert alloc == {"a": 450, "b": 120, "c": 50}
+    # shortfall redistribution: b capped at 100 available; its missing 20
+    # goes to the first sorted source with capacity (a)
+    alloc = _source_targets({"a": 3000, "b": 100, "c": 200}, 600,
+                            min_cells_per_source=50,
+                            source_balance="proportional")
+    # shares of 600 over 3300: a=ceil(545.45)=546, b=100->cap 100... b share
+    # = ceil(600*100/3300)=19 -> floor 50, c share = ceil(36.36)=37 -> 50
+    assert alloc["b"] == 50 and alloc["c"] == 50
+    assert sum(alloc.values()) >= 600  # proportional may overshoot (ref too)
+
+
+def test_resolve_target_totals_fixed_point():
+    from spatialcore_tpu.annotation.training import _resolve_target_totals
+
+    # no proportions: plain cap with min-keep
+    t = _resolve_target_totals({"A": 10000, "B": 30, "C": 600}, 50, 5000,
+                               None)
+    assert t == {"A": 5000, "B": 30, "C": 600}
+    # proportions: A pinned to 50% of the final output. Fixed side:
+    # B=30 (<= min), C=600 -> fixed_total=630; T solves A=0.5*T with
+    # A <= 10000: T = 630/(1-0.5) = 1260 -> A=630, total=1260.
+    t = _resolve_target_totals({"A": 10000, "B": 30, "C": 600}, 50, 5000,
+                               {"A": 0.5})
+    assert t["B"] == 30 and t["C"] == 600
+    assert t["A"] == 630
+    total = sum(t.values())
+    assert abs(t["A"] / total - 0.5) < 0.01
+    # availability cap engages: A only has 400 cells
+    t = _resolve_target_totals({"A": 400, "B": 30, "C": 600}, 50, 5000,
+                               {"A": 0.5})
+    assert t["A"] == 400
+    # validation errors
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not found in data"):
+        _resolve_target_totals({"A": 100}, 10, 50, {"Z": 0.5})
+    with _pytest.raises(ValueError, match="must be <= 1.0"):
+        _resolve_target_totals({"A": 100, "B": 100}, 10, 50,
+                               {"A": 0.9, "B": 0.9})
+    with _pytest.raises(ValueError, match="sum to 1.0"):
+        _resolve_target_totals({"A": 100, "B": 100}, 10, 50, {"A": 1.0})
+
+
+def test_subsample_balanced_target_proportions():
+    import pandas as pd
+
+    from spatialcore_tpu.core.container import SpatialData
+
+    rng = np.random.default_rng(0)
+    n_a, n_b, n_c = 4000, 1000, 500
+    n = n_a + n_b + n_c
+    obs = pd.DataFrame({
+        "cell_type": ["A"] * n_a + ["B"] * n_b + ["C"] * n_c,
+        "reference_source": rng.choice(["r1", "r2"], n),
+    }, index=[f"c{i}" for i in range(n)])
+    ad = SpatialData(X=rng.poisson(1.0, (n, 5)).astype(np.float32), obs=obs)
+    sub = subsample_balanced(ad, max_cells_per_type=2000,
+                             target_proportions={"A": 0.6}, seed=1)
+    counts = sub.obs["cell_type"].value_counts()
+    total = counts.sum()
+    assert abs(counts["A"] / total - 0.6) < 0.02
+    assert counts["B"] == 1000 and counts["C"] == 500  # under their caps
 
 
 def test_misc_helpers():

@@ -5,8 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from spatialcore_tpu.core.rng import feistel_permutation
 from spatialcore_tpu.ops.banded import (
-    NullPlan, banded_permutation_test, build_null_plan, hilbert_order)
+    banded_permutation_test, build_null_plan, hilbert_order)
 from spatialcore_tpu.ops.graph import build_graph
 from spatialcore_tpu.ops.moran import (
     geary_observed, moran_observed, permutation_test_global, standardize)
@@ -27,25 +28,14 @@ def setup():
     return coords, graph, Z
 
 
-def _dense_quadform(graph, zp):
-    """Oracle: Σ_e w_e zp[i] zp[j] per gene, dense f64."""
-    idx = np.asarray(graph.neighbor_idx)
-    w = np.asarray(graph.neighbor_w, np.float64)
-    zp = np.asarray(zp, np.float64)
-    out = np.zeros(zp.shape[1])
-    for j in range(idx.shape[1]):
-        out += (w[:, j:j + 1] * zp * zp[idx[:, j]]).sum(axis=0)
-    return out
-
-
 def test_plan_partitions_all_edges(setup):
     coords, graph, Z = setup
-    plan = build_null_plan(graph, coords, block=64, halo=32)
+    plan = build_null_plan(graph, coords, block=64)
     n, k = graph.neighbor_idx.shape
     n_band = int((np.asarray(plan.w_local) > 0).sum())
     n_far = int((np.asarray(plan.far_w) > 0).sum())
     assert n_band + n_far == n * k
-    # every in-band weight + far weight sums to the total weight mass
+    # in-band weight + far weight sums to the total weight mass
     total = float(np.asarray(graph.neighbor_w).sum())
     got = float(np.asarray(plan.w_local).sum() + np.asarray(plan.far_w).sum())
     assert abs(total - got) < 1e-3
@@ -54,41 +44,64 @@ def test_plan_partitions_all_edges(setup):
 def test_banded_matches_dense_oracle_fixed_perm(setup):
     """The banded cross term reproduces the dense quadratic form exactly."""
     coords, graph, Z = setup
-    plan = build_null_plan(graph, coords, block=64, halo=32)
+    plan = build_null_plan(graph, coords, block=64)
     n = plan.n
     rng = np.random.default_rng(3)
-    perm = rng.permutation(n)
-    # evaluate through the f32 path with n_permutations=1 by monkeypatching
-    # the key stream is hard; instead compute the statistic directly
-    from spatialcore_tpu.ops.banded import _banded_stat
+    perm = rng.permutation(n).astype(np.int32)  # in new-order coordinates
+    from spatialcore_tpu.ops.banded import _banded_stat, _build_band
 
-    Z_r = Z[np.asarray(plan.order)]
     den = jnp.sum(Z * Z, axis=0)
     S0 = float(np.asarray(graph.neighbor_w).sum())
+    A = _build_band(plan.local_idx, plan.w_local, plan.block, jnp.float32)
     got = _banded_stat(
-        plan.order, plan.local_idx, plan.w_local, plan.far_src, plan.far_dst,
-        plan.far_w, plan.rc_sum, Z_r, den, S0, jnp.asarray(perm),
-        block=plan.block, halo=plan.halo, n=n, stat="moran", precision="f32")
-    zp = np.asarray(Z_r)[perm]
-    # oracle over the RELABELED graph: rebuild relabeled adjacency
+        A, plan.far_src, plan.far_dst, plan.far_w, plan.rc_sum,
+        Z, den, S0, jnp.asarray(perm), block=plan.block, n=n, stat="moran")
+    # oracle over the RELABELED graph, f64 dense
     order = np.asarray(plan.order)
     rank = np.empty(n, np.int64)
     rank[order] = np.arange(n)
     idx_r = rank[np.asarray(graph.neighbor_idx)[order]]
     w_r = np.asarray(graph.neighbor_w, np.float64)[order]
-    expect = np.zeros(zp.shape[1])
-    zp64 = zp.astype(np.float64)
+    zp64 = np.asarray(Z, np.float64)[perm]
+    expect = np.zeros(zp64.shape[1])
     for j in range(idx_r.shape[1]):
         expect += (w_r[:, j:j + 1] * zp64 * zp64[idx_r[:, j]]).sum(axis=0)
     expect = n / S0 * expect / np.asarray(den, np.float64)
-    np.testing.assert_allclose(np.asarray(got), expect, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=2e-5, atol=1e-7)
+
+
+def test_banded_geary_matches_dense_oracle(setup):
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    n = plan.n
+    perm = np.random.default_rng(5).permutation(n).astype(np.int32)
+    from spatialcore_tpu.ops.banded import _banded_stat, _build_band
+
+    den = jnp.sum(Z * Z, axis=0)
+    S0 = float(np.asarray(graph.neighbor_w).sum())
+    A = _build_band(plan.local_idx, plan.w_local, plan.block, jnp.float32)
+    got = _banded_stat(
+        A, plan.far_src, plan.far_dst, plan.far_w, plan.rc_sum,
+        Z, den, S0, jnp.asarray(perm), block=plan.block, n=n, stat="geary")
+    order = np.asarray(plan.order)
+    rank = np.empty(n, np.int64)
+    rank[order] = np.arange(n)
+    idx_r = rank[np.asarray(graph.neighbor_idx)[order]]
+    w_r = np.asarray(graph.neighbor_w, np.float64)[order]
+    zp64 = np.asarray(Z, np.float64)[perm]
+    num = np.zeros(zp64.shape[1])
+    for j in range(idx_r.shape[1]):
+        d = zp64 - zp64[idx_r[:, j]]
+        num += (w_r[:, j:j + 1] * d * d).sum(axis=0)
+    expect = (n - 1) * num / (2 * S0 * np.asarray(den, np.float64))
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=2e-5, atol=1e-7)
 
 
 @pytest.mark.parametrize("stat,alt", [("moran", "greater"), ("geary", "less")])
 def test_banded_agrees_with_legacy(setup, stat, alt):
-    """Same seeds => same permutations => near-identical null moments & p."""
+    """perm_method='sort': same permutations => near-identical moments & p."""
     coords, graph, Z = setup
-    plan = build_null_plan(graph, coords, block=64, halo=64)
+    plan = build_null_plan(graph, coords, block=64)
     S0 = float(np.asarray(graph.neighbor_w).sum())
     obs = (moran_observed(graph, Z, S0) if stat == "moran"
            else geary_observed(graph, Z, S0))
@@ -97,18 +110,43 @@ def test_banded_agrees_with_legacy(setup, stat, alt):
         alternative=alt)
     p_b, m_b, s_b = banded_permutation_test(
         plan, Z, S0, obs, seed=11, n_permutations=199, stat=stat,
-        alternative=alt, precision="f32")
+        alternative=alt, precision="f32", perm_method="sort")
     np.testing.assert_allclose(np.asarray(m_b), np.asarray(m_l), atol=1e-5)
     np.testing.assert_allclose(np.asarray(s_b), np.asarray(s_l), atol=1e-5)
     # identical permutations: identical extreme counts except float ties
     np.testing.assert_allclose(np.asarray(p_b), np.asarray(p_l), atol=0.02)
-    # structured genes significant, noise genes not
+    # structured genes significant
     assert np.asarray(p_b)[0] <= 0.01
+
+
+def test_banded_feistel_statistically_equivalent(setup):
+    """The Feistel stream yields the same inference as the sort stream."""
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    S0 = float(np.asarray(graph.neighbor_w).sum())
+    obs = moran_observed(graph, Z, S0)
+    p_s, m_s, sd_s = banded_permutation_test(
+        plan, Z, S0, obs, seed=3, n_permutations=199, precision="f32",
+        perm_method="sort")
+    p_f, m_f, sd_f = banded_permutation_test(
+        plan, Z, S0, obs, seed=3, n_permutations=199, precision="f32",
+        perm_method="feistel")
+    # same null distribution: moments match within Monte-Carlo error
+    np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_s), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(sd_f), np.asarray(sd_s), rtol=0.25)
+    # decisions agree for the structured genes (p at the floor)
+    np.testing.assert_array_equal(np.asarray(p_f)[:6] <= 0.01,
+                                  np.asarray(p_s)[:6] <= 0.01)
+    # deterministic given the seed
+    p_f2, _, _ = banded_permutation_test(
+        plan, Z, S0, obs, seed=3, n_permutations=199, precision="f32",
+        perm_method="feistel")
+    np.testing.assert_array_equal(np.asarray(p_f), np.asarray(p_f2))
 
 
 def test_banded_bf16_statistically_equivalent(setup):
     coords, graph, Z = setup
-    plan = build_null_plan(graph, coords, block=64, halo=64)
+    plan = build_null_plan(graph, coords, block=64)
     S0 = float(np.asarray(graph.neighbor_w).sum())
     obs = moran_observed(graph, Z, S0)
     p32, m32, _ = banded_permutation_test(
@@ -119,15 +157,10 @@ def test_banded_bf16_statistically_equivalent(setup):
     np.testing.assert_allclose(np.asarray(pbf), np.asarray(p32), atol=0.05)
 
 
-def test_halo_ladder_and_graph_order_fallback(setup):
+def test_graph_order_fallback(setup):
     coords, graph, Z = setup
-    plan_auto = build_null_plan(graph, coords, block=64)  # ladder pick
     valid = float(np.asarray(graph.neighbor_w).sum())
-    n_far = int((np.asarray(plan_auto.far_w) > 0).sum())
-    n_all = graph.n_cells * graph.degree
-    assert n_far / n_all <= 0.5  # ladder found something sane
-    # no-coords fallback (RCM) still partitions correctly
-    plan_rcm = build_null_plan(graph, None, block=64, halo=64)
+    plan_rcm = build_null_plan(graph, None, block=64)  # RCM, no coords
     got = float(np.asarray(plan_rcm.w_local).sum()
                 + np.asarray(plan_rcm.far_w).sum())
     assert abs(got - valid) < 1e-3
@@ -142,3 +175,23 @@ def test_hilbert_order_locality():
     d_curve = np.linalg.norm(np.diff(coords[order], axis=0), axis=1).mean()
     d_rand = np.linalg.norm(np.diff(coords, axis=0), axis=1).mean()
     assert d_curve < d_rand / 5
+
+
+def test_feistel_permutation_properties():
+    # bijectivity at awkward sizes
+    for n in (2, 3, 17, 1000, 4097):
+        p = np.asarray(feistel_permutation(jax.random.key(1), n))
+        assert sorted(p.tolist()) == list(range(n))
+    # different keys give different permutations
+    a = np.asarray(feistel_permutation(jax.random.key(1), 1000))
+    b = np.asarray(feistel_permutation(jax.random.key(2), 1000))
+    assert (a != b).mean() > 0.9
+    # position-value uniformity (chi-square, df=(n-1)^2=49, 99.9th pct ~ 85)
+    n, D = 8, 4000
+    counts = np.zeros((n, n))
+    f = jax.jit(lambda k: feistel_permutation(k, n))
+    for d in range(D):
+        p = np.asarray(f(jax.random.fold_in(jax.random.key(0), d)))
+        counts[np.arange(n), p] += 1
+    chi2 = ((counts - D / n) ** 2 / (D / n)).sum()
+    assert chi2 < 100, f"feistel occupancy chi2={chi2:.1f}"
