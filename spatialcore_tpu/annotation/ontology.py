@@ -163,7 +163,7 @@ def search_ontology_index(
     cl = index["cl"]
     out: Dict[str, Dict] = {}
     for label in labels:
-        raw = str(label).strip()
+        raw = str(label).strip().replace("_", " ")
         candidates = [(raw.lower(), False)]
         canonical = get_canonical_term(raw)
         if canonical:
@@ -181,7 +181,14 @@ def search_ontology_index(
                             "tier": "pattern" if is_pattern else "exact"}
                 continue
             for term_label, term in cl.items():
+                # fuzzy phase searches proper, current CL terms only —
+                # full CL releases carry imported GO/UBERON/PR terms and
+                # obsolete labels (reference ontology.py:500-511)
+                if not term["id"].startswith("CL:"):
+                    continue
                 if term["id"] in BLACKLISTED_CL_IDS:
+                    continue
+                if "obsolete" in term["name"].lower():
                     continue
                 sc = score_match(search, term_label, tokens, is_pattern)
                 if sc > best["score"]:

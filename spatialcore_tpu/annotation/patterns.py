@@ -16,7 +16,8 @@ from typing import List, Optional, Tuple
 # (compiled regex, canonical CL term label) — order matters, first match wins.
 _RULES: List[Tuple[str, str]] = [
     # --- T lineage (granular → parent collapses on purpose) -------------
-    (r"\b(t[\s\-_]?regs?|regulatory\s+t)\b", "regulatory t cell"),
+    (r"\b(t[\s\-_]?regs?|regulatory\s+t|t\s+regulatory)\b",
+     "regulatory t cell"),
     (r"\btfh\b|\bfollicular\s+helper\b", "t follicular helper cell"),
     (r"\bth17\b", "t-helper 17 cell"),
     (r"\bth1\b", "t-helper 1 cell"),
@@ -25,14 +26,18 @@ _RULES: List[Tuple[str, str]] = [
     (r"\bnkt\b|\bnatural\s+killer\s+t\b", "mature nk t cell"),
     (r"\bgamma[\s\-_]?delta\b|\bgd\s*t\b|γδ", "gamma-delta t cell"),
     (r"cd4.*(cytotoxic|ctl)", "cd4-positive, alpha-beta cytotoxic t cell"),
-    (r"cd8.*t\b|\bt.*cd8|cytotoxic\s+t", "cd8-positive, alpha-beta t cell"),
+    (r"cd8.*t\b|\bt.*cd8", "cd8-positive, alpha-beta t cell"),
+    (r"\bctls?\b|cytotoxic\s+t", "cytotoxic t cell"),
     (r"cd4.*t\b|\bt.*cd4|helper\s+t|\bt\s+helper", "cd4-positive, alpha-beta t cell"),
     (r"\b(naive|memory|effector|central|resident|exhausted|activated)[\s\-_]+t\b",
      "t cell"),
     (r"\bt[\s\-_]?(cell|cells|lymphocyte)s?\b", "t cell"),
     # --- NK / ILC --------------------------------------------------------
     (r"\bnk[\s\-_]?(cell|cells)?\b|natural\s+killer", "natural killer cell"),
-    (r"\bilc\d?\b|innate\s+lymphoid", "innate lymphoid cell"),
+    (r"\bilc1\b", "group 1 innate lymphoid cell"),
+    (r"\bilc2\b", "group 2 innate lymphoid cell"),
+    (r"\bilc3\b", "group 3 innate lymphoid cell"),
+    (r"\bilcs?\b|innate\s+lymphoid", "innate lymphoid cell"),
     # --- B lineage --------------------------------------------------------
     (r"plasmablast", "plasmablast"),
     (r"plasma\s*(cell|cells)?\b", "plasma cell"),
@@ -48,7 +53,10 @@ _RULES: List[Tuple[str, str]] = [
     (r"monocyte", "monocyte"),
     (r"kupffer", "kupffer cell"),
     (r"alveolar\s+macro", "alveolar macrophage"),
-    (r"(m1|m2|tam|tissue[\s\-_]?resident)?[\s\-_]*macrophage", "macrophage"),
+    (r"\bm2[\s\-_]?(macrophage|mac|mø)",
+     "alternatively activated macrophage"),
+    (r"\bm1[\s\-_]?(macrophage|mac|mø)", "inflammatory macrophage"),
+    (r"(tam|tissue[\s\-_]?resident)?[\s\-_]*macrophage", "macrophage"),
     (r"\bpdc\b|plasmacytoid", "plasmacytoid dendritic cell"),
     (r"\bcdc[12]?\b|conventional\s+dendritic|myeloid\s+dendritic",
      "conventional dendritic cell"),
@@ -60,18 +68,19 @@ _RULES: List[Tuple[str, str]] = [
     (r"mast\s*(cell|cells)?", "mast cell"),
     (r"myeloid", "myeloid cell"),
     # --- erythroid / megakaryocytic / stem --------------------------------
-    (r"erythro(cyte|id)|red\s+blood", "erythrocyte"),
+    (r"erythro(cyte|id)|red\s+blood|\brbcs?\b", "erythrocyte"),
     (r"platelet|thrombocyte", "platelet"),
     (r"megakaryocyte", "megakaryocyte"),
     (r"\bhsc\b|hematopoietic\s+stem", "hematopoietic stem cell"),
     (r"\bmsc\b|mesenchymal\s+stem", "mesenchymal stem cell"),
     (r"stem\s+cell", "stem cell"),
     # --- stromal / vascular ------------------------------------------------
-    (r"lymphatic\s+endo", "endothelial cell of lymphatic vessel"),
+    (r"lymphatic\s+(endo|ecs?\b)", "endothelial cell of lymphatic vessel"),
     (r"(vascular|blood|arterial|venous|capillary)?[\s\-_]*endothel",
      "endothelial cell"),
+    (r"\b(arterial|venous|capillary|vascular)\s+ecs?\b", "endothelial cell"),
     (r"myofibroblast", "myofibroblast cell"),
-    (r"\bcaf\b|cancer[\s\-_]?associated\s+fibro", "fibroblast"),
+    (r"\bcafs?\b|cancer[\s\-_]?associated\s+fibro", "fibroblast"),
     (r"fibroblast", "fibroblast"),
     (r"smooth\s+muscle|\bsmc\b", "smooth muscle cell"),
     (r"pericyte|mural", "pericyte"),

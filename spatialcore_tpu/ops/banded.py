@@ -249,11 +249,13 @@ def _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab, den, S0, perm,
 
     zblk = Zp[1:nb + 1]
     cross = jnp.zeros((G,), jnp.float32)
+    lag_dt = Ztab.dtype  # bf16 lag halves the [nb,B,G] temp traffic; the
+    # final contraction still accumulates in f32 (preferred_element_type)
     for s in range(3):
         lag_s = jnp.einsum("nbw,nwg->nbg", A[:, :, s * B:(s + 1) * B],
-                           Zp[s:s + nb], preferred_element_type=jnp.float32)
-        cross = cross + jnp.einsum("nbg,nbg->g", zblk.astype(jnp.float32),
-                                   lag_s)
+                           Zp[s:s + nb], preferred_element_type=lag_dt)
+        cross = cross + jnp.einsum("nbg,nbg->g", zblk, lag_s,
+                                   preferred_element_type=jnp.float32)
         cross = jax.lax.optimization_barrier(cross)
 
     flat = Zp.reshape(-1, G)
@@ -310,8 +312,12 @@ def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
 
     init = (jnp.zeros((G,), jnp.int32), jnp.zeros((G,), jnp.float32),
             jnp.zeros((G,), jnp.float32))
+    # unroll=2: consecutive draws are independent except for the [G]-sized
+    # accumulators, letting XLA overlap one draw's random gather with the
+    # previous draw's band matmuls
     (count, s1, s2), _ = jax.lax.scan(body, init,
-                                      jnp.arange(n_permutations))
+                                      jnp.arange(n_permutations),
+                                      unroll=2)
     P = n_permutations
     p = (count + 1.0) / (P + 1.0)
     mean = s1 / P

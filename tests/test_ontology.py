@@ -21,7 +21,7 @@ def test_pattern_canonicalization():
         "NK cells": "natural killer cell",
         "Plasma cells": "plasma cell",
         "classical monocytes": "classical monocyte",
-        "M2 macrophage": "macrophage",
+        "M2 macrophage": "alternatively activated macrophage",
         "pDC": "plasmacytoid dendritic cell",
         "Cancer-associated fibroblasts": "fibroblast",
         "Alveolar Type 2": "type ii pneumocyte",
