@@ -47,6 +47,8 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..core.logging import get_logger
 from ..core.rng import feistel_permutation, key_for
@@ -209,6 +211,72 @@ def build_null_plan(
 
 
 # ---------------------------------------------------------------------------
+# Pallas band contraction
+# ---------------------------------------------------------------------------
+
+
+def _band_cross_kernel(a_ref, z0_ref, z1_ref, z2_ref, out_ref, acc_ref):
+    """Per-block band contribution, fused on-chip.
+
+    Grid step i holds block i's band A[B, 3B] and the three B-row slabs of
+    Zp it touches in VMEM; the spatial lag is three MXU matmuls and the
+    per-gene reduction never leaves the chip (the XLA formulation round-trips
+    a [nb, B, G] lag tensor through HBM three times per draw).
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    B = z0_ref.shape[1]
+    a = a_ref[0]
+    z1 = z1_ref[0]
+    lag = jnp.dot(a[:, :B], z0_ref[0], preferred_element_type=jnp.float32)
+    lag = lag + jnp.dot(a[:, B:2 * B], z1,
+                        preferred_element_type=jnp.float32)
+    lag = lag + jnp.dot(a[:, 2 * B:], z2_ref[0],
+                        preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] + jnp.sum(
+        z1.astype(jnp.float32) * lag, axis=0, keepdims=True)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def _band_cross_pallas(A, Zp, interpret: bool) -> jax.Array:
+    """cross[g] = Σ_blocks Σ_i zblk·(A@win) via one Pallas pass.
+
+    ``A`` [nb, B, 3B], ``Zp`` [nb+2, B, G] (both bf16 or f32).
+    Reads A once and Zp three times (the three shifted slabs are separate
+    pipelined inputs); writes only [G].
+    """
+    nb, B, _ = A.shape
+    G = Zp.shape[2]
+    out = pl.pallas_call(
+        _band_cross_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, B, 3 * B), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, G), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, G), lambda i: (i + 1, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, G), lambda i: (i + 2, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, G), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, G), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, G), jnp.float32)],
+        interpret=interpret,
+    )(A, Zp, Zp, Zp)
+    return out[0]
+
+
+# ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
 
@@ -234,12 +302,14 @@ def _build_band(local_idx, w_local, block: int, dtype):
 
 
 def _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab, den, S0, perm,
-                 *, block: int, n: int, stat: str):
+                 *, block: int, n: int, stat: str, band_impl: str = "xla",
+                 interpret: bool = False):
     """One draw's global statistic [G] via three batched band matmuls.
 
     ``Zp`` is laid out as [nb+2, B, G]: one front and one tail pad block of
     clipped rows whose values never reach the output (their band columns are
     all zero-weight). ``Ztab`` may be bf16 (default null mode) or f32.
+    ``band_impl="pallas"`` fuses the band matmuls + reduction on-chip.
     """
     B = block
     nb = A.shape[0]
@@ -248,15 +318,18 @@ def _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab, den, S0, perm,
     Zp = Ztab[perm[gidx]].reshape(nb + 2, B, G)   # ONE random row gather
 
     zblk = Zp[1:nb + 1]
-    cross = jnp.zeros((G,), jnp.float32)
-    lag_dt = Ztab.dtype  # bf16 lag halves the [nb,B,G] temp traffic; the
-    # final contraction still accumulates in f32 (preferred_element_type)
-    for s in range(3):
-        lag_s = jnp.einsum("nbw,nwg->nbg", A[:, :, s * B:(s + 1) * B],
-                           Zp[s:s + nb], preferred_element_type=lag_dt)
-        cross = cross + jnp.einsum("nbg,nbg->g", zblk, lag_s,
-                                   preferred_element_type=jnp.float32)
-        cross = jax.lax.optimization_barrier(cross)
+    if band_impl == "pallas":
+        cross = _band_cross_pallas(A, Zp, interpret=interpret)
+    else:
+        cross = jnp.zeros((G,), jnp.float32)
+        lag_dt = Ztab.dtype  # bf16 lag halves the [nb,B,G] temp traffic;
+        # the final contraction still accumulates in f32
+        for s in range(3):
+            lag_s = jnp.einsum("nbw,nwg->nbg", A[:, :, s * B:(s + 1) * B],
+                               Zp[s:s + nb], preferred_element_type=lag_dt)
+            cross = cross + jnp.einsum("nbg,nbg->g", zblk, lag_s,
+                                       preferred_element_type=jnp.float32)
+            cross = jax.lax.optimization_barrier(cross)
 
     flat = Zp.reshape(-1, G)
     fs = flat[far_src].astype(jnp.float32)
@@ -272,11 +345,12 @@ def _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab, den, S0, perm,
 
 @functools.partial(jax.jit, static_argnames=(
     "block", "n", "stat", "alternative", "n_permutations", "precision",
-    "perm_method"))
+    "perm_method", "band_impl", "interpret"))
 def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
                  Z, S0, observed, seed, *, block: int, n: int,
                  n_permutations: int, stat: str, alternative: str,
-                 precision: str, perm_method: str):
+                 precision: str, perm_method: str, band_impl: str = "xla",
+                 interpret: bool = False):
     den = jnp.sum(Z * Z, axis=0)
     den = jnp.where(den > 0, den, 1.0)
     wdt = jnp.bfloat16 if precision == "bf16" else Z.dtype
@@ -300,7 +374,8 @@ def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
         # position p gets Z[perm[order[p]]]
         perm = raw[order]
         vals = _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab, den,
-                            S0, perm, block=block, n=n, stat=stat)
+                            S0, perm, block=block, n=n, stat=stat,
+                            band_impl=band_impl, interpret=interpret)
         if alternative == "greater":
             extreme = vals >= observed
         elif alternative == "less":
@@ -336,6 +411,7 @@ def banded_permutation_test(
     alternative: str = "greater",
     precision: str = "bf16",
     perm_method: str = "feistel",
+    band_impl: str = "auto",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Drop-in replacement for ``permutation_test_global`` using a NullPlan.
 
@@ -346,10 +422,27 @@ def banded_permutation_test(
     (and by ~3-digit rounding with the default bf16 band — nulls feed
     Monte-Carlo *counting*, where that precision is statistically invisible;
     pass precision="f32" for exact-order validation).
+
+    ``band_impl``: "pallas" fuses the band contraction on-chip (default on
+    TPU backends), "xla" uses batched einsums (default elsewhere; on
+    non-TPU backends "pallas" runs in interpret mode — correct but slow,
+    for tests).
     """
-    return _banded_test(
+    if band_impl == "auto":
+        band_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    interpret = jax.default_backend() != "tpu"
+    G = Z.shape[1]
+    pad_g = (-G) % 128 if (band_impl == "pallas" and not interpret) else 0
+    if pad_g:
+        Z = jnp.pad(Z, ((0, 0), (0, pad_g)))
+        observed = jnp.pad(observed, (0, pad_g))
+    p, mean, std = _banded_test(
         plan.order, plan.local_idx, plan.w_local, plan.far_src, plan.far_dst,
         plan.far_w, plan.rc_sum, Z, S0, observed, jnp.uint32(seed),
         block=plan.block, n=plan.n,
         n_permutations=n_permutations, stat=stat, alternative=alternative,
-        precision=precision, perm_method=perm_method)
+        precision=precision, perm_method=perm_method, band_impl=band_impl,
+        interpret=interpret)
+    if pad_g:
+        p, mean, std = p[:G], mean[:G], std[:G]
+    return p, mean, std

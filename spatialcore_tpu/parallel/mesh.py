@@ -25,7 +25,33 @@ def auto_mesh(
     genes are embarrassingly parallel, the fixed-degree graph stays
     replicated, and no collectives hit the hot loop. Pass ``cell_shards`` to
     split the cell axis instead (e.g. when N is too large per device).
+
+    Multi-host (DCN): when run under multiple JAX processes, the host
+    dimension folds into the ``cells`` axis — cell sharding has no hot-loop
+    collectives (only the one-time standardize psum and output layout), so
+    cross-host traffic rides DCN exactly once per statistic, while the
+    gene/permutation axis stays inside each host's ICI domain.
     """
+    if devices is None and jax.process_count() > 1:
+        from jax.experimental import mesh_utils
+
+        n_local = jax.local_device_count()
+        n_hosts = jax.process_count()
+        cs = cell_shards or n_hosts
+        if cs % n_hosts != 0:
+            raise ValueError(
+                f"cell_shards={cs} must be a multiple of the host count "
+                f"{n_hosts} (the DCN dimension folds into the cells axis)")
+        per_host_cells = cs // n_hosts
+        if n_local % per_host_cells != 0:
+            raise ValueError(
+                f"cell_shards={cs} does not tile {n_hosts} hosts × "
+                f"{n_local} local devices")
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (per_host_cells, n_local // per_host_cells),
+            (n_hosts, 1),
+        )  # [n_hosts*per_host_cells, local/per_host_cells]
+        return Mesh(arr, ("cells", "genes"))
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
         devs = devs[:n_devices]

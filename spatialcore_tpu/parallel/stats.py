@@ -14,7 +14,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.graph import SpatialGraph
 from ..ops.moran import (
@@ -117,5 +117,41 @@ def sharded_local_moran(
     graph, X = _place(graph, X, mesh)
     with mesh:
         Z, _ = jax.jit(standardize)(X)
+        return local_moran(graph, Z, seed=seed,
+                           n_permutations=n_permutations)
+
+
+def sharded_local_moran_2d(
+    graph: SpatialGraph,
+    Z: jax.Array,
+    seed: int,
+    n_permutations: int,
+    mesh: Mesh,
+):
+    """LISA with BOTH axes sharded: cells × genes over the full mesh.
+
+    For outputs that exceed one chip's HBM (the north-star 1M × 5k f32
+    local-Moran field is 20 GB), the [N, G] inputs and all four [N, G]
+    outputs are laid out ("cells", "genes") so each chip holds only its
+    (N/cs × G/gs) tile. Each permutation draw's row gather ``Z[perm]``
+    crosses cell shards — XLA lowers it to a collective whose temp is
+    bounded by the GENE shard width (an [N, G/gs] slab), so the gene axis
+    caps the transient while the cell axis caps the resident footprint.
+
+    ``Z`` must be pre-standardized (standardizing inside the cell-sharded
+    region would change the reduction order of the column means and break
+    the bitwise-identical-across-meshes guarantee; gathers and elementwise
+    ops are order-free, so the outputs here are bitwise equal to the
+    single-device kernel).
+    """
+    cs2 = NamedSharding(mesh, P("cells", "genes"))
+    cell_rows = NamedSharding(mesh, P("cells"))
+    graph = SpatialGraph(
+        neighbor_idx=jax.device_put(graph.neighbor_idx, cell_rows),
+        neighbor_w=jax.device_put(graph.neighbor_w, cell_rows),
+        valid=jax.device_put(graph.valid, cell_rows),
+        distances=jax.device_put(graph.distances, cell_rows))
+    Z = jax.device_put(Z, cs2)
+    with mesh:
         return local_moran(graph, Z, seed=seed,
                            n_permutations=n_permutations)

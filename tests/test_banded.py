@@ -195,3 +195,20 @@ def test_feistel_permutation_properties():
         counts[np.arange(n), p] += 1
     chi2 = ((counts - D / n) ** 2 / (D / n)).sum()
     assert chi2 < 100, f"feistel occupancy chi2={chi2:.1f}"
+
+
+def test_pallas_band_impl_matches_xla(setup):
+    """Interpret-mode Pallas band contraction == XLA einsum path."""
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    S0 = float(np.asarray(graph.neighbor_w).sum())
+    obs = moran_observed(graph, Z, S0)
+    p_x, m_x, s_x = banded_permutation_test(
+        plan, Z, S0, obs, seed=2, n_permutations=29, precision="f32",
+        band_impl="xla")
+    p_p, m_p, s_p = banded_permutation_test(
+        plan, Z, S0, obs, seed=2, n_permutations=29, precision="f32",
+        band_impl="pallas")
+    np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(p_p), np.asarray(p_x))

@@ -145,3 +145,31 @@ def test_morans_i_with_mesh_matches_single_device():
     g = got.uns["morans_i"].set_index("gene")
     np.testing.assert_allclose(g["I"], r["I"], rtol=1e-5, atol=1e-7)
     np.testing.assert_array_equal(g["p_value"], r["p_value"])
+
+
+def test_local_moran_2d_sharding_bitwise():
+    """cells 2-way x genes 4-way == single-device, bitwise (VERDICT item 5)."""
+    import jax
+    from jax.sharding import Mesh
+    from spatialcore_tpu.parallel.mesh import auto_mesh
+    from spatialcore_tpu.parallel.stats import sharded_local_moran_2d
+    from spatialcore_tpu.ops.graph import build_graph
+    from spatialcore_tpu.ops.moran import local_moran, standardize
+
+    rng = np.random.default_rng(4)
+    n, g = 512, 8
+    coords = rng.uniform(0, 80, (n, 2)).astype(np.float32)
+    X = rng.normal(0, 1, (n, g)).astype(np.float32)
+    graph = build_graph(coords, n_neighbors=5)
+    Z, _ = standardize(jnp.asarray(X))
+
+    ref = local_moran(graph, Z, seed=3, n_permutations=23)
+    mesh = auto_mesh(cell_shards=2)
+    assert mesh.shape == {"cells": 2, "genes": 4}
+    got = sharded_local_moran_2d(graph, Z, seed=3, n_permutations=23,
+                                 mesh=mesh)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # outputs really are laid out over both axes
+    spec = got.local_I.sharding.spec
+    assert tuple(spec) == ("cells", "genes")
