@@ -34,6 +34,12 @@ from .annotate import (
     get_model_gene_overlap,
     get_models_for_tissue,
 )
+from .registry import (
+    load_registry,
+    publish_model,
+    register_model,
+    resolve_model,
+)
 from .confidence import (
     ConfidenceMethod,
     compute_confidence_from_obsm,
@@ -116,6 +122,7 @@ __all__ = [
     "CellTypeModel", "train_cell_type_model", "train_celltypist_model",
     "combine_references", "subsample_balanced", "ensure_normalized",
     "save_model_artifacts", "generate_color_scheme",
+    "publish_model", "register_model", "resolve_model", "load_registry",
     "DEFAULT_EXCLUDE_LABELS", "HIGH_CONTRAST_PALETTE",
     "annotate_cells", "annotate_celltypist", "get_models_for_tissue",
     "TISSUE_MODEL_PRESETS",

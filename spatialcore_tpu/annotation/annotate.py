@@ -63,15 +63,9 @@ def get_models_for_tissue(tissue: str) -> List[str]:
 def _resolve_model(m, models_dir: Path) -> CellTypeModel:
     if isinstance(m, CellTypeModel):
         return m
-    p = Path(m)
-    if p.exists() or p.with_suffix(".npz").exists():
-        return CellTypeModel.load(p)
-    cand = models_dir / f"{m}.npz"
-    if cand.exists():
-        return CellTypeModel.load(cand)
-    raise FileNotFoundError(
-        f"Model '{m}' not found (looked at '{p}' and '{cand}'). Train one "
-        "with annotation.train_cell_type_model and save it there.")
+    from .registry import resolve_model
+
+    return resolve_model(m, models_dir=models_dir)
 
 
 def _gene_overlap(model: CellTypeModel, var_names) -> np.ndarray:

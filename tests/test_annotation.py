@@ -294,3 +294,59 @@ def test_subsample_balanced_keeps_ungrouped_cells():
     sub = subsample_balanced(adata, max_cells_per_type=5000,
                              group_by_column="cell_type_ontology_term_id")
     assert sub.n_obs == adata.n_obs          # under cap: nothing dropped
+
+
+def test_model_registry_publish_and_annotate(tmp_path, monkeypatch):
+    """annotate_cells(models='immune_global') works from a published artifact
+    (VERDICT item 7: pretrained-model story for TISSUE_MODEL_PRESETS)."""
+    import pandas as pd
+
+    from spatialcore_tpu.annotation import (
+        annotate_cells, get_models_for_tissue, publish_model, register_model,
+        resolve_model, train_cell_type_model)
+    from spatialcore_tpu.core.container import SpatialData
+
+    rng = np.random.default_rng(0)
+    n, g = 400, 24
+    genes = [f"G{i}" for i in range(g)]
+    y = rng.choice(["T cell", "B cell"], n)
+    X = rng.poisson(1.0, (n, g)).astype(np.float32)
+    X[y == "T cell", :4] += 6
+    X[y == "B cell", 4:8] += 6
+    train = SpatialData(
+        X=np.log1p(X),
+        obs=pd.DataFrame({"cell_type": y}, index=[f"c{i}" for i in range(n)]),
+        var=pd.DataFrame(index=genes))
+    model = train_cell_type_model(train, epochs=10, seed=0)
+
+    models_dir = tmp_path / "models"
+    registry = tmp_path / "registry.json"
+    monkeypatch.setattr("spatialcore_tpu.annotation.registry.REGISTRY_PATH",
+                        registry)
+    monkeypatch.setattr(
+        "spatialcore_tpu.annotation.registry.DEFAULT_MODELS_DIR", models_dir)
+    path = publish_model(model, "immune_global", models_dir=models_dir)
+    assert path.exists() and path.with_suffix(".json").exists()
+
+    # preset name resolves through the registry even from an empty dir
+    assert "immune_global" in get_models_for_tissue("blood")
+    m2 = resolve_model("immune_global", models_dir=tmp_path / "empty")
+    assert m2.classes == model.classes
+
+    # file:// URI registration resolves too
+    register_model("via_uri", f"file://{path}")
+    m3 = resolve_model("via_uri", models_dir=tmp_path / "empty")
+    assert m3.n_genes == model.n_genes
+
+    query = SpatialData(
+        X=train.X.copy(),
+        obs=pd.DataFrame(index=[f"q{i}" for i in range(n)]),
+        var=pd.DataFrame(index=genes))
+    annotate_cells(query, models="immune_global", models_dir=models_dir)
+    acc = (query.obs["cell_type"].to_numpy() == y).mean()
+    assert acc > 0.9
+
+    # unknown names fail with the publishing recipe
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError, match="publish_model"):
+        resolve_model("no_such_model", models_dir=tmp_path / "empty")
