@@ -347,15 +347,16 @@ def _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab, den, S0, perm,
     "block", "n", "stat", "alternative", "n_permutations", "precision",
     "perm_method", "band_impl", "interpret"))
 def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
-                 Z, S0, observed, seed, *, block: int, n: int,
+                 Z, S0, observed, seed, den, *, block: int, n: int,
                  n_permutations: int, stat: str, alternative: str,
                  precision: str, perm_method: str, band_impl: str = "xla",
                  interpret: bool = False):
-    den = jnp.sum(Z * Z, axis=0)
-    den = jnp.where(den > 0, den, 1.0)
+    if den is None:
+        den = jnp.sum(Z.astype(jnp.float32) ** 2, axis=0)
+        den = jnp.where(den > 0, den, 1.0)
     wdt = jnp.bfloat16 if precision == "bf16" else Z.dtype
     A = _build_band(local_idx, w_local, block, wdt)
-    Ztab = Z.astype(wdt)
+    Ztab = Z if Z.dtype == wdt else Z.astype(wdt)
     G = Z.shape[1]
     if perm_method == "sort":
         base = key_for(seed, "perm_global", 0)
@@ -412,6 +413,7 @@ def banded_permutation_test(
     precision: str = "bf16",
     perm_method: str = "feistel",
     band_impl: str = "auto",
+    den: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Drop-in replacement for ``permutation_test_global`` using a NullPlan.
 
@@ -423,22 +425,29 @@ def banded_permutation_test(
     Monte-Carlo *counting*, where that precision is statistically invisible;
     pass precision="f32" for exact-order validation).
 
-    ``band_impl``: "pallas" fuses the band contraction on-chip (default on
-    TPU backends), "xla" uses batched einsums (default elsewhere; on
-    non-TPU backends "pallas" runs in interpret mode — correct but slow,
-    for tests).
+    ``band_impl``: "pallas" fuses the band contraction on-chip, "xla" uses
+    batched einsums (the default everywhere — measured faster than the
+    Pallas triple-input version at 1M cells; "auto" == "xla". On non-TPU
+    backends "pallas" runs in interpret mode — correct but slow, for
+    tests).
+
+    Memory note: at large N·G pass ``Z`` already cast to bfloat16 together
+    with a precomputed f32 ``den`` (= Σ z² per gene) so no float32 copy of
+    Z needs to stay resident during the scan.
     """
     if band_impl == "auto":
-        band_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        band_impl = "xla"
     interpret = jax.default_backend() != "tpu"
     G = Z.shape[1]
     pad_g = (-G) % 128 if (band_impl == "pallas" and not interpret) else 0
     if pad_g:
         Z = jnp.pad(Z, ((0, 0), (0, pad_g)))
         observed = jnp.pad(observed, (0, pad_g))
+        if den is not None:
+            den = jnp.pad(den, (0, pad_g), constant_values=1.0)
     p, mean, std = _banded_test(
         plan.order, plan.local_idx, plan.w_local, plan.far_src, plan.far_dst,
-        plan.far_w, plan.rc_sum, Z, S0, observed, jnp.uint32(seed),
+        plan.far_w, plan.rc_sum, Z, S0, observed, jnp.uint32(seed), den,
         block=plan.block, n=plan.n,
         n_permutations=n_permutations, stat=stat, alternative=alternative,
         precision=precision, perm_method=perm_method, band_impl=band_impl,

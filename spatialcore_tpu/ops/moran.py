@@ -311,18 +311,31 @@ class LocalGearyResult(NamedTuple):
     p_value: jax.Array   # [N, G] one-sided (low C = positive autocorr)
 
 
-@functools.partial(jax.jit, static_argnames=("n_permutations",))
+@functools.partial(jax.jit, static_argnames=("n_permutations", "null"))
 def local_geary(
     graph: SpatialGraph,
     Z: jax.Array,
     seed: int = 0,
     n_permutations: int = 0,
+    null: str = "conditional",
 ) -> LocalGearyResult:
     """Local Geary's C (Anselin 1995/2019): c_i = Σ_j w_ij (z_i − z_j)².
 
     Small c_i = the cell resembles its neighbors (positive local
     autocorrelation). Permutation p is one-sided on the low tail,
     (#{c_perm ≤ c_obs} + 1)/(P + 1), one scan step per draw.
+
+    ``null`` selects the randomization scheme:
+
+    * ``"conditional"`` (default; the GeoDa/esda convention) — each cell
+      keeps its OWN value and its k neighbor slots are filled with values
+      drawn uniformly WITHOUT replacement from the other n−1 cells. Built
+      exactly (not approximately) per draw: with a uniform permutation π
+      and k distinct shared offsets u_j ∈ [0, n−2], the draw for cell i is
+      π[(π⁻¹[i] + 1 + u_j) mod n] — never i, distinct across j, and
+      uniform over non-i cells.
+    * ``"total"`` — whole-column shuffle applied to both sides (the
+      total-randomization null the reference's local stats use).
     """
     n, G = Z.shape
     k = graph.neighbor_idx.shape[1]
@@ -348,11 +361,19 @@ def local_geary(
     base = key_for(seed, "perm_local_geary", 0)
 
     def body(count, p):
-        perm = jax.random.permutation(jax.random.fold_in(base, p), n)
-        # conditional permutation: own value fixed, neighbors shuffled —
-        # approximated here by whole-column shuffle applied to both sides,
-        # the same total-randomization null as the reference's local stats
-        cp = local_c(Z, perm=perm)
+        key = jax.random.fold_in(base, p)
+        perm = jax.random.permutation(key, n)
+        if null == "total":
+            cp = local_c(Z, perm=perm)
+        else:
+            inv = jnp.argsort(perm)
+            u = jax.random.choice(jax.random.fold_in(key, 1),
+                                  n - 1, (k,), replace=False)
+            cp = jnp.zeros_like(Z)
+            for j in range(k):
+                draw_idx = perm[(inv + 1 + u[j]) % n]
+                d = Z - Z[draw_idx]
+                cp = cp + graph.neighbor_w[:, j:j + 1] * d * d
         return count + (cp <= c_obs).astype(jnp.int32), None
 
     count, _ = jax.lax.scan(body, jnp.zeros((n, G), jnp.int32),

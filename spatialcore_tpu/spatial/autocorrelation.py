@@ -721,14 +721,17 @@ def local_gearys_c(
     batch_size: int = 100,
     key_added: str = "local_geary",
     use_existing_graph: bool = False,
+    null: str = "conditional",
     copy: bool = False,
 ):
     """Local Geary's C per cell × gene (Anselin's multivariate-ready LISA).
 
     Small C with small p = the cell sits in a coherent neighborhood for
     that gene. Outputs ``obsm[f"{key}_C"]``, ``obsm[f"{key}_p"]``,
-    ``obsm[f"{key}_p_adj"]`` and ``uns[f"{key}_params"]``. (Extension —
-    ROADMAP item 6; same kernel family as local Moran.)
+    ``obsm[f"{key}_p_adj"]`` and ``uns[f"{key}_params"]``. ``null`` picks
+    the randomization: "conditional" (GeoDa convention: each cell's own
+    value held fixed, neighbor values drawn from the other cells) or
+    "total" (whole-column shuffle). (Extension — ROADMAP item 6.)
     """
     from ..ops.moran import local_geary as _local_geary_kernel
 
@@ -749,7 +752,7 @@ def local_gearys_c(
         Xb = _dense_expression(adata, batch, layer)
         Z, zero_var = standardize(jnp.asarray(Xb))
         res = _local_geary_kernel(graph, Z, seed=seed,
-                                  n_permutations=n_permutations)
+                                  n_permutations=n_permutations, null=null)
         sl = slice(bs, bs + len(batch))
         C_all[:, sl] = np.asarray(res.local_C)
         p_all[:, sl] = np.asarray(res.p_value)
@@ -766,7 +769,7 @@ def local_gearys_c(
     adata.uns[f"{key_added}_params"] = {
         "genes": gene_names, "n_neighbors": n_neighbors,
         "n_permutations": n_permutations, "seed": seed,
-        "fdr_correction": fdr_correction,
+        "fdr_correction": fdr_correction, "null": null,
         "computation_time_seconds": round(time.time() - start, 2),
     }
     logger.info(f"Local Geary's C: {n_cells:,} cells × {n_genes} genes "

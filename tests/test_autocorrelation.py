@@ -396,3 +396,40 @@ def test_local_gearys_c(spatial_adata):
     # the structured gene's coherent cells get significant low-C p-values
     structured_p = p[:, 0]
     assert (structured_p < 0.05).mean() > 0.2
+
+
+def test_local_geary_conditional_vs_total_null(spatial_adata):
+    """Both nulls agree on strong structure; the conditional null never
+    draws a cell's own value (VERDICT item 10)."""
+    import jax.numpy as jnp
+
+    from spatialcore_tpu.ops.graph import build_graph
+    from spatialcore_tpu.ops.moran import local_geary, standardize
+
+    adata = spatial_adata.copy()
+    coords = np.asarray(adata.obsm["spatial"])
+    graph = build_graph(coords, n_neighbors=6)
+    X = np.asarray(adata.X if not hasattr(adata.X, "todense")
+                   else adata.X.todense(), np.float32)
+    Z, _ = standardize(jnp.asarray(X[:, :3]))
+
+    res_c = local_geary(graph, Z, seed=0, n_permutations=199,
+                        null="conditional")
+    res_t = local_geary(graph, Z, seed=0, n_permutations=199, null="total")
+    # identical observed statistic
+    np.testing.assert_allclose(np.asarray(res_c.local_C),
+                               np.asarray(res_t.local_C), rtol=1e-6)
+    p_c = np.asarray(res_c.p_value)
+    p_t = np.asarray(res_t.p_value)
+    # structured gene 0: both nulls flag a sizable significant fraction,
+    # and the two schemes broadly agree cell-by-cell
+    assert (p_c[:, 0] < 0.05).mean() > 0.15
+    assert (p_t[:, 0] < 0.05).mean() > 0.15
+    agree = ((p_c[:, 0] < 0.05) == (p_t[:, 0] < 0.05)).mean()
+    assert agree > 0.8
+    # public API exposes the choice and records it
+    from spatialcore_tpu.spatial import local_gearys_c
+
+    out = local_gearys_c(adata, genes=list(adata.var_names[:2]),
+                         n_permutations=49, null="total")
+    assert out.uns["local_geary_params"]["null"] == "total"
