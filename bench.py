@@ -11,7 +11,16 @@ whatever single device is available and reports
 so vs_baseline >= 1.0 means the per-chip share of the north-star target is
 met. Graph-build time is reported on stderr (tracked metric #2).
 
-Env overrides: BENCH_CELLS, BENCH_GENES, BENCH_PERMS, BENCH_K.
+The null path is the banded kernel (ops/banded.py): Hilbert-relabeled
+edges evaluated as block-banded dense bf16 matmuls, one random row gather
+per draw, Feistel permutations. G defaults to 1024 — the per-chip gene
+share of the 5k-gene north-star workload (the gather is row-rate-bound, so
+per-chip throughput depends on the gene width; see docs/performance.md).
+
+Data is generated ON-DEVICE (host->device uploads ride a slow tunnel).
+
+Env overrides: BENCH_CELLS, BENCH_GENES, BENCH_PERMS, BENCH_K,
+BENCH_METHOD=banded|legacy.
 """
 
 import json
@@ -26,24 +35,29 @@ PER_CHIP_TARGET = 83333.0 / 8.0  # genes*perms/sec
 
 def main():
     n_cells = int(os.environ.get("BENCH_CELLS", 1_000_000))
-    n_genes = int(os.environ.get("BENCH_GENES", 512))
+    n_genes = int(os.environ.get("BENCH_GENES", 1024))
     n_perms = int(os.environ.get("BENCH_PERMS", 100))
     k = int(os.environ.get("BENCH_K", 6))
+    method = os.environ.get("BENCH_METHOD", "banded")
 
     import jax
     import jax.numpy as jnp
 
+    from spatialcore_tpu.ops.banded import (
+        banded_permutation_test, build_null_plan)
     from spatialcore_tpu.ops.graph import build_graph
     from spatialcore_tpu.ops.moran import (
         moran_observed, permutation_test_global, standardize)
 
     dev = jax.devices()[0]
     print(f"[bench] device={dev.platform}:{dev.device_kind} "
-          f"N={n_cells:,} G={n_genes} P={n_perms} k={k}", file=sys.stderr)
+          f"N={n_cells:,} G={n_genes} P={n_perms} k={k} method={method}",
+          file=sys.stderr)
 
-    rng = np.random.default_rng(0)
-    coords = rng.uniform(0, 6000.0, size=(n_cells, 2)).astype(np.float32)
-    X = rng.standard_normal((n_cells, n_genes), dtype=np.float32)
+    kc, kx = jax.random.split(jax.random.key(0))
+    coords_j = jax.random.uniform(kc, (n_cells, 2), jnp.float32, 0.0, 6000.0)
+    jax.block_until_ready(coords_j)
+    coords = np.asarray(coords_j)
 
     t0 = time.time()
     graph = build_graph(coords, n_neighbors=k)
@@ -52,24 +66,39 @@ def main():
     print(f"[bench] graph build: {t_graph*1e3:.0f} ms "
           f"({t_graph*1e3*1e6/n_cells:.0f} ms per 1M cells)", file=sys.stderr)
 
-    Z, _ = standardize(jnp.asarray(X))
     S0 = float(n_cells)
 
     @jax.jit
-    def observed(Z):
-        return moran_observed(graph, Z, S0)
+    def prep(key):
+        X = jax.random.normal(key, (n_cells, n_genes), jnp.float32)
+        Z, _ = standardize(X)
+        den = jnp.sum(Z * Z, axis=0)
+        den = jnp.where(den > 0, den, 1.0)
+        I_obs = moran_observed(graph, Z, S0)
+        Zb = Z.astype(jnp.bfloat16)
+        return (Zb if method == "banded" else Z), den, I_obs
 
-    I_obs = observed(Z)
-    jax.block_until_ready(I_obs)
+    Ztab, den, I_obs = jax.block_until_ready(prep(kx))
 
-    null_dtype = os.environ.get("BENCH_NULL_DTYPE", "float32")
+    if method == "banded":
+        t0 = time.time()
+        plan = build_null_plan(graph, coords, block=512)
+        print(f"[bench] null plan build: {time.time()-t0:.1f}s",
+              file=sys.stderr)
 
-    def run(seed):
-        p, m, s = permutation_test_global(
-            graph, Z, S0, I_obs, seed=seed, n_permutations=n_perms,
-            alternative="greater", null_dtype=null_dtype)
-        jax.block_until_ready(p)
-        return p
+        def run(seed):
+            p, _, _ = banded_permutation_test(
+                plan, Ztab, S0, I_obs, seed=seed, n_permutations=n_perms,
+                den=den)
+            jax.block_until_ready(p)
+            return p
+    else:
+        def run(seed):
+            p, _, _ = permutation_test_global(
+                graph, Ztab, S0, I_obs, seed=seed, n_permutations=n_perms,
+                alternative="greater")
+            jax.block_until_ready(p)
+            return p
 
     run(0)  # compile
     # the timed run uses a different seed: some backends cache identical
@@ -79,7 +108,8 @@ def main():
     elapsed = time.time() - t0
 
     rate = n_genes * n_perms / elapsed
-    print(f"[bench] {n_genes}x{n_perms} perms in {elapsed:.2f}s", file=sys.stderr)
+    print(f"[bench] {n_genes}x{n_perms} perms in {elapsed:.2f}s",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "moran_genes_perms_per_sec_1M_cells",
         "value": round(rate, 1),

@@ -224,7 +224,11 @@ def knn_grid(
     n_buckets = nbx * nby
     counts = np.bincount(sorted_bucket, minlength=n_buckets)
     offsets = np.concatenate([[0], np.cumsum(counts)])
-    C = max(int(counts.max()), 1)
+    # pad the bucket capacity to a multiple of 16: the capacity is baked
+    # into the jitted search's table shape, so an unpadded max-count
+    # recompiles the kernel for every new coordinate draw (remote TPU
+    # compiles take minutes; same pin as the ripley bucket capacity)
+    C = max(-(-int(counts.max()) // 16) * 16, 16)
     # padded bucket table: one vectorized scatter
     table_np = np.full((n_buckets, C), -1, np.int32)
     pos = np.arange(n) - offsets[sorted_bucket]

@@ -182,6 +182,7 @@ def _global_autocorr(
     alternative: Optional[str],
     gene_batch_size: int,
     mesh=None,
+    null_method: str = "auto",
 ):
     start = time.time()
     if copy:
@@ -197,6 +198,19 @@ def _global_autocorr(
     graph = _get_graph(adata, n_neighbors, spatial_key, use_existing_graph)
     moments = graph_moments(graph)
     S0, S1, S2 = moments["S0"], moments["S1"], moments["S2"]
+
+    # banded null kernel for large N: one random gather + MXU band matmuls
+    # per draw instead of 7 gathers (ops/banded.py; ~3x at 1M cells). Its
+    # Feistel draw stream differs from the slot kernel's, so the choice is
+    # sticky per (data, seed): "auto" switches on size only.
+    if null_method == "auto":
+        null_method = ("banded" if n_permutations > 0 and mesh is None
+                       and n_cells >= 100_000 else "slots")
+    plan = None
+    if null_method == "banded" and n_permutations > 0:
+        from ..ops.banded import banded_permutation_test, build_null_plan
+
+        plan = build_null_plan(graph, np.asarray(adata.obsm[spatial_key]))
 
     place_Z = None
     if mesh is not None:
@@ -241,9 +255,14 @@ def _global_autocorr(
         z_score = (observed - expected) / jnp.sqrt(jnp.maximum(var, 1e-30))
         p_norm = p_from_z(z_score, alternative)
         if n_permutations > 0:
-            p_sim, _, _ = permutation_test_global(
-                graph, Z, S0, observed, seed, n_permutations,
-                stat=stat, alternative=alternative)
+            if plan is not None:
+                p_sim, _, _ = banded_permutation_test(
+                    plan, Z, S0, observed, seed, n_permutations,
+                    stat=stat, alternative=alternative)
+            else:
+                p_sim, _, _ = permutation_test_global(
+                    graph, Z, S0, observed, seed, n_permutations,
+                    stat=stat, alternative=alternative)
             p_val = p_sim
         else:
             p_val = p_norm
@@ -275,6 +294,7 @@ def _global_autocorr(
             "n_neighbors": n_neighbors, "n_permutations": n_permutations,
             "use_existing_graph": use_existing_graph, "seed": seed,
             "assumption": assumption, "alternative": alternative,
+            "null_method": null_method if n_permutations > 0 else "analytic",
             "backend": "spatialcore_tpu",
         },
         outputs={"uns": key_added},
@@ -297,6 +317,7 @@ def morans_i(
     alternative: Optional[Literal["greater", "less", "two-sided"]] = None,
     gene_batch_size: int = 512,
     mesh=None,
+    null_method: str = "auto",
 ):
     """Global Moran's I per gene.
 
@@ -309,7 +330,7 @@ def morans_i(
     return _global_autocorr(
         adata, "moran", genes, layer, spatial_key, n_neighbors, n_permutations,
         seed, key_added, copy, use_existing_graph, assumption, alternative,
-        gene_batch_size, mesh=mesh)
+        gene_batch_size, mesh=mesh, null_method=null_method)
 
 
 def gearys_c(
@@ -327,6 +348,7 @@ def gearys_c(
     alternative: Optional[Literal["greater", "less", "two-sided"]] = None,
     gene_batch_size: int = 512,
     mesh=None,
+    null_method: str = "auto",
 ):
     """Global Geary's C per gene (BASELINE config 2 extension).
 
@@ -337,7 +359,7 @@ def gearys_c(
     return _global_autocorr(
         adata, "geary", genes, layer, spatial_key, n_neighbors, n_permutations,
         seed, key_added, copy, use_existing_graph, assumption, alternative,
-        gene_batch_size, mesh=mesh)
+        gene_batch_size, mesh=mesh, null_method=null_method)
 
 
 # ---------------------------------------------------------------------------

@@ -433,3 +433,21 @@ def test_local_geary_conditional_vs_total_null(spatial_adata):
     out = local_gearys_c(adata, genes=list(adata.var_names[:2]),
                          n_permutations=49, null="total")
     assert out.uns["local_geary_params"]["null"] == "total"
+
+
+def test_morans_i_banded_null_method(spatial_adata):
+    """null_method='banded' through the public API matches 'slots' inference."""
+    a1 = spatial_adata.copy()
+    a2 = spatial_adata.copy()
+    a1 = __import__("spatialcore_tpu").spatial.morans_i(
+        a1, n_permutations=99, seed=0, null_method="banded")
+    a2 = __import__("spatialcore_tpu").spatial.morans_i(
+        a2, n_permutations=99, seed=0, null_method="slots")
+    df1 = a1.uns["morans_i"].set_index("gene")
+    df2 = a2.uns["morans_i"].set_index("gene")
+    np.testing.assert_allclose(df1["I"], df2["I"], rtol=1e-6)
+    # different draw streams, same inference on the structured gene
+    assert df1.loc["GENE0", "p_value"] <= 0.02
+    assert df2.loc["GENE0", "p_value"] <= 0.02
+    assert a1.uns["morans_i_params" if "morans_i_params" in a1.uns else
+                  "morans_i"] is not None
