@@ -276,6 +276,83 @@ def _band_cross_pallas(A, Zp, interpret: bool) -> jax.Array:
     return out[0]
 
 
+def _band_halo_kernel(a_ref, zp_any, out_ref, win_ref, sem_ref, acc_ref,
+                      lag_ref):
+    """Single-read halo version: a 4-slot VMEM ring holds the three Zp
+    slabs each block touches; every grid step DMAs exactly ONE new slab
+    (slab i+3) while computing on slabs i, i+1, i+2 — Zp crosses HBM once
+    per draw instead of three times, and the lag tensor never exists in
+    HBM at all (the XLA einsum path round-trips ~12 GB of lag temps per
+    draw at G=1024).
+    """
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    def dma(slab):
+        return pltpu.make_async_copy(zp_any.at[slab], win_ref.at[slab % 4],
+                                     sem_ref.at[slab % 4])
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        dma(0).start()
+        dma(1).start()
+        dma(2).start()
+        dma(0).wait()
+        dma(1).wait()
+
+    @pl.when(i + 3 < nsteps + 2)
+    def _():
+        dma(i + 3).start()
+
+    dma(i + 2).wait()
+
+    B = win_ref.shape[1]
+    a = a_ref[0]
+    z0 = win_ref[i % 4]
+    z1 = win_ref[(i + 1) % 4]
+    z2 = win_ref[(i + 2) % 4]
+    lag_ref[:] = jnp.dot(a[:, :B], z0, preferred_element_type=jnp.float32)
+    lag_ref[:] += jnp.dot(a[:, B:2 * B], z1,
+                          preferred_element_type=jnp.float32)
+    lag_ref[:] += jnp.dot(a[:, 2 * B:], z2,
+                          preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] + jnp.sum(
+        z1.astype(jnp.float32) * lag_ref[:], axis=0, keepdims=True)
+
+    @pl.when(i == nsteps - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def _band_cross_pallas_halo(A, Zp, interpret: bool) -> jax.Array:
+    """cross[g] via the halo-ring kernel. ``Zp`` [nb+2, B, G]."""
+    nb, B, _ = A.shape
+    G = Zp.shape[2]
+    out = pl.pallas_call(
+        _band_halo_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, B, 3 * B), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, G), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, G), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((4, B, G), Zp.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((1, G), jnp.float32),
+            pltpu.VMEM((B, G), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(A, Zp)
+    return out[0]
+
+
 # ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
@@ -318,7 +395,9 @@ def _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab, den, S0, perm,
     Zp = Ztab[perm[gidx]].reshape(nb + 2, B, G)   # ONE random row gather
 
     zblk = Zp[1:nb + 1]
-    if band_impl == "pallas":
+    if band_impl == "pallas_halo":
+        cross = _band_cross_pallas_halo(A, Zp, interpret=interpret)
+    elif band_impl == "pallas":
         cross = _band_cross_pallas(A, Zp, interpret=interpret)
     else:
         cross = jnp.zeros((G,), jnp.float32)
@@ -439,7 +518,8 @@ def banded_permutation_test(
         band_impl = "xla"
     interpret = jax.default_backend() != "tpu"
     G = Z.shape[1]
-    pad_g = (-G) % 128 if (band_impl == "pallas" and not interpret) else 0
+    pad_g = ((-G) % 128
+             if (band_impl.startswith("pallas") and not interpret) else 0)
     if pad_g:
         Z = jnp.pad(Z, ((0, 0), (0, pad_g)))
         observed = jnp.pad(observed, (0, pad_g))

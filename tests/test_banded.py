@@ -212,3 +212,19 @@ def test_pallas_band_impl_matches_xla(setup):
     np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_x), atol=1e-6)
     np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(p_p), np.asarray(p_x))
+
+
+def test_pallas_halo_band_impl_matches_xla(setup):
+    """Interpret-mode halo-ring Pallas contraction == XLA einsum path."""
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    S0 = float(np.asarray(graph.neighbor_w).sum())
+    obs = moran_observed(graph, Z, S0)
+    p_x, m_x, s_x = banded_permutation_test(
+        plan, Z, S0, obs, seed=2, n_permutations=19, precision="f32",
+        band_impl="xla")
+    p_h, m_h, s_h = banded_permutation_test(
+        plan, Z, S0, obs, seed=2, n_permutations=19, precision="f32",
+        band_impl="pallas_halo")
+    np.testing.assert_allclose(np.asarray(m_h), np.asarray(m_x), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(p_h), np.asarray(p_x))
