@@ -99,36 +99,48 @@ def config4(scale):
     import jax
     import jax.numpy as jnp
 
+    from spatialcore_tpu.ops.banded import (
+        banded_permutation_test, build_null_plan)
     from spatialcore_tpu.ops.graph import build_graph
-    from spatialcore_tpu.ops.moran import (
-        moran_observed, permutation_test_global, standardize)
+    from spatialcore_tpu.ops.moran import moran_observed, standardize
 
     import os
 
     n = int(1_000_000 * scale)
     n_genes_total = int(os.environ.get("BENCH4_GENES", int(5000 * scale) or 8))
     n_perms = int(os.environ.get("BENCH4_PERMS", int(1000 * scale) or 8))
-    gene_batch = min(512, n_genes_total)
-    rng = np.random.default_rng(0)
-    coords = rng.uniform(0, 6000, (n, 2)).astype(np.float32)
+    gene_batch = min(1024, max(n_genes_total, 8))
+    kc = jax.random.key(0)
+    coords_j = jax.random.uniform(kc, (n, 2), jnp.float32, 0.0, 6000.0)
+    coords = np.asarray(coords_j)
     graph = build_graph(coords, n_neighbors=6)
     jax.block_until_ready(graph.neighbor_w)
+    plan = build_null_plan(graph, coords, block=min(512, max(n // 16, 16)))
     S0 = float(n)
+
+    @jax.jit
+    def prep(key):
+        X = jax.random.normal(key, (n, gene_batch), jnp.float32)
+        Z, _ = standardize(X)
+        den = jnp.sum(Z * Z, axis=0)
+        den = jnp.where(den > 0, den, 1.0)
+        obs = moran_observed(graph, Z, S0)
+        return Z.astype(jnp.bfloat16), den, obs
 
     total = 0.0
     done = 0
+    batch_i = 0
     for start in range(0, n_genes_total, gene_batch):
         g = min(gene_batch, n_genes_total - start)
-        X = rng.standard_normal((n, g), dtype=np.float32)
-        Z, _ = standardize(jnp.asarray(X))
-        obs = moran_observed(graph, Z, S0)
-        jax.block_until_ready(obs)
+        Zb, den, obs = jax.block_until_ready(
+            prep(jax.random.fold_in(jax.random.key(1), batch_i)))
         t0 = time.time()
-        p, _, _ = permutation_test_global(graph, Z, S0, obs, seed=0,
-                                          n_permutations=n_perms)
+        p, _, _ = banded_permutation_test(
+            plan, Zb, S0, obs, seed=batch_i, n_permutations=n_perms, den=den)
         jax.block_until_ready(p)
         total += time.time() - t0
         done += g
+        batch_i += 1
     rate = done * n_perms / total
     _emit(4, "xenium_moran_genes_perms_per_s", rate, "genes*perms/s",
           n_cells=n, n_genes=done, n_perms=n_perms,

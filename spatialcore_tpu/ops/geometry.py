@@ -176,3 +176,76 @@ def extract_boundaries(labels_np: np.ndarray, origin, pixel_size: float):
         ])
         out[int(lab)] = coords.astype(np.float32)
     return out
+
+
+def extract_boundary_polygons(labels_np: np.ndarray, origin,
+                              pixel_size: float):
+    """Ordered closed contour chains per component (marching squares).
+
+    Unlike :func:`extract_boundaries` (an unordered boundary-pixel cloud),
+    this walks the pixel-edge graph into ORDERED vertex loops — the
+    GIS-style polygon export matching the reference's concave-hull
+    deliverable (r_functions.R:77-84). Directed edges keep the component on
+    the left, so outer rings and hole rings come out with opposite
+    orientation. Returns {component_id: [loop [M, 2] float32, ...]} in data
+    units; vertices are raster-corner positions (fidelity = pixel size).
+    """
+    bg = int(_BG)
+    out = {}
+    H, W = labels_np.shape
+    for lab in np.unique(labels_np):
+        if lab == bg:
+            continue
+        fg = labels_np == lab
+        up = np.zeros_like(fg)
+        up[1:, :] = fg[:-1, :]
+        down = np.zeros_like(fg)
+        down[:-1, :] = fg[1:, :]
+        left = np.zeros_like(fg)
+        left[:, 1:] = fg[:, :-1]
+        right = np.zeros_like(fg)
+        right[:, :-1] = fg[:, 1:]
+        edges = []
+        # corner coordinates: (x=c, y=r); component kept on the left
+        r, c = np.nonzero(fg & ~up)       # bg above: (c, r) -> (c+1, r)
+        edges.append(np.stack([c, r, c + 1, r], 1))
+        r, c = np.nonzero(fg & ~right)    # bg right: (c+1, r) -> (c+1, r+1)
+        edges.append(np.stack([c + 1, r, c + 1, r + 1], 1))
+        r, c = np.nonzero(fg & ~down)     # bg below: (c+1, r+1) -> (c, r+1)
+        edges.append(np.stack([c + 1, r + 1, c, r + 1], 1))
+        r, c = np.nonzero(fg & ~left)     # bg left: (c, r+1) -> (c, r)
+        edges.append(np.stack([c, r + 1, c, r], 1))
+        E = np.concatenate(edges, 0)
+        # chain directed edges into loops
+        from collections import defaultdict
+
+        by_start = defaultdict(list)
+        for i, (x0, y0, x1, y1) in enumerate(E):
+            by_start[(int(x0), int(y0))].append(i)
+        used = np.zeros(len(E), bool)
+        loops = []
+        for i0 in range(len(E)):
+            if used[i0]:
+                continue
+            loop = [(int(E[i0, 0]), int(E[i0, 1]))]
+            cur = i0
+            while True:
+                used[cur] = True
+                end = (int(E[cur, 2]), int(E[cur, 3]))
+                loop.append(end)
+                nxt = None
+                for j in by_start.get(end, ()):
+                    if not used[j]:
+                        nxt = j
+                        break
+                if nxt is None:
+                    break
+                cur = nxt
+            if len(loop) >= 4 and loop[0] == loop[-1]:
+                arr = np.asarray(loop, np.float64)
+                arr[:, 0] = origin[0] + arr[:, 0] * pixel_size
+                arr[:, 1] = origin[1] + arr[:, 1] * pixel_size
+                loops.append(arr.astype(np.float32))
+        loops.sort(key=len, reverse=True)
+        out[int(lab)] = loops
+    return out

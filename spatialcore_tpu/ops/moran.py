@@ -470,3 +470,104 @@ def classify_quadrants(
     if p_values is not None:
         q = jnp.where(p_values >= alpha, jnp.int8(0), q)
     return q
+
+
+# ---------------------------------------------------------------------------
+# Local join counts / multivariate local Geary (Anselin & Li 2019)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n_permutations",))
+def local_join_counts(
+    graph: SpatialGraph,
+    x: jax.Array,
+    seed: int = 0,
+    n_permutations: int = 999,
+):
+    """Local join counts for a binary variable (Anselin & Li 2019).
+
+    BB_i = x_i · Σ_j ā_ij x_j over the binary adjacency — the number of
+    1-1 joins at cell i, defined where x_i = 1. The null is the
+    conditional permutation (x_i held fixed, neighbor values drawn
+    uniformly without replacement from the other cells — the same exact
+    construction as ``local_geary``); one-sided
+    p = (#{BB_perm ≥ BB_obs}+1)/(P+1) where x_i = 1, p = 1 elsewhere.
+    Returns (BB [N] float32, p [N] float32).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    k = graph.neighbor_idx.shape[1]
+    adj = (graph.neighbor_w > 0).astype(jnp.float32)
+
+    def bb(neigh_vals):
+        # neigh_vals: [k] callables? compute with provided per-slot values
+        s = jnp.zeros((n,), jnp.float32)
+        for j in range(k):
+            s = s + adj[:, j] * neigh_vals[j]
+        return x * s
+
+    obs = bb([x[graph.neighbor_idx[:, j]] for j in range(k)])
+    if n_permutations == 0:
+        return obs, jnp.ones_like(obs)
+
+    base = key_for(seed, "perm_local_jc", 0)
+
+    def body(count, p):
+        key = jax.random.fold_in(base, p)
+        perm = jax.random.permutation(key, n)
+        inv = jnp.argsort(perm)
+        u = jax.random.choice(jax.random.fold_in(key, 1), n - 1, (k,),
+                              replace=False)
+        vals = [x[perm[(inv + 1 + u[j]) % n]] for j in range(k)]
+        bp = bb(vals)
+        return count + (bp >= obs).astype(jnp.int32), None
+
+    count, _ = jax.lax.scan(body, jnp.zeros((n,), jnp.int32),
+                            jnp.arange(n_permutations))
+    p = (count + 1.0) / (n_permutations + 1.0)
+    p = jnp.where(x > 0, p, 1.0)
+    return obs, p
+
+
+@functools.partial(jax.jit, static_argnames=("n_permutations",))
+def local_geary_multivariate(
+    graph: SpatialGraph,
+    Z: jax.Array,
+    seed: int = 0,
+    n_permutations: int = 999,
+):
+    """Multivariate local Geary (Anselin 2019): c_i = mean_v Σ_j w_ij
+    (z_vi − z_vj)² over the variable set.
+
+    One conditional-permutation null (shared draws across variables, the
+    standard construction); one-sided low-tail p. Returns (c [N], p [N]).
+    """
+    n, G = Z.shape
+    k = graph.neighbor_idx.shape[1]
+
+    def cstat(neigh):
+        c = jnp.zeros((n,), jnp.float32)
+        for j in range(k):
+            d = Z - neigh[j]
+            c = c + graph.neighbor_w[:, j] * jnp.sum(d * d, axis=1)
+        return c / G
+
+    obs = cstat([Z[graph.neighbor_idx[:, j]] for j in range(k)])
+    if n_permutations == 0:
+        return obs, jnp.ones_like(obs)
+
+    base = key_for(seed, "perm_local_geary_mv", 0)
+
+    def body(count, p):
+        key = jax.random.fold_in(base, p)
+        perm = jax.random.permutation(key, n)
+        inv = jnp.argsort(perm)
+        u = jax.random.choice(jax.random.fold_in(key, 1), n - 1, (k,),
+                              replace=False)
+        neigh = [Z[perm[(inv + 1 + u[j]) % n]] for j in range(k)]
+        cp = cstat(neigh)
+        return count + (cp <= obs).astype(jnp.int32), None
+
+    count, _ = jax.lax.scan(body, jnp.zeros((n,), jnp.int32),
+                            jnp.arange(n_permutations))
+    return obs, (count + 1.0) / (n_permutations + 1.0)

@@ -9,6 +9,8 @@ from .nhood import neighborhood_enrichment
 from .autocorrelation import (
     join_count_statistics,
     local_gearys_c,
+    local_gearys_c_multivariate,
+    local_join_counts,
     build_spatial_weights,
     gearys_c,
     lees_l,
@@ -20,6 +22,7 @@ from .autocorrelation import (
 __all__ = [
     "build_spatial_weights", "morans_i", "gearys_c", "local_morans_i",
     "lees_l", "lees_l_local", "join_count_statistics", "local_gearys_c",
+    "local_gearys_c_multivariate", "local_join_counts",
     "compute_neighborhood_profile", "identify_niches", "niche_stability",
     "make_spatial_domains", "get_domain_summary", "detect_platform",
     "calculate_domain_distances", "get_distance_matrix",

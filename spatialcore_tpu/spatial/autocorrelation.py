@@ -804,3 +804,95 @@ def local_gearys_c(
                                       f"{key_added}_p_adj"],
                              "uns": f"{key_added}_params"})
     return adata
+
+
+def local_join_counts(
+    adata,
+    column: str,
+    spatial_key: str = "spatial",
+    n_neighbors: int = 6,
+    n_permutations: int = 999,
+    seed: int = 0,
+    key_added: Optional[str] = None,
+    use_existing_graph: bool = False,
+    copy: bool = False,
+):
+    """Local join counts for a binary obs column (Anselin & Li 2019).
+
+    BB_i counts same-category (1-1) neighbor joins at each positive cell;
+    the conditional-permutation p flags significant local clustering of
+    the binary condition. Outputs ``obs[f"{key}_BB"]`` and
+    ``obs[f"{key}_p"]`` (p = 1 where the cell is 0). (Extension — ROADMAP
+    item 6; the reference has only global join counts via this build's
+    ``join_count_statistics``.)
+    """
+    from ..ops.moran import local_join_counts as _ljc
+
+    start = time.time()
+    if copy:
+        adata = adata.copy()
+    if column not in adata.obs.columns:
+        raise ValueError(f"adata.obs['{column}'] not found")
+    raw = adata.obs[column]
+    vals = np.asarray(raw, dtype=object)
+    uniq = pd.unique(raw.astype(bool) if raw.dtype == bool else raw)
+    x = np.asarray(raw.astype(bool) if raw.dtype == bool
+                   else raw.astype(float) > 0, np.float32)
+    if x.sum() == 0 or x.sum() == len(x):
+        raise ValueError(
+            f"obs['{column}'] must contain both 0/False and 1/True values")
+    graph = _get_graph(adata, n_neighbors, spatial_key, use_existing_graph)
+    bb, p = _ljc(graph, jnp.asarray(x), seed=seed,
+                 n_permutations=n_permutations)
+    key = key_added or f"{column}_local_jc"
+    adata.obs[f"{key}_BB"] = np.asarray(bb)
+    adata.obs[f"{key}_p"] = np.asarray(p)
+    update_metadata(adata, "local_join_counts", parameters={
+        "column": column, "n_neighbors": n_neighbors,
+        "n_permutations": n_permutations, "seed": seed,
+        "computation_time_seconds": round(time.time() - start, 2)})
+    logger.info(f"Local join counts for '{column}' "
+                f"({int(x.sum()):,} positive cells)")
+    return adata
+
+
+def local_gearys_c_multivariate(
+    adata,
+    genes: Optional[Union[str, List[str]]] = None,
+    layer: Optional[str] = None,
+    spatial_key: str = "spatial",
+    n_neighbors: int = 6,
+    n_permutations: int = 999,
+    seed: int = 0,
+    key_added: str = "local_geary_mv",
+    use_existing_graph: bool = False,
+    copy: bool = False,
+):
+    """Multivariate local Geary (Anselin 2019): one coherence statistic per
+    cell over a gene SET — small c with small p marks cells whose whole
+    expression profile resembles their neighborhood.
+
+    Outputs ``obs[key_added]`` (c_i) and ``obs[f"{key_added}_p"]``
+    (one-sided conditional-permutation p). (Extension — ROADMAP item 6.)
+    """
+    from ..ops.moran import local_geary_multivariate as _lgm
+
+    start = time.time()
+    if copy:
+        adata = adata.copy()
+    gene_names = _resolve_genes(adata, genes)
+    X = _dense_expression(adata, gene_names, layer)
+    Z, _ = standardize(jnp.asarray(X))
+    graph = _get_graph(adata, n_neighbors, spatial_key, use_existing_graph)
+    c, p = _lgm(graph, Z, seed=seed, n_permutations=n_permutations)
+    adata.obs[key_added] = np.asarray(c)
+    adata.obs[f"{key_added}_p"] = np.asarray(p)
+    adata.uns[f"{key_added}_params"] = {
+        "genes": gene_names, "n_neighbors": n_neighbors,
+        "n_permutations": n_permutations, "seed": seed,
+        "computation_time_seconds": round(time.time() - start, 2)}
+    update_metadata(adata, "local_gearys_c_multivariate", parameters={
+        "n_genes": len(gene_names), "n_neighbors": n_neighbors,
+        "n_permutations": n_permutations, "seed": seed})
+    logger.info(f"Multivariate local Geary over {len(gene_names)} genes")
+    return adata

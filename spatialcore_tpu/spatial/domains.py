@@ -286,6 +286,29 @@ def make_spatial_domains(
                            if name in named else pts)
         adata.uns[f"{output_column}_boundaries"] = named
 
+        # GIS-style ordered polygon chains (marching squares): per domain,
+        # one [M, 2] array of closed vertex loops joined by NaN rows (the
+        # matplotlib line-break convention; h5ad-serializable)
+        from ..ops.geometry import extract_boundary_polygons
+
+        polys = extract_boundary_polygons(labels_np, origin=lo,
+                                          pixel_size=pixel)
+        named_polys = {}
+        nan_row = np.full((1, 2), np.nan, np.float32)
+        for raw_id, loops in polys.items():
+            rid = resolve(int(raw_id))
+            if rid == bg or rid not in id_to_name or not loops:
+                continue
+            name = id_to_name[rid]
+            joined = []
+            for lp in loops:
+                joined.extend([lp, nan_row])
+            arr = np.vstack(joined[:-1])
+            named_polys[name] = (
+                np.vstack([named_polys[name], nan_row, arr])
+                if name in named_polys else arr)
+        adata.uns[f"{output_column}_polygons"] = named_polys
+
     elapsed = time.time() - start
     logger.info(f"Created {len(order)} domains in obs['{output_column}'] "
                 f"({n_assigned:,} cells, {elapsed:.1f}s)")

@@ -451,3 +451,44 @@ def test_morans_i_banded_null_method(spatial_adata):
     assert df2.loc["GENE0", "p_value"] <= 0.02
     assert a1.uns["morans_i_params" if "morans_i_params" in a1.uns else
                   "morans_i"] is not None
+
+
+def test_local_join_counts(spatial_adata):
+    """Clustered binary condition: positives in the hotspot get small p."""
+    import spatialcore_tpu as sct
+
+    adata = spatial_adata.copy()
+    coords = np.asarray(adata.obsm["spatial"])
+    # binary condition clustered in a corner
+    hot = (coords[:, 0] < np.quantile(coords[:, 0], 0.3)) & \
+          (coords[:, 1] < np.quantile(coords[:, 1], 0.3))
+    rng = np.random.default_rng(0)
+    x = hot | (rng.random(len(hot)) < 0.05)
+    adata.obs["cond"] = x
+    adata = sct.spatial.local_join_counts(adata, "cond", n_permutations=199,
+                                          seed=0)
+    bb = adata.obs["cond_local_jc_BB"].to_numpy()
+    p = adata.obs["cond_local_jc_p"].to_numpy()
+    assert (p[~x] == 1.0).all()            # negatives: no statistic
+    assert (p[hot] < 0.05).mean() > 0.5    # hotspot positives cluster
+    scattered = x & ~hot
+    if scattered.sum() >= 5:
+        assert (p[scattered] < 0.05).mean() < 0.4
+    assert bb.max() > 0
+
+
+def test_local_geary_multivariate(spatial_adata):
+    import spatialcore_tpu as sct
+
+    adata = spatial_adata.copy()
+    adata = sct.spatial.local_gearys_c_multivariate(
+        adata, genes=list(adata.var_names[:3]), n_permutations=199, seed=0)
+    c = adata.obs["local_geary_mv"].to_numpy()
+    p = adata.obs["local_geary_mv_p"].to_numpy()
+    assert np.isfinite(c).all() and (c >= 0).all()
+    assert (p < 0.05).mean() > 0.1   # structured genes -> coherent cells
+    # deterministic
+    a2 = sct.spatial.local_gearys_c_multivariate(
+        spatial_adata.copy(), genes=list(adata.var_names[:3]),
+        n_permutations=199, seed=0)
+    np.testing.assert_array_equal(a2.obs["local_geary_mv_p"].to_numpy(), p)

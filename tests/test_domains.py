@@ -255,3 +255,44 @@ def test_domain_distances_subset_and_cell_mode():
     with pytest.raises(ValueError, match="not present"):
         calculate_domain_distances(adata, "dom", "dom",
                                    source_domain_subset=["Z"])
+
+
+def test_domain_polygon_chains():
+    """Marching-squares polygons: ordered, closed, enclosing the domain
+    cells (ROADMAP item 10)."""
+    import spatialcore_tpu as sct
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    blob = rng.normal([300, 300], 40, (n // 3, 2))
+    rest = rng.uniform(0, 1000, (n - n // 3, 2))
+    coords = np.vstack([blob, rest]).astype(np.float32)
+    adata = sct.SpatialData(X=np.ones((n, 2), np.float32))
+    adata.obsm["spatial"] = coords
+    adata.obs["is_b"] = np.concatenate(
+        [np.ones(n // 3, bool), np.zeros(n - n // 3, bool)])
+    adata = sct.spatial.make_spatial_domains(
+        adata, filter_expression="is_b", platform="xenium",
+        cell_dist_um=40.0, domain_prefix="bzone")
+    polys = adata.uns["spatial_domain_polygons"]
+    assert polys, "no polygons stored"
+    name, arr = next(iter(polys.items()))
+    assert arr.ndim == 2 and arr.shape[1] == 2
+    # loops are NaN-separated and each loop is closed
+    nan_rows = np.isnan(arr[:, 0])
+    segs = np.split(arr, np.nonzero(nan_rows)[0])
+    closed = 0
+    for s in segs:
+        s = s[~np.isnan(s[:, 0])]
+        if len(s) >= 4 and np.allclose(s[0], s[-1]):
+            closed += 1
+    assert closed >= 1
+    # the largest loop encloses most of the domain's cells (bbox check)
+    main = max((s[~np.isnan(s[:, 0])] for s in segs), key=len)
+    col = adata.obs["spatial_domain"]
+    in_domain = col.notna()
+    pts = coords[np.asarray(in_domain)]
+    frac = ((pts[:, 0] >= main[:, 0].min()) & (pts[:, 0] <= main[:, 0].max())
+            & (pts[:, 1] >= main[:, 1].min())
+            & (pts[:, 1] <= main[:, 1].max())).mean()
+    assert frac > 0.9
