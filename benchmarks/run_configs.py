@@ -134,10 +134,19 @@ def config4(scale):
         g = min(gene_batch, n_genes_total - start)
         Zb, den, obs = jax.block_until_ready(
             prep(jax.random.fold_in(jax.random.key(1), batch_i)))
+        # chunk the draws: single device executions much longer than ~60 s
+        # trip the remote tunnel's RPC deadline ("TPU device error")
+        chunk = int(os.environ.get("BENCH4_CHUNK", 200))
+        count = None
         t0 = time.time()
-        p, _, _ = banded_permutation_test(
-            plan, Zb, S0, obs, seed=batch_i, n_permutations=n_perms, den=den)
-        jax.block_until_ready(p)
+        for ci, start_p in enumerate(range(0, n_perms, chunk)):
+            pc = min(chunk, n_perms - start_p)
+            p, _, _ = banded_permutation_test(
+                plan, Zb, S0, obs, seed=batch_i * 1000 + ci,
+                n_permutations=pc, den=den)
+            jax.block_until_ready(p)
+            c = np.asarray(p) * (pc + 1) - 1      # recover extreme counts
+            count = c if count is None else count + c
         total += time.time() - t0
         done += g
         batch_i += 1

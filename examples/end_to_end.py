@@ -127,6 +127,16 @@ def main(outdir="docs/images"):
     print(f"[5/7] B-B adjacency z = {bb:.1f}")
     assert bb > 5
 
+    # --- local statistics (round-2 additions) ------------------------------
+    adata.obs["is_b"] = adata.obs["cell_type"].astype(str) == "B cell"
+    adata = sct.spatial.local_join_counts(adata, "is_b", n_permutations=99,
+                                          seed=0)
+    jc_sig = (adata.obs["is_b_local_jc_p"] < 0.05)[
+        adata.obs["true_type"].astype(str) == "B cell"].mean()
+    print(f"[5b/7] local join counts: {jc_sig:.0%} of follicle B cells "
+          "in significant 1-1 clusters")
+    assert jc_sig > 0.3
+
     # --- domains + distances ------------------------------------------------
     adata = sct.spatial.make_spatial_domains(
         adata, "cell_type == 'B cell'", platform="xenium",
@@ -137,6 +147,9 @@ def main(outdir="docs/images"):
         adata, "spatial_domain", "spatial_domain")
     print(f"[6/7] domains: {n_dom} follicle domain(s)")
     assert n_dom >= 1
+    # ordered polygon chains (marching squares) exist and are closed
+    polys = adata.uns["spatial_domain_polygons"]
+    assert polys and all(v.shape[1] == 2 for v in polys.values())
 
     # --- figures ---------------------------------------------------------
     plot_spatial_celltype(adata, path=out / "vignette_celltypes.png")
