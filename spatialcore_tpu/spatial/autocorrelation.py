@@ -380,6 +380,7 @@ def local_morans_i(
     key_added: str = "local_morans",
     copy: bool = False,
     use_existing_graph: bool = False,
+    null_method: str = "auto",
 ):
     """Local Moran's I (LISA) with on-device permutation p-values.
 
@@ -387,6 +388,13 @@ def local_morans_i(
     (autocorrelation.py:929-950): ``{key}_I, {key}_z, {key}_lag, {key}_p,
     {key}_p_adj, {key}_quadrant`` and ``uns[f"{key}_params"]``. Quadrant codes
     are int8 0=NS,1=HH,2=LL,3=HL,4=LH.
+
+    ``null_method``: "banded" evaluates the permutation nulls through the
+    banded kernel (ops/banded.py). Measured at 1M cells it only ties the
+    direct kernel at the default 100-gene batches (the [N, G] elementwise
+    count update dominates, not the gathers) and needs more memory, so
+    "auto" keeps the direct path; "banded" is opt-in. The observed
+    I/z/lag always come from the exact direct kernel.
     """
     start = time.time()
     if copy:
@@ -401,6 +409,14 @@ def local_morans_i(
 
     graph = _get_graph(adata, n_neighbors, spatial_key, use_existing_graph)
 
+    if null_method == "auto":
+        null_method = "slots"
+    plan = None
+    if null_method == "banded" and n_permutations > 0:
+        from ..ops.banded import banded_local_moran, build_null_plan
+
+        plan = build_null_plan(graph, np.asarray(adata.obsm[spatial_key]))
+
     I_all = np.zeros((n_cells, n_genes), np.float32)
     z_all = np.zeros_like(I_all)
     lag_all = np.zeros_like(I_all)
@@ -411,7 +427,13 @@ def local_morans_i(
         batch = gene_names[bs:bs + batch_size]
         Xb = _dense_expression(adata, batch, layer)
         Z, zero_var = standardize(jnp.asarray(Xb))
-        res = local_moran(graph, Z, seed, n_permutations)
+        if plan is not None:
+            # exact observed statistics from the direct kernel; banded
+            # machinery only evaluates the permutation nulls
+            res = banded_local_moran(plan, graph, Z, seed=seed,
+                                     n_permutations=n_permutations)
+        else:
+            res = local_moran(graph, Z, seed, n_permutations)
         sl = slice(bs, bs + len(batch))
         I_all[:, sl] = np.asarray(res.local_I)
         z_all[:, sl] = np.asarray(res.z)

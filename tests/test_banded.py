@@ -228,3 +228,26 @@ def test_pallas_halo_band_impl_matches_xla(setup):
         band_impl="pallas_halo")
     np.testing.assert_allclose(np.asarray(m_h), np.asarray(m_x), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(p_h), np.asarray(p_x))
+
+
+def test_banded_local_moran_matches_direct(setup):
+    """Banded LISA == direct kernel: same draws (sort/f32), same p."""
+    from spatialcore_tpu.ops.banded import banded_local_moran
+    from spatialcore_tpu.ops.moran import local_moran
+
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    ref = local_moran(graph, Z, seed=4, n_permutations=99)
+    got = banded_local_moran(plan, graph, Z, seed=4, n_permutations=99,
+                             precision="f32", perm_method="sort")
+    np.testing.assert_array_equal(np.asarray(got.local_I),
+                                  np.asarray(ref.local_I))
+    np.testing.assert_array_equal(np.asarray(got.lag), np.asarray(ref.lag))
+    # same permutations: extreme counts identical except float ties
+    diff = np.abs(np.asarray(got.p_value) - np.asarray(ref.p_value))
+    assert (diff <= 0.03 + 1e-6).mean() > 0.99
+    # bf16 + feistel: same inference statistically
+    got_bf = banded_local_moran(plan, graph, Z, seed=4, n_permutations=99)
+    sig_a = np.asarray(got_bf.p_value)[:, 0] < 0.05
+    sig_b = np.asarray(ref.p_value)[:, 0] < 0.05
+    assert (sig_a == sig_b).mean() > 0.9
