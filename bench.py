@@ -20,7 +20,7 @@ per-chip throughput depends on the gene width; see docs/performance.md).
 Data is generated ON-DEVICE (host->device uploads ride a slow tunnel).
 
 Env overrides: BENCH_CELLS, BENCH_GENES, BENCH_PERMS, BENCH_K,
-BENCH_METHOD=banded|legacy.
+BENCH_METHOD=banded|legacy, BENCH_IMPL=xla|pallas|pallas_halo.
 """
 
 import json
@@ -86,10 +86,12 @@ def main():
         print(f"[bench] null plan build: {time.time()-t0:.1f}s",
               file=sys.stderr)
 
+        impl = os.environ.get("BENCH_IMPL", "auto")
+
         def run(seed):
             p, _, _ = banded_permutation_test(
                 plan, Ztab, S0, I_obs, seed=seed, n_permutations=n_perms,
-                den=den)
+                den=den, band_impl=impl)
             jax.block_until_ready(p)
             return p
     else:

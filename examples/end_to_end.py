@@ -16,6 +16,9 @@ import sys
 import time
 from pathlib import Path
 
+# runnable from any cwd without an installed package
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import numpy as np
 import pandas as pd
 import scipy.sparse as sp

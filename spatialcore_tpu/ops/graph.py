@@ -156,7 +156,16 @@ def _bucket_knn_round(q_coords, q_ids, qbx, qby, coords, table,
     latency of a Python tile loop dominated the 1M-cell build). Each of the
     (2r+1)² window cells contributes one gather + distance block + running
     top-k merge.
+
+    The candidate coordinates are pre-gathered once into a bucket-row table
+    (``tcoords [nb, C, 2]``): fetching whole bucket rows per window offset
+    replaces the per-candidate ``coords[cand]`` gather, which was row-rate
+    bound (~45M 8-byte rows/s — C× more row fetches than needed; same
+    lesson as ops/ripley.py).
     """
+    tcoords = jnp.where((table >= 0)[:, :, None],
+                        coords[jnp.maximum(table, 0)], 1e18)
+
     def one_tile(args):
         qc, qi, bx_t, by_t = args
         tq = qc.shape[0]
@@ -172,7 +181,7 @@ def _bucket_knn_round(q_coords, q_ids, qbx, qby, coords, table,
                 valid = (cand >= 0) & ok[:, None]
                 if not include_self:
                     valid &= cand != qi[:, None]
-                cc = coords[jnp.maximum(cand, 0)]        # [Tq, C, 2]
+                cc = tcoords[b]                          # [Tq, C, 2] rows
                 d = jnp.sum((qc[:, None, :] - cc) ** 2, axis=-1)
                 d = jnp.where(valid, d, jnp.inf)
                 all_d = jnp.concatenate([best_d, d], axis=1)
