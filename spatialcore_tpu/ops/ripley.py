@@ -138,34 +138,45 @@ def _pair_counts(coords, table, bx, by, radii_sq, type_codes,
     qt = jnp.pad(type_codes, (0, pad), constant_values=0)
     n_tiles = qc.shape[0] // tile
 
+    # window offsets as a scanned array: a Python-unrolled (2w+1)² loop
+    # inside tile-map inside the envelope draw-scan made XLA compile 25
+    # copies of the gather+distance block (162 s compile at 500k); one
+    # scanned offset step compiles once and costs nothing at runtime
+    # (each step is thousands of rows of work)
+    w1 = 2 * window + 1
+    offsets = jnp.stack(
+        [jnp.repeat(jnp.arange(-window, window + 1), w1),
+         jnp.tile(jnp.arange(-window, window + 1), w1)], axis=1)
+
     def one_tile(args):
         q, qid, tbx, tby, qtype = args
-        counts = jnp.zeros((n_radii,), jnp.float32)
-        counts_t = jnp.zeros((n_radii, n_types, n_types), jnp.float32)
         if n_types > 1:
             oh_q = jax.nn.one_hot(qtype, n_types, dtype=jnp.float32)
-        for dy in range(-window, window + 1):
-            for dx in range(-window, window + 1):
-                gx = tbx + dx
-                gy = tby + dy
-                ok = (gx >= 0) & (gx < nbx) & (gy >= 0) & (gy < nby)
-                b = jnp.where(ok, gx * nby + gy, 0)
-                cand = table[b]                          # [T, C] ids
-                cc = tcoords[b]                          # [T, C, 2]
-                d2 = jnp.sum((q[:, None, :] - cc) ** 2, axis=-1)
-                bad = (~ok[:, None]) | (cand == qid[:, None]) | (cand < 0)
-                d2 = jnp.where(bad, jnp.inf, d2)
-                if n_types > 1:
-                    oh_c = jax.nn.one_hot(ttypes[b], n_types,
-                                          dtype=jnp.float32)
-                for ri in range(n_radii):
-                    within = d2 <= radii_sq[ri]          # [T, C]
-                    counts = counts.at[ri].add(jnp.sum(within))
-                    if n_types > 1:
-                        # pair_sum[a,b] = Σ_t Σ_c within[t,c]·1[q_t=a]·1[c_tc=b]
-                        w = within.astype(jnp.float32)
-                        m = jnp.einsum("tc,tcb->tb", w, oh_c)   # [T, Tt]
-                        counts_t = counts_t.at[ri].add(oh_q.T @ m)
+
+        def off_step(carry, off):
+            counts, counts_t = carry
+            gx = tbx + off[0]
+            gy = tby + off[1]
+            ok = (gx >= 0) & (gx < nbx) & (gy >= 0) & (gy < nby)
+            b = jnp.where(ok, gx * nby + gy, 0)
+            cand = table[b]                          # [T, C] ids
+            cc = tcoords[b]                          # [T, C, 2]
+            d2 = jnp.sum((q[:, None, :] - cc) ** 2, axis=-1)
+            bad = (~ok[:, None]) | (cand == qid[:, None]) | (cand < 0)
+            d2 = jnp.where(bad, jnp.inf, d2)
+            within = (d2[None, :, :] <= radii_sq[:, None, None])  # [R,T,C]
+            counts = counts + jnp.sum(within, axis=(1, 2))
+            if n_types > 1:
+                # pair_sum[r,a,b] = Σ_t Σ_c within[r,t,c]·1[q_t=a]·1[c_tc=b]
+                oh_c = jax.nn.one_hot(ttypes[b], n_types, dtype=jnp.float32)
+                m = jnp.einsum("rtc,tcb->rtb", within.astype(jnp.float32),
+                               oh_c)
+                counts_t = counts_t + jnp.einsum("ta,rtb->rab", oh_q, m)
+            return (counts, counts_t), None
+
+        init = (jnp.zeros((n_radii,), jnp.float32),
+                jnp.zeros((n_radii, n_types, n_types), jnp.float32))
+        (counts, counts_t), _ = jax.lax.scan(off_step, init, offsets)
         return counts, counts_t
 
     c, ct = jax.lax.map(one_tile, (qc.reshape(n_tiles, tile, 2),
@@ -215,6 +226,66 @@ def _counts_pass(coords_j, spec: GridSpec, radii_sq_j, codes_j, n_types,
     return c, ct, mc
 
 
+# Envelope draws run as on-device scans: one dispatch per chunk of draws
+# instead of 3+ dispatches per draw. On the remote TPU backend each
+# host-side dispatch pays tunnel latency AND exposes the loop to transient
+# backend slowdowns (measured: the same 19-draw Python loop varied 21–292 s
+# across runs; the scan is stable). Chunks stay below the ~60 s RPC
+# deadline per device call.
+_ENVELOPE_CHUNK = 64
+
+
+@functools.partial(jax.jit, static_argnames=("nbx", "nby", "window",
+                                             "n_radii", "C", "n", "n_draws"))
+def _csr_sim_counts(base_key, start, mins_full, span_full, mins, span,
+                    radii_sq, nbx: int, nby: int, window: int, n_radii: int,
+                    C: int, n: int, n_draws: int):
+    """``n_draws`` CSR draws (uniform in the bbox) → counts [S, R], mc [S].
+
+    Draw ``s`` uses ``fold_in(base_key, start + s)`` — bitwise identical to
+    the per-draw ``key_for(seed, "ripley_csr", s)`` host loop it replaces.
+    """
+    codes0 = jnp.zeros(n, jnp.int32)
+
+    def body(_, s):
+        key = jax.random.fold_in(base_key, s.astype(jnp.uint32))
+        sim = mins_full + jax.random.uniform(key, (n, 2)) * span_full
+        table, bx, by, mc = _bin_points(sim, mins, span, nbx, nby, C)
+        c, _ = _pair_counts(sim, table, bx, by, radii_sq, codes0,
+                            nbx=nbx, nby=nby, window=window,
+                            n_radii=n_radii, n_types=1)
+        return None, (c, mc)
+
+    _, (cs, mcs) = jax.lax.scan(
+        body, None, start + jnp.arange(n_draws, dtype=jnp.uint32))
+    return cs, mcs
+
+
+@functools.partial(jax.jit, static_argnames=("nbx", "nby", "window",
+                                             "n_radii", "n_types", "n",
+                                             "n_draws"))
+def _label_perm_counts(base_key, start, coords, table, bx, by, codes,
+                       radii_sq, nbx: int, nby: int, window: int,
+                       n_radii: int, n_types: int, n: int, n_draws: int):
+    """``n_draws`` random-labeling passes → counts [S, R, T, T].
+
+    Positions (and the bucket table) are fixed; each draw shuffles labels
+    with ``fold_in(base_key, start + s)`` — same stream as the host loop.
+    """
+
+    def body(_, s):
+        key = jax.random.fold_in(base_key, s.astype(jnp.uint32))
+        cp = codes[jax.random.permutation(key, n)]
+        _, ct = _pair_counts(coords, table, bx, by, radii_sq, cp,
+                             nbx=nbx, nby=nby, window=window,
+                             n_radii=n_radii, n_types=n_types)
+        return None, ct
+
+    _, cts = jax.lax.scan(
+        body, None, start + jnp.arange(n_draws, dtype=jnp.uint32))
+    return cts
+
+
 def ripley_k(
     coords: np.ndarray,
     radii: np.ndarray,
@@ -260,16 +331,20 @@ def ripley_k(
     if n_simulations > 0:
         span_full = jnp.asarray((maxs - mins).astype(np.float32))
         mins_full = jnp.asarray(mins)
-        sims = np.empty((n_simulations, len(radii)), np.float32)
+        base_key = key_for(seed, "ripley_csr")
+        sims_parts = []
         overflow = []
-        for s in range(n_simulations):
-            key = key_for(seed, "ripley_csr", s)
-            sim = mins_full + jax.random.uniform(key, (n, 2)) * span_full
-            c, _, mc = _counts_pass(sim, spec, radii_sq_j, codes0, 1,
-                                    mins_j, span_j)
-            sims[s] = norm * np.asarray(c)
-            overflow.append(mc)
-        bad = max(int(m) for m in overflow)
+        for start in range(0, n_simulations, _ENVELOPE_CHUNK):
+            nd = min(_ENVELOPE_CHUNK, n_simulations - start)
+            cs, mcs = _csr_sim_counts(
+                base_key, jnp.uint32(start), mins_full, span_full,
+                mins_j, span_j, radii_sq_j, nbx=spec.nbx, nby=spec.nby,
+                window=spec.window, n_radii=len(radii), C=spec.capacity,
+                n=n, n_draws=nd)
+            sims_parts.append(norm * np.asarray(cs))
+            overflow.append(int(np.asarray(mcs).max()))
+        sims = np.concatenate(sims_parts, axis=0)
+        bad = max(overflow)
         if bad > spec.capacity:   # pragma: no cover - slack makes this rare
             raise ValueError(
                 f"CSR simulation bucket overflow: {bad} > {spec.capacity}; "
@@ -359,11 +434,17 @@ def cross_type_k(
     out = {"radii": radii, "K_cross": k_obs}
 
     if n_permutations > 0:
-        sims = np.empty((n_permutations,) + k_obs.shape, np.float32)
-        for s in range(n_permutations):
-            key = key_for(seed, "ripley_labelperm", s)
-            sims[s] = area * counts_for(
-                codes_j[jax.random.permutation(key, n)]) / denom[None]
+        base_key = key_for(seed, "ripley_labelperm")
+        parts = []
+        for start in range(0, n_permutations, _ENVELOPE_CHUNK):
+            nd = min(_ENVELOPE_CHUNK, n_permutations - start)
+            cts = _label_perm_counts(
+                base_key, jnp.uint32(start), coords_j, table, bx, by,
+                codes_j, radii_sq_j, nbx=spec.nbx, nby=spec.nby,
+                window=spec.window, n_radii=len(radii), n_types=n_types,
+                n=n, n_draws=nd)
+            parts.append(area * np.asarray(cts) / denom[None, None])
+        sims = np.concatenate(parts, axis=0)
         out["K_cross_env_lo"] = np.quantile(sims, 0.025, axis=0)
         out["K_cross_env_hi"] = np.quantile(sims, 0.975, axis=0)
         out["n_permutations"] = n_permutations
