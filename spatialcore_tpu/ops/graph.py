@@ -201,6 +201,7 @@ def knn_grid(
     bucket_target: int = 32,
     tile: int = 8192,
     max_rounds: int = 6,
+    fallback_chunk: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact kNN via uniform-grid buckets with on-device window top-k.
 
@@ -292,16 +293,23 @@ def knn_grid(
         unresolved = unresolved[~ok]
         r *= 2
     if unresolved.size:
-        # pathological remainder: exact scan for those queries only
-        dd = ((coords_np[unresolved][:, None, :]
-               - coords_np[None, :, :]) ** 2).sum(-1)
-        if not include_self:
-            dd[np.arange(unresolved.size), unresolved] = np.inf
-        part = np.argpartition(dd, k - 1, axis=1)[:, :k]
-        pd_ = np.take_along_axis(dd, part, axis=1)
-        o = np.argsort(pd_, axis=1)
-        out_idx[unresolved] = np.take_along_axis(part, o, axis=1)
-        out_dist[unresolved] = np.take_along_axis(pd_, o, axis=1)
+        # pathological remainder: exact scan for those queries only,
+        # chunked so the dense [chunk, N] distance block stays bounded
+        # (heavy-tailed densities can leave many cells unresolved after
+        # max_rounds; an unchunked [n_unresolved, N] f64 matrix at 1M
+        # cells would be tens of GB of host RAM)
+        chunk = fallback_chunk or max(1, (1 << 28) // n)  # ~256M f32 elems
+        for c0 in range(0, unresolved.size, chunk):
+            urc = unresolved[c0:c0 + chunk]
+            dd = ((coords_np[urc][:, None, :]
+                   - coords_np[None, :, :]) ** 2).sum(-1)
+            if not include_self:
+                dd[np.arange(urc.size), urc] = np.inf
+            part = np.argpartition(dd, k - 1, axis=1)[:, :k]
+            pd_ = np.take_along_axis(dd, part, axis=1)
+            o = np.argsort(pd_, axis=1)
+            out_idx[urc] = np.take_along_axis(part, o, axis=1)
+            out_dist[urc] = np.take_along_axis(pd_, o, axis=1)
     return jnp.asarray(out_idx), jnp.sqrt(jnp.asarray(out_dist))
 
 

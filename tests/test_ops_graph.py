@@ -76,6 +76,23 @@ def test_knn_grid_clustered_density():
     np.testing.assert_allclose(dist, ref_d[:, 1:], rtol=1e-4, atol=1e-4)
 
 
+def test_knn_grid_fallback_chunked():
+    from spatialcore_tpu.ops import knn_grid
+
+    # max_rounds=1 leaves the sparse-background cells unresolved after a
+    # single window round, forcing the chunked exact-scan fallback;
+    # fallback_chunk=7 exercises the chunk loop across uneven boundaries
+    rng = np.random.default_rng(11)
+    a = rng.normal(0, 0.5, (900, 2))
+    c = rng.uniform(-200, 200, (60, 2))
+    coords = np.vstack([a, c]).astype(np.float32)
+    idx, dist = knn_grid(coords, 6, max_rounds=1, fallback_chunk=7)
+    ref_d, ref_i = cKDTree(coords).query(coords, k=7)
+    np.testing.assert_allclose(dist, ref_d[:, 1:], rtol=1e-4, atol=1e-4)
+    same = (np.sort(idx, axis=1) == np.sort(ref_i[:, 1:], axis=1)).mean()
+    assert same > 0.999
+
+
 def test_build_graph_rows_sum_to_one_and_match_sklearn():
     from spatialcore_tpu.ops import build_graph
 
