@@ -194,6 +194,63 @@ def _bucket_knn_round(q_coords, q_ids, qbx, qby, coords, table,
     return jax.lax.map(one_tile, (q_coords, q_ids, qbx, qby))
 
 
+@functools.partial(jax.jit, static_argnames=("cap", "bucket_target"))
+def _grid_prep(coords, cap: int, bucket_target: int):
+    """Fused bbox → grid dims → binning → bucket counts, one dispatch.
+
+    The grid dimensions are data-dependent (bbox aspect), so they are
+    computed as traced values and read back alongside the max bucket
+    count in a SINGLE host transfer — on the remote-TPU tunnel each
+    readback risks a multi-minute stall, so the fast path does exactly
+    one before the search. ``cap`` (a power of two derived from n alone)
+    statically bounds the bucket count so ``bincount`` has a fixed shape.
+    """
+    n = coords.shape[0]
+    mins = jnp.min(coords, axis=0)
+    span = jnp.maximum(jnp.max(coords, axis=0) - mins, 1e-9)
+    nbt = max(1, n // bucket_target)
+    aspect = span[0] / span[1]
+    nbx = jnp.floor(jnp.sqrt(nbt * aspect)).astype(jnp.int32)
+    nbx = jnp.clip(nbx, 1, cap)
+    nby = jnp.clip(nbt // nbx, 1, jnp.maximum(cap // nbx, 1))
+    h = span / jnp.stack([nbx, nby]).astype(jnp.float32)
+    bx = jnp.clip(jnp.floor((coords[:, 0] - mins[0]) / h[0]).astype(
+        jnp.int32), 0, nbx - 1)
+    by = jnp.clip(jnp.floor((coords[:, 1] - mins[1]) / h[1]).astype(
+        jnp.int32), 0, nby - 1)
+    bucket = bx * nby + by
+    maxc = jnp.max(jnp.bincount(bucket, length=cap))
+    return bx, by, bucket, maxc, nbx, nby, h
+
+
+@functools.partial(jax.jit, static_argnames=("n_buckets", "C"))
+def _bucket_table(bucket, n_buckets: int, C: int):
+    """Padded bucket table [n_buckets, C] of cell ids (−1 pad), on device."""
+    n = bucket.shape[0]
+    order = jnp.argsort(bucket, stable=True).astype(jnp.int32)
+    sb = bucket[order]
+    counts = jnp.bincount(bucket, length=n_buckets)
+    starts = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+    pos = jnp.arange(n, dtype=jnp.int32) - starts[sb]
+    table = jnp.full((n_buckets, C), -1, jnp.int32)
+    return table.at[sb, pos].set(order)
+
+
+@functools.partial(jax.jit, static_argnames=("t",))
+def _round0_tiles(coords, bx, by, t: int):
+    """Pad + reshape all cells into [n_tiles, t, …] query tiles on device."""
+    n = coords.shape[0]
+    pad = (-n) % t
+    q = jnp.pad(coords, ((0, pad), (0, 0)), constant_values=1e18)
+    ids = jnp.pad(jnp.arange(n, dtype=jnp.int32), (0, pad),
+                  constant_values=-2)
+    bxp = jnp.pad(bx, (0, pad), constant_values=-10)
+    byp = jnp.pad(by, (0, pad), constant_values=-10)
+    nt = q.shape[0] // t
+    return (q.reshape(nt, t, 2), ids.reshape(nt, t),
+            bxp.reshape(nt, t), byp.reshape(nt, t))
+
+
 def knn_grid(
     coords_np: np.ndarray,
     k: int,
@@ -205,68 +262,83 @@ def knn_grid(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact kNN via uniform-grid buckets with on-device window top-k.
 
-    Host work is O(N) numpy (binning + one scatter into a padded bucket
-    table); all distance/top-k math runs jit-compiled on device. Each cell
-    searches a (2r+1)² bucket window; cells whose kth-neighbor distance
-    exceeds the window's guaranteed-covered radius re-run with a wider
-    window (exactness check), so results equal the O(N²) scan.
+    Binning, bucket-table construction, and all distance/top-k math run
+    jit-compiled on device; the only host↔device traffic on the fast path
+    (round 0 resolves everything — the common case) is a handful of scalar
+    transfers (bbox, max bucket count, exactness mask). Accepts a device
+    array directly, in which case coordinates are never downloaded unless
+    a window-expansion round is needed. Each cell searches a (2r+1)²
+    bucket window; cells whose kth-neighbor distance exceeds the window's
+    guaranteed-covered radius re-run with a wider window (exactness
+    check), so results equal the O(N²) scan.
     """
-    coords_np = np.asarray(coords_np, dtype=np.float32)
-    n, d = coords_np.shape
+    if isinstance(coords_np, jax.Array) and not isinstance(
+            coords_np, np.ndarray):
+        coords_host = None
+        coords_j = coords_np.astype(jnp.float32)
+    else:
+        coords_host = np.asarray(coords_np, dtype=np.float32)
+        coords_j = jnp.asarray(coords_host)
+    n, d = coords_j.shape
     if d != 2:
         raise ValueError("knn_grid currently supports 2D coordinates")
     if k >= n:
         raise ValueError(f"k={k} must be < n_cells={n}")
 
-    mins = coords_np.min(axis=0)
-    span = np.maximum(coords_np.max(axis=0) - mins, 1e-9)
-    n_buckets_total = max(1, int(n / bucket_target))
-    aspect = span[0] / span[1]
-    nbx = max(1, int(np.sqrt(n_buckets_total * aspect)))
-    nby = max(1, n_buckets_total // max(nbx, 1))
-    h = span / np.array([nbx, nby])
-
-    bx = np.minimum((coords_np[:, 0] - mins[0]) // h[0], nbx - 1).astype(np.int64)
-    by = np.minimum((coords_np[:, 1] - mins[1]) // h[1], nby - 1).astype(np.int64)
-    bucket = bx * nby + by
-    order = np.argsort(bucket, kind="stable").astype(np.int64)
-    sorted_bucket = bucket[order]
-    n_buckets = nbx * nby
-    counts = np.bincount(sorted_bucket, minlength=n_buckets)
-    offsets = np.concatenate([[0], np.cumsum(counts)])
+    # fused prep; ONE data-dependent readback (grid dims + max count)
+    cap = 1 << max(int(np.ceil(np.log2(max(1, n // bucket_target)))), 0)
+    bx_j, by_j, bucket_j, maxc_j, nbx_j, nby_j, h_j = _grid_prep(
+        coords_j, cap, bucket_target)
+    maxc, nbx, nby, h = jax.device_get((maxc_j, nbx_j, nby_j, h_j))
+    nbx, nby = int(nbx), int(nby)
     # pad the bucket capacity to a multiple of 16: the capacity is baked
     # into the jitted search's table shape, so an unpadded max-count
     # recompiles the kernel for every new coordinate draw (remote TPU
     # compiles take minutes; same pin as the ripley bucket capacity)
-    C = max(-(-int(counts.max()) // 16) * 16, 16)
-    # padded bucket table: one vectorized scatter
-    table_np = np.full((n_buckets, C), -1, np.int32)
-    pos = np.arange(n) - offsets[sorted_bucket]
-    table_np[sorted_bucket, pos] = order.astype(np.int32)
+    C = max(-(-int(maxc) // 16) * 16, 16)
+    table_j = _bucket_table(bucket_j, cap, C)
 
-    coords_j = jnp.asarray(coords_np)
-    table_j = jnp.asarray(table_np)
-    bx32 = bx.astype(np.int32)
-    by32 = by.astype(np.int32)
+    # round 0: everything on device, one dispatch
+    t = min(tile, 1 << max(int(np.ceil(np.log2(max(n, 1)))), 6))
+    qt, idt, bxt, byt = _round0_tiles(coords_j, bx_j, by_j, t)
+    bd, bi = _bucket_knn_round(qt, idt, bxt, byt, coords_j, table_j,
+                               jnp.int32(nbx), jnp.int32(nby),
+                               k, 1, include_self)
+    bd = bd.reshape(-1, k)[:n]
+    bi = bi.reshape(-1, k)[:n]
+    guaranteed = min(h[0], h[1])
+    whole_grid = 3 >= 2 * max(nbx, nby) + 1
+    # only the 1-byte/cell exactness mask crosses to host; the [N, k]
+    # results stay on device (a 56MB/1M-cell round-trip otherwise)
+    ok = (np.ones(n, bool) if whole_grid
+          else np.asarray(bd[:, k - 1] <= guaranteed ** 2))
+    if ok.all():
+        return bi, jnp.sqrt(bd)              # common case: all resolved
 
+    # expansion rounds: materialize host state once, then compact on host
+    if coords_host is None:
+        coords_host = np.asarray(coords_j)
+    bx32 = np.asarray(bx_j)
+    by32 = np.asarray(by_j)
     out_idx = np.full((n, k), -1, np.int32)
     out_dist = np.full((n, k), np.inf, np.float32)
-    unresolved = np.arange(n)
-    r = 1
-    for round_i in range(max_rounds):
+    dist_r = np.asarray(bd)
+    idx_r = np.asarray(bi)
+    out_idx[ok] = idx_r[ok]
+    out_dist[ok] = dist_r[ok]
+    unresolved = np.nonzero(~ok)[0]
+    r = 2
+    for _ in range(1, max_rounds):
         if unresolved.size == 0:
             break
         nq = unresolved.size
         t = min(tile, 1 << max(int(np.ceil(np.log2(max(nq, 1)))), 6))
         # host-side padding: eager device pads cost one tunnel round-trip
         # per op on remote backends and regress the warm path ~50%
-        q_pad = _pad_to(coords_np[unresolved] if round_i else coords_np,
-                        t, np.float32(1e18))
+        q_pad = _pad_to(coords_host[unresolved], t, np.float32(1e18))
         id_pad = _pad_to(unresolved.astype(np.int32), t, np.int32(-2))
-        bx_pad = _pad_to(bx32[unresolved] if round_i else bx32, t,
-                         np.int32(-10))
-        by_pad = _pad_to(by32[unresolved] if round_i else by32, t,
-                         np.int32(-10))
+        bx_pad = _pad_to(bx32[unresolved], t, np.int32(-10))
+        by_pad = _pad_to(by32[unresolved], t, np.int32(-10))
         n_tiles = q_pad.shape[0] // t
         bd, bi = _bucket_knn_round(
             jnp.asarray(q_pad).reshape(n_tiles, t, 2),
@@ -279,12 +351,8 @@ def knn_grid(
         bi = bi.reshape(-1, k)[:nq]
         guaranteed = r * min(h[0], h[1])
         whole_grid = 2 * r + 1 >= 2 * max(nbx, nby) + 1
-        # only the 1-byte/cell exactness mask crosses to host; the [N, k]
-        # results stay on device (a 56MB/1M-cell round-trip otherwise)
         ok = (np.ones(nq, bool) if whole_grid
               else np.asarray(bd[:, k - 1] <= guaranteed ** 2))
-        if round_i == 0 and ok.all():
-            return bi, jnp.sqrt(bd)          # common case: all resolved
         dist_r = np.asarray(bd)
         idx_r = np.asarray(bi)
         done = unresolved[ok]
@@ -301,8 +369,8 @@ def knn_grid(
         chunk = fallback_chunk or max(1, (1 << 28) // n)  # ~256M f32 elems
         for c0 in range(0, unresolved.size, chunk):
             urc = unresolved[c0:c0 + chunk]
-            dd = ((coords_np[urc][:, None, :]
-                   - coords_np[None, :, :]) ** 2).sum(-1)
+            dd = ((coords_host[urc][:, None, :]
+                   - coords_host[None, :, :]) ** 2).sum(-1)
             if not include_self:
                 dd[np.arange(urc.size), urc] = np.inf
             part = np.argpartition(dd, k - 1, axis=1)[:, :k]
@@ -334,17 +402,15 @@ def radius_neighbors(
     Large 2D inputs route through the bucket-grid kNN instead of the
     O(N²) scan.
     """
-    coords_np = np.asarray(coords, np.float32)
-    n = coords_np.shape[0]
+    n = coords.shape[0]
     # the cap is a capacity, not a requirement: small datasets simply can't
     # have k_max neighbors, so clamp (validity masking handles the rest)
     k_eff = min(k_max, n - 1)
     if k_eff < 1:
         raise ValueError(f"radius_neighbors needs >= 2 cells, got {n}")
-    if n > grid_threshold and coords_np.shape[1] == 2:
-        idx_np, dist_np = knn_grid(coords_np, k_eff,
-                                   include_self=include_self)
-        idx, dist = jnp.asarray(idx_np), jnp.asarray(dist_np)
+    if n > grid_threshold and coords.shape[1] == 2:
+        idx, dist = knn_grid(coords, k_eff, include_self=include_self)
+        idx, dist = jnp.asarray(idx), jnp.asarray(dist)
     else:
         idx, dist = knn_exact(jnp.asarray(coords), k_eff,
                               include_self=include_self)
@@ -383,8 +449,14 @@ def build_graph(
     binary adjacency over the k nearest neighbors (self excluded unless
     ``include_self``, which adds self as an extra neighbor), rows normalized
     to sum to 1. Radius mode caps degree at ``k_max`` with a validity mask.
+
+    ``coords`` may be a device array; the grid path then runs fully
+    on-device with no bulk host↔device transfers (the remote-TPU tunnel
+    makes an 8MB coords hop cost seconds — occasionally minutes).
     """
-    coords = np.asarray(coords, dtype=np.float32)
+    if not (isinstance(coords, jax.Array)
+            and not isinstance(coords, np.ndarray)):
+        coords = np.asarray(coords, dtype=np.float32)
     n = coords.shape[0]
     if radius is not None:
         if k_max is None:
