@@ -28,7 +28,6 @@ import os
 import sys
 import time
 
-import numpy as np
 
 PER_CHIP_TARGET = 83333.0 / 8.0  # genes*perms/sec
 
@@ -74,7 +73,6 @@ def main():
     t_graph = time.time() - t0
     print(f"[bench] graph build: {t_graph*1e3:.0f} ms "
           f"({t_graph*1e3*1e6/n_cells:.0f} ms per 1M cells)", file=sys.stderr)
-    coords = np.asarray(coords_j)  # host copy for the null-plan build only
 
     S0 = float(n_cells)
 
@@ -92,7 +90,7 @@ def main():
 
     if method == "banded":
         t0 = time.time()
-        plan = build_null_plan(graph, coords, block=512)
+        plan = build_null_plan(graph, coords_j, block=512)  # device path
         print(f"[bench] null plan build: {time.time()-t0:.1f}s",
               file=sys.stderr)
 

@@ -109,6 +109,80 @@ def graph_order(graph: SpatialGraph) -> np.ndarray:
                       np.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("bits",))
+def _hilbert_rank_device(coords, bits: int = 16):
+    """On-device Hilbert ordering (uint32 xy2d; bits=16 fills uint32).
+
+    Mirrors :func:`hilbert_order` (which normalizes in float64 on host);
+    float32 quantization may bucket boundary-straddling cells differently,
+    but the banded null's draw values are ordering-invariant by
+    construction (``perm = raw[order]`` gives cell ``i`` the value
+    ``Z[raw[i]]`` whatever the relabeling), so plans built on either path
+    agree to float32 accumulation order.
+    """
+    n = coords.shape[0]
+    mins = jnp.min(coords, axis=0)
+    span = jnp.maximum(jnp.max(coords, axis=0) - mins, 1e-12)
+    side = (1 << bits) - 1
+    x = jnp.minimum((coords[:, 0] - mins[0]) / span[0] * (side + 1),
+                    side).astype(jnp.uint32)
+    y = jnp.minimum((coords[:, 1] - mins[1]) / span[1] * (side + 1),
+                    side).astype(jnp.uint32)
+    d = jnp.zeros(n, jnp.uint32)
+    for level in range(bits - 1, -1, -1):
+        s = jnp.uint32(1 << level)
+        rx = ((x & s) > 0).astype(jnp.uint32)
+        ry = ((y & s) > 0).astype(jnp.uint32)
+        d = d + s * s * ((jnp.uint32(3) * rx) ^ ry)
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f = jnp.where(flip, s - 1 - x, x)
+        y_f = jnp.where(flip, s - 1 - y, y)
+        x, y = jnp.where(swap, y_f, x_f), jnp.where(swap, x_f, y_f)
+    order = jnp.argsort(d, stable=True).astype(jnp.int32)
+    rank = jnp.zeros(n, jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return order, rank
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _plan_relabel(idx, w, order, rank, block: int):
+    """Relabel edges into new positions; band split + Geary terms."""
+    n, k = idx.shape
+    idx_r = rank[idx[order]]                    # [N, k] int32 new positions
+    w_r = w[order]
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    ws = (rows // block - 1) * block
+    rel = idx_r - ws
+    valid = w_r > 0
+    inwin = (rel >= 0) & (rel < 3 * block) & valid
+    far = valid & ~inwin
+    local_idx = jnp.where(inwin, rel, 0).astype(jnp.int32)
+    w_local = jnp.where(inwin, w_r, 0.0).astype(jnp.float32)
+    r = w_r.sum(axis=1)
+    c = jnp.zeros(n, jnp.float32).at[idx_r.reshape(-1)].add(
+        jnp.where(valid, w_r, 0.0).reshape(-1))
+    rc = (r + c).astype(jnp.float32)
+    n_pad = (-n) % block
+    if n_pad:
+        local_idx = jnp.pad(local_idx, ((0, n_pad), (0, 0)))
+        w_local = jnp.pad(w_local, ((0, n_pad), (0, 0)))
+        rc = jnp.pad(rc, (0, n_pad))
+    return idx_r, w_r, far, jnp.sum(far), local_idx, w_local, rc
+
+
+@functools.partial(jax.jit, static_argnames=("block", "cap"))
+def _plan_far(idx_r, w_r, far, block: int, cap: int):
+    """Compact the far-edge list to a static power-of-two capacity."""
+    n_far = jnp.sum(far)
+    fi, fj = jnp.nonzero(far, size=cap, fill_value=0)   # row-major
+    live = jnp.arange(cap) < n_far
+    far_src = jnp.where(live, fi + block, 0).astype(jnp.int32)
+    far_dst = jnp.where(live, idx_r[fi, fj] + block, 0).astype(jnp.int32)
+    far_w = jnp.where(live, w_r[fi, fj], 0.0).astype(jnp.float32)
+    return far_src, far_dst, far_w
+
+
 # ---------------------------------------------------------------------------
 # Plan
 # ---------------------------------------------------------------------------
@@ -143,12 +217,36 @@ def build_null_plan(
     coords: Optional[np.ndarray] = None,
     block: int = 512,
 ) -> NullPlan:
-    """Host-side prep: relabel cells, split edges into band vs far list.
+    """Prep: relabel cells, split edges into band vs far list.
 
     The band covers neighbor offsets within ±block positions (window =
     previous/self/next block). Larger blocks lower the far fraction but
     raise the dense-matmul FLOPs ∝ B; 512 balances both at 1M cells.
+
+    Pass ``coords`` as a DEVICE array to build the whole plan on device
+    (one 4-byte readback; no bulk host↔device transfers — the remote
+    tunnel makes the host path's ~100MB of hops cost 15–40 s at 1M
+    cells). A numpy ``coords`` keeps the original host path, which is
+    bitwise-stable against round-1 plans (float64 Hilbert quantization).
     """
+    if (coords is not None and isinstance(coords, jax.Array)
+            and not isinstance(coords, np.ndarray) and coords.ndim == 2
+            and coords.shape[1] == 2):
+        n, k = graph.neighbor_idx.shape
+        order, rank = _hilbert_rank_device(coords.astype(jnp.float32))
+        idx_r, w_r, far, n_far_t, local_idx, w_local, rc = _plan_relabel(
+            graph.neighbor_idx, graph.neighbor_w.astype(jnp.float32),
+            order, rank, block)
+        n_far = int(n_far_t)                    # the ONE readback
+        logger.info(
+            f"null plan (device): N={n:,} k={k} block={block} "
+            f"far_edges={n_far:,} ({n_far / (n * k):.2%})")
+        cap = 1 << max(int(np.ceil(np.log2(max(n_far, 1)))), 7)
+        far_src, far_dst, far_w = _plan_far(idx_r, w_r, far, block, cap)
+        return NullPlan(order=order, local_idx=local_idx, w_local=w_local,
+                        far_src=far_src, far_dst=far_dst, far_w=far_w,
+                        rc_sum=rc, block=block, n=n, rank=rank)
+
     idx = np.asarray(graph.neighbor_idx)
     w = np.asarray(graph.neighbor_w, np.float32)
     n, k = idx.shape

@@ -41,6 +41,44 @@ def test_plan_partitions_all_edges(setup):
     assert abs(total - got) < 1e-3
 
 
+def test_device_plan_matches_host_plan(setup):
+    """Plans built from a device array agree with the host (numpy) path.
+
+    The orderings may differ at float32/float64 quantization boundaries,
+    but edge partition mass, Geary terms, and the resulting p-values are
+    equivalent (draw values are ordering-invariant by construction).
+    """
+    coords, graph, Z = setup
+    hp = build_null_plan(graph, coords, block=64)
+    dp = build_null_plan(graph, jnp.asarray(coords), block=64)
+    n, k = graph.neighbor_idx.shape
+    assert int((np.asarray(dp.w_local) > 0).sum()) \
+        + int((np.asarray(dp.far_w) > 0).sum()) == n * k
+    total = float(np.asarray(graph.neighbor_w).sum())
+    got = float(np.asarray(dp.w_local).sum() + np.asarray(dp.far_w).sum())
+    assert abs(total - got) < 1e-3
+    # rc_sum is a per-cell quantity: compare in original-cell order
+    rc_h = np.asarray(hp.rc_sum)[: n][np.asarray(hp.rank)]
+    rc_d = np.asarray(dp.rc_sum)[: n][np.asarray(dp.rank)]
+    np.testing.assert_allclose(rc_h, rc_d, rtol=1e-5, atol=1e-5)
+    # identical p-values with the sort stream (value assignment is
+    # ordering-invariant; only f32 accumulation order differs)
+    S0 = total
+    I_obs = moran_observed(graph, Z, S0)
+    p_h, _, _ = banded_permutation_test(hp, Z, S0, I_obs, seed=5,
+                                        n_permutations=64,
+                                        precision="f32",
+                                        perm_method="sort")
+    p_d, _, _ = banded_permutation_test(dp, Z, S0, I_obs, seed=5,
+                                        n_permutations=64,
+                                        precision="f32",
+                                        perm_method="sort")
+    # identical draws up to f32 accumulation order: counts may flip only
+    # when a draw lands within float noise of the observed value
+    np.testing.assert_allclose(np.asarray(p_h), np.asarray(p_d),
+                               atol=2.0 / 65.0)
+
+
 def test_banded_matches_dense_oracle_fixed_perm(setup):
     """The banded cross term reproduces the dense quadratic form exactly."""
     coords, graph, Z = setup
