@@ -210,7 +210,8 @@ def _global_autocorr(
     if null_method == "banded" and n_permutations > 0:
         from ..ops.banded import banded_permutation_test, build_null_plan
 
-        plan = build_null_plan(graph, np.asarray(adata.obsm[spatial_key]))
+        plan = build_null_plan(
+            graph, jnp.asarray(adata.obsm[spatial_key], jnp.float32))
 
     place_Z = None
     if mesh is not None:
@@ -415,7 +416,8 @@ def local_morans_i(
     if null_method == "banded" and n_permutations > 0:
         from ..ops.banded import banded_local_moran, build_null_plan
 
-        plan = build_null_plan(graph, np.asarray(adata.obsm[spatial_key]))
+        plan = build_null_plan(
+            graph, jnp.asarray(adata.obsm[spatial_key], jnp.float32))
 
     I_all = np.zeros((n_cells, n_genes), np.float32)
     z_all = np.zeros_like(I_all)
