@@ -194,6 +194,13 @@ def main():
     ap.add_argument("--configs", default="1,2,3,4,5")
     ap.add_argument("--scale", type=float, default=1.0)
     args = ap.parse_args()
+    # eat the first-readback tunnel stall (up to ~5 min when the remote
+    # backend is degraded; docs/performance.md) outside any timed config
+    import jax.numpy as jnp
+    t0 = time.time()
+    _ = float(jnp.zeros(1)[0])
+    print(f"[configs] first-readback warmup: {time.time()-t0:.1f}s",
+          file=sys.stderr)
     fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
     for c in [int(x) for x in args.configs.split(",")]:
         t0 = time.time()

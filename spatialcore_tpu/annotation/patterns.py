@@ -45,13 +45,14 @@ _RULES: List[Tuple[str, str]] = [
     (r"(memory)[\s\-_]+b\b", "memory b cell"),
     (r"germinal\s+center\s+b|\bgc\s+b\b", "germinal center b cell"),
     (r"follicular\s+b\b", "follicular b cell"),
-    (r"marginal\s+zone", "marginal zone b cell"),
+    (r"marginal\s+zone", "marginal zone b cell of spleen"),
     (r"\bb[\s\-_]?(cell|cells|lymphocyte)s?\b", "b cell"),
     # --- myeloid ---------------------------------------------------------
     (r"(classical|cd14\+?)[\s\-_]+mono", "classical monocyte"),
     (r"(non[\s\-_]?classical|cd16\+?)[\s\-_]+mono", "non-classical monocyte"),
     (r"monocyte", "monocyte"),
     (r"kupffer", "kupffer cell"),
+    (r"hofbauer", "hofbauer cell"),
     (r"alveolar\s+macro", "alveolar macrophage"),
     (r"\bm2[\s\-_]?(macrophage|mac|mø)",
      "alternatively activated macrophage"),
@@ -73,6 +74,10 @@ _RULES: List[Tuple[str, str]] = [
     (r"megakaryocyte", "megakaryocyte"),
     (r"\bhsc\b|hematopoietic\s+stem", "hematopoietic stem cell"),
     (r"\bmsc\b|mesenchymal\s+stem", "mesenchymal stem cell"),
+    (r"erythroblast|proerythroblast|erythroid\s+progenitor",
+     "erythroid progenitor cell"),
+    (r"thymocyte", "thymocyte"),
+    (r"satellite\s+cell", "skeletal muscle satellite cell"),
     (r"stem\s+cell", "stem cell"),
     # --- stromal / vascular ------------------------------------------------
     (r"lymphatic\s+(endo|ecs?\b)", "endothelial cell of lymphatic vessel"),
@@ -85,7 +90,7 @@ _RULES: List[Tuple[str, str]] = [
     (r"smooth\s+muscle|\bsmc\b", "smooth muscle cell"),
     (r"pericyte|mural", "pericyte"),
     (r"cardiomyocyte|cardiac\s+muscle", "cardiac muscle cell"),
-    (r"skeletal\s+muscle|myocyte", "skeletal muscle cell"),
+    (r"skeletal\s+muscle|myocyte", "skeletal muscle fiber"),
     (r"adipocyte|fat\s+cell", "adipocyte"),
     (r"chondrocyte", "chondrocyte"),
     (r"osteoblast", "osteoblast"),
@@ -112,7 +117,34 @@ _RULES: List[Tuple[str, str]] = [
     (r"acinar", "acinar cell"),
     (r"ductal", "duct epithelial cell"),
     (r"beta\s+cell|β\s*cell", "type b pancreatic cell"),
+    (r"alpha\s+cell|α\s*cell", "pancreatic a cell"),
+    (r"delta\s+cell|δ\s*cell", "pancreatic d cell"),
+    (r"\bpp\s+cell|pancreatic\s+polypeptide", "pancreatic pp cell"),
     (r"luminal\s+epithel", "luminal epithelial cell of mammary gland"),
+    # kidney
+    (r"distal\s+(convoluted\s+)?tubule", "epithelial cell of distal tubule"),
+    (r"collecting\s+duct", "kidney collecting duct cell"),
+    (r"loop\s+of\s+henle|thick\s+ascending", "kidney loop of henle epithelial cell"),
+    (r"mesangial", "mesangial cell"),
+    (r"intercalated\s+cell", "renal intercalated cell"),
+    # stomach / airway / bladder
+    (r"parietal\s+cell", "parietal cell"),
+    (r"urothel", "urothelial cell"),
+    (r"ionocyte", "ionocyte"),
+    # thyroid / placenta / gonads
+    (r"thyrocyte|thyroid\s+follicular", "thyroid follicular cell"),
+    (r"syncytiotrophoblast", "syncytiotrophoblast cell"),
+    (r"trophoblast", "trophoblast cell"),
+    (r"decidual", "decidual cell"),
+    (r"granulosa", "granulosa cell"),
+    (r"theca", "theca cell"),
+    (r"leydig", "leydig cell"),
+    (r"sertoli", "sertoli cell"),
+    (r"spermatogoni", "spermatogonium"),
+    (r"oocyte", "oocyte"),
+    # eye
+    (r"retinal\s+pigment\s+epithel|\brpe\b", "retinal pigment epithelial cell"),
+    (r"photoreceptor", "photoreceptor cell"),
     (r"epithel", "epithelial cell"),
     # --- neural ---------------------------------------------------------------
     (r"astrocyte", "astrocyte"),
@@ -120,6 +152,8 @@ _RULES: List[Tuple[str, str]] = [
      "oligodendrocyte precursor cell"),
     (r"oligodendrocyte", "oligodendrocyte"),
     (r"microglia", "microglial cell"),
+    (r"ependymal", "ependymal cell"),
+    (r"purkinje", "purkinje cell"),
     (r"schwann", "schwann cell"),
     (r"(inhibitory|excitatory|gabaergic|glutamatergic)?[\s\-_]*neuron",
      "neuron"),
