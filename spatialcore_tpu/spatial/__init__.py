@@ -7,6 +7,7 @@ from .distance import calculate_domain_distances, get_distance_matrix
 from .ripley import co_occurrence, cross_type_ripleys_k, ripleys_k
 from .nhood import neighborhood_enrichment
 from .autocorrelation import (
+    getis_ord_gi,
     join_count_statistics,
     local_gearys_c,
     local_gearys_c_multivariate,
@@ -21,7 +22,8 @@ from .autocorrelation import (
 
 __all__ = [
     "build_spatial_weights", "morans_i", "gearys_c", "local_morans_i",
-    "lees_l", "lees_l_local", "join_count_statistics", "local_gearys_c",
+    "lees_l", "lees_l_local", "join_count_statistics", "getis_ord_gi",
+    "local_gearys_c",
     "local_gearys_c_multivariate", "local_join_counts",
     "compute_neighborhood_profile", "identify_niches", "niche_stability",
     "make_spatial_domains", "get_domain_summary", "detect_platform",
