@@ -122,6 +122,46 @@ def plot_spatial_gene(
     return fig
 
 
+def plot_spatial_hotspots(
+    adata,
+    gene: str,
+    key: str = "getis_ord",
+    spatial_key: str = "spatial",
+    point_size: float = 1.5,
+    path: Optional[Union[str, Path]] = None,
+):
+    """Getis-Ord hot/cold-spot map for one gene.
+
+    Background cells grey, significant hot spots red, cold spots blue
+    (``obsm[f"{key}_hotspot"]`` from :func:`spatial.getis_ord_gi`).
+    """
+    coords = _coords(adata, spatial_key)
+    params = adata.uns.get(f"{key}_params")
+    if params is None or f"{key}_hotspot" not in adata.obsm:
+        raise ValueError(
+            f"No '{key}' results found — run spatial.getis_ord_gi first")
+    genes = list(params["genes"])
+    if gene not in genes:
+        raise ValueError(f"'{gene}' not in {key} results ({len(genes)} genes)")
+    hs = np.asarray(adata.obsm[f"{key}_hotspot"])[:, genes.index(gene)]
+    fig, axes = setup_figure(ax_width=8, ax_height=7)
+    ax = axes[0, 0]
+    for val, color, label in ((0, "0.85", "NS"),
+                              (-1, "#3b6fb6", "cold spot"),
+                              (1, "#c23b3b", "hot spot")):
+        m = hs == val
+        if m.any():
+            ax.scatter(coords[m, 0], coords[m, 1], s=point_size, c=color,
+                       label=f"{label} ({int(m.sum()):,})",
+                       rasterized=True, linewidths=0)
+    ax.legend(markerscale=6, frameon=False, loc="upper right")
+    ax.set_aspect("equal")
+    ax.set_title(f"{gene} — Getis-Ord {'Gi*' if params.get('star', True) else 'Gi'}")
+    if path:
+        return save_figure(fig, path)
+    return fig
+
+
 def plot_spatial_genes(
     adata,
     genes: List[str],

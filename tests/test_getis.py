@@ -108,3 +108,12 @@ def test_public_wrapper(setup):
     assert (hs[d < 6, 0] == 1).mean() > 0.7
     ops = adata.uns["spatialcore_metadata"]["operations"]
     assert any(o["function"] == "getis_ord_gi" for o in ops)
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from spatialcore_tpu.plotting import plot_spatial_hotspots
+
+    genes = adata.uns["getis_ord_params"]["genes"]
+    fig = plot_spatial_hotspots(adata, genes[0])
+    assert fig.axes, "empty figure"
