@@ -259,25 +259,34 @@ class LocalMoranResult(NamedTuple):
     p_value: jax.Array   # [N, G] permutation two-tailed (ones if P=0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_permutations", "chunk"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_permutations", "chunk", "null"))
 def local_moran(
     graph: SpatialGraph,
     Z: jax.Array,
     seed: int,
     n_permutations: int = 0,
     chunk: int = 8,
+    null: str = "total",
 ) -> LocalMoranResult:
     """Local Moran's I with permutation p-values, fully on-device.
 
-    I_i = z_i · (Wz)_i. Null draws shuffle whole z columns (one shared shuffle
-    per draw across genes). Two-tailed p per cell:
+    I_i = z_i · (Wz)_i. Two-tailed p per cell:
     (#{|I_perm| ≥ |I_obs|} + 1)/(P + 1). The reference computes this with a
     nested Python loop over cells×genes (autocorrelation.py:888-896) — its
     worst bottleneck; here each draw is one fused scan step with O(N·G)
     peak memory. ``chunk`` is accepted for API compatibility but ignored.
+
+    ``null``: ``"total"`` (default; the reference's convention) shuffles
+    whole z columns, permuting both z_i and its neighbors.
+    ``"conditional"`` is the GeoDa/esda LISA convention — each cell keeps
+    its OWN z_i and its k neighbor slots draw uniformly WITHOUT
+    replacement from the other n−1 cells, built exactly per draw with the
+    same offset scheme as :func:`local_geary`.
     """
     del chunk
     n, G = Z.shape
+    k = graph.neighbor_idx.shape[1]
     lag = spatial_lag(graph, Z)
     I_obs = Z * lag
 
@@ -290,8 +299,18 @@ def local_moran(
     def body(count, p):
         key = jax.random.fold_in(base, p)
         perm = jax.random.permutation(key, n)
-        Zp = Z[perm]
-        Ip = Zp * spatial_lag(graph, Zp)
+        if null == "total":
+            Zp = Z[perm]
+            Ip = Zp * spatial_lag(graph, Zp)
+        else:
+            inv = jnp.argsort(perm)
+            u = jax.random.choice(jax.random.fold_in(key, 1),
+                                  n - 1, (k,), replace=False)
+            lag_p = jnp.zeros_like(Z)
+            for j in range(k):
+                draw_idx = perm[(inv + 1 + u[j]) % n]
+                lag_p = lag_p + graph.neighbor_w[:, j:j + 1] * Z[draw_idx]
+            Ip = Z * lag_p
         extreme = jnp.abs(Ip) >= abs_obs
         return count + extreme.astype(jnp.int32), None
 

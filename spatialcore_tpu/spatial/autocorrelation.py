@@ -382,8 +382,13 @@ def local_morans_i(
     copy: bool = False,
     use_existing_graph: bool = False,
     null_method: str = "auto",
+    null: str = "total",
 ):
     """Local Moran's I (LISA) with on-device permutation p-values.
+
+    ``null``: "total" (reference convention) shuffles whole columns;
+    "conditional" is the GeoDa/esda LISA null (cell keeps its own value,
+    neighbors drawn without replacement from the other cells).
 
     Writes six obsm matrices + params, matching the reference's keys
     (autocorrelation.py:929-950): ``{key}_I, {key}_z, {key}_lag, {key}_p,
@@ -412,12 +417,19 @@ def local_morans_i(
 
     if null_method == "auto":
         null_method = "slots"
+    if null not in ("total", "conditional"):
+        raise ValueError(f"null must be 'total' or 'conditional', got {null!r}")
     plan = None
     if null_method == "banded" and n_permutations > 0:
-        from ..ops.banded import banded_local_moran, build_null_plan
+        if null == "conditional":
+            logger.warning("null='conditional' is not supported by the "
+                           "banded path; using the direct kernel")
+            null_method = "slots"
+        else:
+            from ..ops.banded import banded_local_moran, build_null_plan
 
-        plan = build_null_plan(
-            graph, jnp.asarray(adata.obsm[spatial_key], jnp.float32))
+            plan = build_null_plan(
+                graph, jnp.asarray(adata.obsm[spatial_key], jnp.float32))
 
     I_all = np.zeros((n_cells, n_genes), np.float32)
     z_all = np.zeros_like(I_all)
@@ -435,7 +447,7 @@ def local_morans_i(
             res = banded_local_moran(plan, graph, Z, seed=seed,
                                      n_permutations=n_permutations)
         else:
-            res = local_moran(graph, Z, seed, n_permutations)
+            res = local_moran(graph, Z, seed, n_permutations, null=null)
         sl = slice(bs, bs + len(batch))
         I_all[:, sl] = np.asarray(res.local_I)
         z_all[:, sl] = np.asarray(res.z)
@@ -477,6 +489,7 @@ def local_morans_i(
         "fdr_correction": fdr_correction,
         "alpha": alpha,
         "seed": seed,
+        "null": null,
         "quadrant_labels": dict(QUADRANT_LABELS),
         "computation_time_seconds": elapsed,
     }

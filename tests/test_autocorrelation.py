@@ -435,6 +435,40 @@ def test_local_geary_conditional_vs_total_null(spatial_adata):
     assert out.uns["local_geary_params"]["null"] == "total"
 
 
+def test_local_moran_conditional_vs_total_null(spatial_adata):
+    """GeoDa conditional LISA null vs the reference's total shuffle."""
+    import jax.numpy as jnp
+
+    from spatialcore_tpu.ops.graph import build_graph
+    from spatialcore_tpu.ops.moran import local_moran, standardize
+
+    adata = spatial_adata.copy()
+    coords = np.asarray(adata.obsm["spatial"])
+    graph = build_graph(coords, n_neighbors=6)
+    X = np.asarray(adata.X if not hasattr(adata.X, "todense")
+                   else adata.X.todense(), np.float32)
+    Z, _ = standardize(jnp.asarray(X[:, :3]))
+
+    res_c = local_moran(graph, Z, seed=0, n_permutations=199,
+                        null="conditional")
+    res_t = local_moran(graph, Z, seed=0, n_permutations=199, null="total")
+    np.testing.assert_allclose(np.asarray(res_c.local_I),
+                               np.asarray(res_t.local_I), rtol=1e-6)
+    p_c = np.asarray(res_c.p_value)
+    p_t = np.asarray(res_t.p_value)
+    assert (p_c[:, 0] < 0.05).mean() > 0.15
+    assert (p_t[:, 0] < 0.05).mean() > 0.15
+    agree = ((p_c[:, 0] < 0.05) == (p_t[:, 0] < 0.05)).mean()
+    assert agree > 0.8
+    # public API exposes + records the choice
+    import spatialcore_tpu as sct
+
+    out = sct.spatial.local_morans_i(
+        adata, genes=list(adata.var_names[:2]), n_permutations=49,
+        null="conditional")
+    assert out.uns["local_morans_params"]["null"] == "conditional"
+
+
 def test_morans_i_banded_null_method(spatial_adata):
     """null_method='banded' through the public API matches 'slots' inference."""
     a1 = spatial_adata.copy()
