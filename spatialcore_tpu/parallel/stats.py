@@ -155,3 +155,29 @@ def sharded_local_moran_2d(
     with mesh:
         return local_moran(graph, Z, seed=seed,
                            n_permutations=n_permutations)
+
+
+def sharded_getis_ord(
+    graph: SpatialGraph,
+    X: jax.Array,
+    mesh: Mesh,
+    star: bool = True,
+    alternative: str = "two-sided",
+    seed: int = 0,
+    n_permutations: int = 0,
+):
+    """Getis-Ord Gi*/Gi gene-sharded over the mesh.
+
+    The statistic is independent per gene (column means/stds and the
+    binary neighbor sums all act columnwise), so the gene axis shards
+    with no collectives in the hot loop; [N, G] outputs keep the gene
+    axis sharded. Permutation p-values are bitwise equal to the
+    single-device kernel (identical counter-based draws); z-scores agree
+    to float32 tolerance (XLA may re-tile the column reductions).
+    """
+    from ..ops.getis import getis_ord
+
+    graph, X = _place(graph, X, mesh)
+    with mesh:
+        return getis_ord(graph, X, star=star, alternative=alternative,
+                         seed=seed, n_permutations=n_permutations)

@@ -92,6 +92,20 @@ def test_permutation_p_agrees_with_analytic(setup):
     assert psim[weak].mean() > 0.3
 
 
+def test_sharded_matches_single_device(setup):
+    from spatialcore_tpu.parallel import auto_mesh, sharded_getis_ord
+
+    _, graph, X = setup
+    X8 = np.concatenate([X, X[:, :3]], axis=1)  # gene axis divisible by 8
+    mesh = auto_mesh()
+    r1 = sharded_getis_ord(graph, jnp.asarray(X8), mesh, n_permutations=29)
+    r0 = getis_ord(graph, jnp.asarray(X8), n_permutations=29)
+    np.testing.assert_allclose(np.asarray(r1.z_score),
+                               np.asarray(r0.z_score), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(r1.p_sim),
+                                  np.asarray(r0.p_sim))
+
+
 def test_public_wrapper(setup):
     coords, graph, X = setup
     adata = make_adata(n_obs=X.shape[0], n_vars=X.shape[1],
