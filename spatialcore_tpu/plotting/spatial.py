@@ -162,6 +162,55 @@ def plot_spatial_hotspots(
     return fig
 
 
+def plot_moran_scatter(
+    adata,
+    gene: str,
+    key: str = "local_morans",
+    point_size: float = 4.0,
+    path: Optional[Union[str, Path]] = None,
+):
+    """GeoDa-style Moran scatterplot: z vs spatial lag, quadrant-colored.
+
+    Needs :func:`spatial.local_morans_i` results (``obsm[f"{key}_z"]``,
+    ``_lag``, ``_quadrant``). The regression slope through the origin is
+    the gene's global Moran's I (annotated in the title).
+    """
+    params = adata.uns.get(f"{key}_params")
+    if params is None or f"{key}_z" not in adata.obsm:
+        raise ValueError(
+            f"No '{key}' results found — run spatial.local_morans_i first")
+    genes = list(params["genes"])
+    if gene not in genes:
+        raise ValueError(f"'{gene}' not in {key} results ({len(genes)} genes)")
+    gi = genes.index(gene)
+    z = np.asarray(adata.obsm[f"{key}_z"])[:, gi]
+    lag = np.asarray(adata.obsm[f"{key}_lag"])[:, gi]
+    quad = np.asarray(adata.obsm[f"{key}_quadrant"])[:, gi]
+    slope = float(z @ lag / max(z @ z, 1e-12))
+    fig, axes = setup_figure(ax_width=7, ax_height=7)
+    ax = axes[0, 0]
+    colors = {0: "0.8", 1: "#c23b3b", 2: "#3b6fb6",
+              3: "#d99036", 4: "#7fae7f"}
+    names = {0: "NS", 1: "HH", 2: "LL", 3: "HL", 4: "LH"}
+    for q in (0, 1, 2, 3, 4):
+        m = quad == q
+        if m.any():
+            ax.scatter(z[m], lag[m], s=point_size, c=colors[q],
+                       label=f"{names[q]} ({int(m.sum()):,})",
+                       rasterized=True, linewidths=0)
+    xs = np.linspace(z.min(), z.max(), 2)
+    ax.plot(xs, slope * xs, "k-", lw=1)
+    ax.axhline(0, color="0.6", lw=0.6)
+    ax.axvline(0, color="0.6", lw=0.6)
+    ax.set_xlabel(f"{gene} (z)")
+    ax.set_ylabel("spatial lag")
+    ax.set_title(f"{gene} — Moran scatter (I = {slope:.3f})")
+    ax.legend(markerscale=2, frameon=False, loc="best", fontsize=8)
+    if path:
+        return save_figure(fig, path)
+    return fig
+
+
 def plot_spatial_genes(
     adata,
     genes: List[str],

@@ -4,7 +4,8 @@ from .neighborhoods import (compute_neighborhood_profile, identify_niches,
                             niche_stability)
 from .domains import detect_platform, get_domain_summary, make_spatial_domains
 from .distance import calculate_domain_distances, get_distance_matrix
-from .ripley import co_occurrence, cross_type_ripleys_k, ripleys_k
+from .ripley import (clark_evans, co_occurrence,
+                     cross_type_ripleys_k, ripleys_k)
 from .nhood import neighborhood_enrichment
 from .autocorrelation import (
     getis_ord_gi,
@@ -28,6 +29,7 @@ __all__ = [
     "compute_neighborhood_profile", "identify_niches", "niche_stability",
     "make_spatial_domains", "get_domain_summary", "detect_platform",
     "calculate_domain_distances", "get_distance_matrix",
-    "ripleys_k", "cross_type_ripleys_k", "neighborhood_enrichment",
+    "ripleys_k", "cross_type_ripleys_k", "clark_evans",
+    "neighborhood_enrichment",
     "co_occurrence",
 ]

@@ -179,3 +179,62 @@ def cross_type_ripleys_k(
                                 "seed": seed},
                     outputs={"uns": [key_added, f"{key_added}_types"]})
     return adata
+
+
+def clark_evans(
+    adata,
+    spatial_key: str = "spatial",
+    area: Optional[float] = None,
+    copy: bool = False,
+):
+    """Clark-Evans nearest-neighbor aggregation index with z-test.
+
+    R = observed mean NN distance / expected under CSR (0.5/√λ).
+    R < 1 → clustered, R ≈ 1 → random, R > 1 → dispersed/regular. The
+    z-test uses Clark & Evans (1954): SE = 0.26136/√(nλ). No edge
+    correction (fine for R as a descriptive aggregation index at the
+    cell counts typical here; the boundary bias shrinks as 1/√n).
+    Classic point-pattern companion to :func:`ripleys_k` — an extension;
+    the reference has no point-pattern statistics.
+
+    Writes ``uns["clark_evans"] = {"R", "z", "p_value", "mean_nn", ...}``.
+    """
+    import jax.numpy as jnp
+    from scipy.stats import norm as _norm
+
+    from ..ops.graph import knn_exact, knn_grid
+
+    start = time.time()
+    if copy:
+        adata = adata.copy()
+    if spatial_key not in adata.obsm:
+        raise ValueError(f"adata.obsm['{spatial_key}'] not found")
+    coords = np.asarray(adata.obsm[spatial_key], np.float32)[:, :2]
+    n = len(coords)
+    if n < 3:
+        raise ValueError(f"clark_evans needs >= 3 cells, got {n}")
+    if n > 50_000:
+        _, dist = knn_grid(coords, 1)
+    else:
+        _, dist = knn_exact(jnp.asarray(coords), 1)
+    mean_nn = float(np.asarray(dist).ravel().mean())
+    if area is None:
+        lo, hi = coords.min(0), coords.max(0)
+        area = float((hi[0] - lo[0]) * (hi[1] - lo[1]))
+    lam = n / max(area, 1e-12)
+    expected = 0.5 / np.sqrt(lam)
+    R = mean_nn / expected
+    se = 0.26136 / np.sqrt(n * lam)
+    z = (mean_nn - expected) / se
+    p = 2.0 * float(_norm.sf(abs(z)))
+    adata.uns["clark_evans"] = {
+        "R": R, "z": z, "p_value": p, "mean_nn_distance": mean_nn,
+        "expected_nn_distance": expected, "n_cells": n, "area": area,
+        "computation_time_seconds": time.time() - start,
+    }
+    update_metadata(adata, "clark_evans", parameters={
+        "n_cells": n, "area": area},
+        outputs={"uns": "clark_evans"})
+    logger.info(f"Clark-Evans R={R:.3f} (z={z:.1f}) — "
+                f"{'clustered' if R < 1 else 'dispersed' if R > 1 else 'random'}")
+    return adata
