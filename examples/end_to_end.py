@@ -140,6 +140,25 @@ def main(outdir="docs/images"):
           "in significant 1-1 clusters")
     assert jc_sig > 0.3
 
+    # Getis-Ord hot spots: MS4A1 (follicle marker) should be hot inside
+    # the follicles and nowhere near hot for noise
+    adata = sct.spatial.getis_ord_gi(adata, genes=["MS4A1", "NOISE1"],
+                                     n_neighbors=8, seed=0)
+    hs = adata.obsm["getis_ord_hotspot"]
+    b_mask = (adata.obs["true_type"].astype(str) == "B cell").to_numpy()
+    hot_b = (hs[b_mask, 0] == 1).mean()
+    print(f"[5c/7] Getis-Ord: {hot_b:.0%} of follicle B cells are MS4A1 "
+          f"hot spots; noise hot fraction {(hs[:, 1] == 1).mean():.1%}")
+    assert hot_b > 0.5
+    assert (hs[:, 1] == 1).mean() < 0.02
+
+    # point-pattern aggregation: this synthetic field is near-CSR overall
+    # (uniform background + follicles), so R ≈ 1 — a sanity check that the
+    # index is calibrated, not a clustering claim
+    adata = sct.spatial.clark_evans(adata)
+    print(f"[5d/7] Clark-Evans R = {adata.uns['clark_evans']['R']:.2f}")
+    assert 0.8 < adata.uns["clark_evans"]["R"] < 1.1
+
     # --- domains + distances ------------------------------------------------
     adata = sct.spatial.make_spatial_domains(
         adata, "cell_type == 'B cell'", platform="xenium",
