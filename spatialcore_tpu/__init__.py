@@ -51,7 +51,7 @@ from . import core  # mandatory
 from .core import SpatialData, get_logger, read_h5ad, update_metadata, write_h5ad
 
 _OPTIONAL_MODULES = ["ops", "spatial", "stats", "annotation", "plotting",
-                     "parallel", "utils", "nmf", "diffusion"]
+                     "parallel", "utils", "nmf", "diffusion", "r_bridge"]
 _module_errors: Dict[str, str] = {}
 
 
@@ -88,6 +88,7 @@ parallel = _try_import("parallel")
 utils = _try_import("utils")
 nmf = _try_import("nmf")
 diffusion = _try_import("diffusion")
+r_bridge = _try_import("r_bridge")
 
 
 def available_modules() -> List[str]:
@@ -110,6 +111,6 @@ def print_info() -> None:
 __all__ = [
     "__version__", "SpatialData", "read_h5ad", "write_h5ad", "get_logger",
     "update_metadata", "core", "ops", "spatial", "stats", "annotation",
-    "plotting", "parallel", "utils", "nmf", "diffusion",
+    "plotting", "parallel", "utils", "nmf", "diffusion", "r_bridge",
     "available_modules", "print_info",
 ]

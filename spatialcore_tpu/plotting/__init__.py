@@ -34,6 +34,7 @@ _FLAT = {
     "validation": ["plot_marker_heatmap", "plot_2d_validation",
                    "plot_marker_dotplot", "plot_deg_heatmap",
                    "plot_celltype_confidence_spatial",
+                   "plot_celltype_confidence", "plot_ontology_mapping",
                    "plot_ontology_mapping_table", "generate_annotation_plots"],
     "benchmark": ["plot_method_comparison", "plot_confusion_matrix",
                   "classification_report_table", "plot_classification_report",
@@ -41,6 +42,7 @@ _FLAT = {
                   "plot_silhouette_by_type"],
     "gpairs": ["plot_gpairs"],
     "utils": ["save_palette", "load_palette", "save_celltype_palette",
+              "load_celltype_palette", "setup_multi_figure",
               "close_figure", "format_axis_labels"],
 }
 _FLAT_INDEX = {fn: mod for mod, fns in _FLAT.items() for fn in fns}

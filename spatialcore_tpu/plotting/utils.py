@@ -114,3 +114,21 @@ def format_axis_labels(ax, rotation: int = 60, fontsize: int = 7) -> None:
         lab.set_rotation(rotation)
         lab.set_ha("right")
         lab.set_fontsize(fontsize)
+
+
+# reference-spelled alias (ref plotting/utils.py:126)
+load_celltype_palette = load_palette
+
+
+def setup_multi_figure(nrows: int = 1, ncols: int = 1, figsize=None,
+                       dpi: int = 150, sharex: bool = False,
+                       sharey: bool = False):
+    """Multi-panel figure; auto-sizes 4×4 inches per panel (ref
+    plotting/utils.py:227)."""
+    import matplotlib.pyplot as plt
+
+    if figsize is None:
+        figsize = (4 * ncols, 4 * nrows)
+    fig, axes = plt.subplots(nrows, ncols, figsize=figsize, dpi=dpi,
+                             sharex=sharex, sharey=sharey, squeeze=False)
+    return fig, axes

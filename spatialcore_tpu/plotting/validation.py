@@ -379,3 +379,23 @@ def generate_annotation_plots(
 
 # Reference-name alias (plotting/validation.py:954)
 plot_ontology_mapping = plot_ontology_mapping_table
+
+
+def plot_celltype_confidence(adata, label_column: str = "cell_type",
+                             confidence_column: str = "cell_type_confidence",
+                             spatial_key: str = "spatial",
+                             threshold: float = 0.8,
+                             max_cell_types: int = 20,
+                             figsize=None, save=None):
+    """Reference-spelled two-panel spatial + jitter confidence figure
+    (ref plotting/validation.py:590); delegates to
+    :func:`plot_celltype_confidence_spatial`."""
+    del threshold, max_cell_types, figsize  # layout fixed by the delegate
+    return plot_celltype_confidence_spatial(
+        adata, cell_type_column=label_column,
+        confidence_column=confidence_column, spatial_key=spatial_key,
+        path=save)
+
+
+# reference-spelled alias (ref plotting/validation.py:954)
+plot_ontology_mapping = plot_ontology_mapping_table
