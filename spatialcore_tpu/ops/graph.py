@@ -285,6 +285,10 @@ def knn_grid(
     if k >= n:
         raise ValueError(f"k={k} must be < n_cells={n}")
 
+    # buckets must comfortably hold k candidates or the r=1 window can
+    # never guarantee exactness and every query pays expansion rounds
+    # (measured at 100k/k=65: bucket_target 32 → 14.1 s warm, 128 → 0.8 s)
+    bucket_target = max(bucket_target, 2 * (k + 1))
     # fused prep; ONE data-dependent readback (grid dims + max count)
     cap = 1 << max(int(np.ceil(np.log2(max(1, n // bucket_target)))), 0)
     bx_j, by_j, bucket_j, maxc_j, nbx_j, nby_j, h_j = _grid_prep(
