@@ -92,6 +92,28 @@ def test_permutation_p_agrees_with_analytic(setup):
     assert psim[weak].mean() > 0.3
 
 
+def test_z_invariant_to_uniform_row_weight_scale(setup):
+    """Gi* z is invariant to per-row uniform weight scaling, so the
+    binary formulation equals a row-standardized one (module docstring
+    claim) — verified by scaling the graph's stored weights."""
+    from spatialcore_tpu.ops.graph import SpatialGraph
+
+    _, graph, X = setup
+    rng = np.random.default_rng(5)
+    scale = rng.uniform(0.2, 3.0, (graph.neighbor_w.shape[0], 1))
+    scaled = SpatialGraph(
+        neighbor_idx=graph.neighbor_idx,
+        neighbor_w=graph.neighbor_w * jnp.asarray(scale, jnp.float32),
+        valid=graph.valid,
+        distances=graph.distances)
+    r0 = getis_ord(graph, jnp.asarray(X), star=True)
+    r1 = getis_ord(scaled, jnp.asarray(X), star=True)
+    # the kernel reads only the validity mask, not the weights — z must
+    # be bit-identical however the rows are scaled
+    np.testing.assert_array_equal(np.asarray(r0.z_score),
+                                  np.asarray(r1.z_score))
+
+
 def test_sharded_matches_single_device(setup):
     from spatialcore_tpu.parallel import auto_mesh, sharded_getis_ord
 
