@@ -394,7 +394,7 @@ def radius_neighbors(
     radius: float,
     k_max: int,
     include_self: bool = False,
-    grid_threshold: int = 50_000,
+    grid_threshold: int = 20_000,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Neighbors within ``radius``, capped at ``k_max`` per cell.
 
@@ -445,7 +445,7 @@ def build_graph(
     radius: Optional[float] = None,
     k_max: Optional[int] = None,
     method: str = "auto",
-    grid_threshold: int = 200_000,
+    grid_threshold: int = 20_000,
 ) -> SpatialGraph:
     """Build a row-normalized fixed-degree spatial weights graph.
 
