@@ -9,6 +9,7 @@ from .ripley import (clark_evans, co_occurrence,
 from .nhood import neighborhood_enrichment
 from .autocorrelation import (
     getis_ord_gi,
+    moran_correlogram,
     join_count_statistics,
     local_gearys_c,
     local_gearys_c_multivariate,
@@ -24,6 +25,7 @@ from .autocorrelation import (
 __all__ = [
     "build_spatial_weights", "morans_i", "gearys_c", "local_morans_i",
     "lees_l", "lees_l_local", "join_count_statistics", "getis_ord_gi",
+    "moran_correlogram",
     "local_gearys_c",
     "local_gearys_c_multivariate", "local_join_counts",
     "compute_neighborhood_profile", "identify_niches", "niche_stability",

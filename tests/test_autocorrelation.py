@@ -469,6 +469,39 @@ def test_local_moran_conditional_vs_total_null(spatial_adata):
     assert out.uns["local_morans_params"]["null"] == "conditional"
 
 
+def test_moran_correlogram():
+    """I(d) decays with distance for a smooth field; noise stays flat."""
+    import spatialcore_tpu as sct
+    from conftest import make_adata
+
+    rng = np.random.default_rng(0)
+    n = 3000
+    coords = rng.uniform(0, 1000, (n, 2)).astype(np.float32)
+    X = np.stack([
+        np.sin(coords[:, 0] / 60) + np.cos(coords[:, 1] / 60)
+        + rng.normal(0, 0.3, n),
+        rng.normal(0, 1, n)], axis=1).astype(np.float32)
+    a = make_adata(n_obs=n, n_vars=2, with_spatial=False)
+    a.obsm["spatial"] = coords
+    a.X = X
+    a = sct.spatial.moran_correlogram(a, n_bands=4, n_permutations=49,
+                                      seed=0)
+    df = a.uns["moran_correlogram"]
+    assert set(df.columns) >= {"band_lo", "band_hi", "gene", "I",
+                               "z_score", "p_value", "p_sim"}
+    smooth = df[df.gene == a.var_names[0]].sort_values("band_lo")
+    assert len(smooth) == 4
+    assert smooth["I"].iloc[0] > 0.5
+    assert smooth["I"].iloc[0] > smooth["I"].iloc[-1]  # decays with distance
+    assert (smooth["p_sim"] < 0.05).all()
+    noise = df[df.gene == a.var_names[1]]
+    assert noise["I"].abs().max() < 0.1
+    assert (noise["p_value"] > 0.05).mean() >= 0.75
+    # explicit bands + validation
+    with pytest.raises(ValueError, match="increasing"):
+        sct.spatial.moran_correlogram(a, bands=[10.0, 5.0])
+
+
 def test_morans_i_banded_null_method(spatial_adata):
     """null_method='banded' through the public API matches 'slots' inference."""
     a1 = spatial_adata.copy()
