@@ -13,9 +13,12 @@ met. Graph-build time is reported on stderr (tracked metric #2).
 
 The null path is the banded kernel (ops/banded.py): Hilbert-relabeled
 edges evaluated as block-banded dense bf16 matmuls, one random row gather
-per draw, Feistel permutations. G defaults to 1024 — the per-chip gene
-share of the 5k-gene north-star workload (the gather is row-rate-bound, so
-per-chip throughput depends on the gene width; see docs/performance.md).
+per draw, Feistel permutations. G defaults to 2048 — the widest gene tile
+that fits a single v5e's HBM (prep runs in 1024-gene chunks; the hot loop
+auto-selects the halo Pallas band kernel at this width). The per-draw
+gather is a fixed cost, so throughput rises with the gene width; the
+gene-batched 5k-gene workload runs at this same tile width
+(benchmarks/run_configs.py config 4 is the sustained end-to-end number).
 
 Data is generated ON-DEVICE (host->device uploads ride a slow tunnel).
 
@@ -23,6 +26,7 @@ Env overrides: BENCH_CELLS, BENCH_GENES, BENCH_PERMS, BENCH_K,
 BENCH_METHOD=banded|legacy, BENCH_IMPL=xla|pallas|pallas_halo.
 """
 
+import functools
 import json
 import os
 import sys
@@ -34,7 +38,7 @@ PER_CHIP_TARGET = 83333.0 / 8.0  # genes*perms/sec
 
 def main():
     n_cells = int(os.environ.get("BENCH_CELLS", 1_000_000))
-    n_genes = int(os.environ.get("BENCH_GENES", 1024))
+    n_genes = int(os.environ.get("BENCH_GENES", 2048))
     n_perms = int(os.environ.get("BENCH_PERMS", 100))
     k = int(os.environ.get("BENCH_K", 6))
     method = os.environ.get("BENCH_METHOD", "banded")
@@ -76,9 +80,14 @@ def main():
 
     S0 = float(n_cells)
 
-    @jax.jit
-    def prep(key):
-        X = jax.random.normal(key, (n_cells, n_genes), jnp.float32)
+    # prep in gene chunks: a single f32 [N, G] standardize needs two
+    # 4·N·G-byte intermediates, which OOMs a 16 GB v5e at G=2048 even
+    # though the bf16 HOT LOOP fits (docs/performance.md)
+    g_chunk = min(n_genes, 1024)
+
+    @functools.partial(jax.jit, static_argnames=("g",))
+    def prep_chunk(key, g):
+        X = jax.random.normal(key, (n_cells, g), jnp.float32)
         Z, _ = standardize(X)
         den = jnp.sum(Z * Z, axis=0)
         den = jnp.where(den > 0, den, 1.0)
@@ -86,7 +95,19 @@ def main():
         Zb = Z.astype(jnp.bfloat16)
         return (Zb if method == "banded" else Z), den, I_obs
 
-    Ztab, den, I_obs = jax.block_until_ready(prep(kx))
+    parts = []
+    for ci, start in enumerate(range(0, n_genes, g_chunk)):
+        g = min(g_chunk, n_genes - start)
+        parts.append(jax.block_until_ready(
+            prep_chunk(jax.random.fold_in(kx, ci), g)))
+    if len(parts) == 1:
+        Ztab, den, I_obs = parts[0]
+    else:
+        Ztab = jnp.concatenate([p[0] for p in parts], axis=1)
+        den = jnp.concatenate([p[1] for p in parts])
+        I_obs = jnp.concatenate([p[2] for p in parts])
+        del parts
+        jax.block_until_ready(Ztab)
 
     if method == "banded":
         t0 = time.time()

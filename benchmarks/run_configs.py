@@ -109,7 +109,7 @@ def config4(scale):
     n = int(1_000_000 * scale)
     n_genes_total = int(os.environ.get("BENCH4_GENES", int(5000 * scale) or 8))
     n_perms = int(os.environ.get("BENCH4_PERMS", int(1000 * scale) or 8))
-    gene_batch = min(1024, max(n_genes_total, 8))
+    gene_batch = min(2048, max(n_genes_total, 8))
     kc = jax.random.key(0)
     coords_j = jax.random.uniform(kc, (n, 2), jnp.float32, 0.0, 6000.0)
     coords = np.asarray(coords_j)
@@ -118,14 +118,29 @@ def config4(scale):
     plan = build_null_plan(graph, coords, block=min(512, max(n // 16, 16)))
     S0 = float(n)
 
-    @jax.jit
-    def prep(key):
-        X = jax.random.normal(key, (n, gene_batch), jnp.float32)
+    import functools
+
+    # gene-chunked prep: the f32 standardize intermediates at 2048 genes
+    # would OOM a single v5e (docs/performance.md); the bf16 hot loop fits
+    @functools.partial(jax.jit, static_argnames=("g",))
+    def _prep_chunk(key, g):
+        X = jax.random.normal(key, (n, g), jnp.float32)
         Z, _ = standardize(X)
         den = jnp.sum(Z * Z, axis=0)
         den = jnp.where(den > 0, den, 1.0)
         obs = moran_observed(graph, Z, S0)
         return Z.astype(jnp.bfloat16), den, obs
+
+    def prep(key):
+        step = min(1024, gene_batch)
+        parts = [jax.block_until_ready(
+            _prep_chunk(jax.random.fold_in(key, i), min(step, gene_batch - s)))
+            for i, s in enumerate(range(0, gene_batch, step))]
+        if len(parts) == 1:
+            return parts[0]
+        return (jnp.concatenate([p[0] for p in parts], axis=1),
+                jnp.concatenate([p[1] for p in parts]),
+                jnp.concatenate([p[2] for p in parts]))
 
     total = 0.0
     done = 0
