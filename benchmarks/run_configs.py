@@ -131,11 +131,11 @@ def config4(scale):
         obs = moran_observed(graph, Z, S0)
         return Z.astype(jnp.bfloat16), den, obs
 
-    def prep(key):
-        step = min(1024, gene_batch)
+    def prep(key, width):
+        step = min(1024, width)
         parts = [jax.block_until_ready(
-            _prep_chunk(jax.random.fold_in(key, i), min(step, gene_batch - s)))
-            for i, s in enumerate(range(0, gene_batch, step))]
+            _prep_chunk(jax.random.fold_in(key, i), min(step, width - s)))
+            for i, s in enumerate(range(0, width, step))]
         if len(parts) == 1:
             return parts[0]
         return (jnp.concatenate([p[0] for p in parts], axis=1),
@@ -145,10 +145,15 @@ def config4(scale):
     total = 0.0
     done = 0
     batch_i = 0
+    Zb = den = obs = None
     for start in range(0, n_genes_total, gene_batch):
         g = min(gene_batch, n_genes_total - start)
+        del Zb, den, obs  # free the previous 4GB batch BEFORE re-prepping
+        Zb = den = obs = None
+        # prep at the batch's TRUE width: a 904-gene tail computed at the
+        # full 2048 tile wasted ~18% of the run
         Zb, den, obs = jax.block_until_ready(
-            prep(jax.random.fold_in(jax.random.key(1), batch_i)))
+            prep(jax.random.fold_in(jax.random.key(1), batch_i), g))
         # chunk the draws: single device executions much longer than ~60 s
         # trip the remote tunnel's RPC deadline ("TPU device error")
         chunk = int(os.environ.get("BENCH4_CHUNK", 200))

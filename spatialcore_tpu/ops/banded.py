@@ -511,9 +511,15 @@ def _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab, den, S0, perm,
             cross = jax.lax.optimization_barrier(cross)
 
     flat = Zp.reshape(-1, G)
-    fs = flat[far_src].astype(jnp.float32)
-    ft = flat[far_dst].astype(jnp.float32)
-    cross = cross + jnp.einsum("f,fg,fg->g", far_w, fs, ft)
+    # keep the far gathers in the table dtype (bf16 in the default null
+    # mode): f32 copies of two [F, G] gathers cost ~4.3 GB at G=2048 and
+    # tipped the full workload over a v5e's HBM; the einsum accumulates
+    # in f32 either way (same precision class as the bf16 band matmuls)
+    fs = flat[far_src]
+    ft = flat[far_dst]
+    cross = cross + jnp.einsum("f,fg,fg->g", far_w.astype(flat.dtype),
+                               fs, ft,
+                               preferred_element_type=jnp.float32)
 
     if stat == "moran":
         return (n / S0) * cross / den
