@@ -14,7 +14,8 @@ from typing import List, Optional, Sequence, Union
 import numpy as np
 import scipy.sparse as sp
 
-from .utils import generate_celltype_palette, save_figure, setup_figure
+from .utils import (despine, generate_celltype_palette, save_figure,
+                    setup_figure)
 
 
 def _coords(adata, spatial_key):
@@ -206,6 +207,52 @@ def plot_moran_scatter(
     ax.set_ylabel("spatial lag")
     ax.set_title(f"{gene} — Moran scatter (I = {slope:.3f})")
     ax.legend(markerscale=2, frameon=False, loc="best", fontsize=8)
+    if path:
+        return save_figure(fig, path)
+    return fig
+
+
+def plot_correlogram(
+    adata,
+    genes=None,
+    key: str = "moran_correlogram",
+    alpha: float = 0.05,
+    path: Optional[Union[str, Path]] = None,
+):
+    """Moran correlogram curves: I vs band distance, one line per gene.
+
+    Significant bands (p < ``alpha``; permutation p when present) draw as
+    filled markers, non-significant hollow. Needs
+    :func:`spatial.moran_correlogram` results in ``uns[key]``.
+    """
+    df = adata.uns.get(key)
+    if df is None:
+        raise ValueError(f"No '{key}' results — run spatial.moran_correlogram")
+    all_genes = list(dict.fromkeys(df["gene"]))
+    genes = all_genes if genes is None else \
+        ([genes] if isinstance(genes, str) else list(genes))
+    missing = [g for g in genes if g not in all_genes]
+    if missing:
+        raise ValueError(f"Genes not in correlogram results: {missing[:5]}")
+    pcol = "p_sim" if "p_sim" in df.columns else "p_value"
+    fig, axes = setup_figure(ax_width=8, ax_height=5)
+    ax = axes[0, 0]
+    for g in genes:
+        sub = df[df["gene"] == g].sort_values("band_lo")
+        mid = (sub["band_lo"] + sub["band_hi"]) / 2
+        line, = ax.plot(mid, sub["I"], "-", label=g, alpha=0.85)
+        sig = sub[pcol] < alpha
+        ax.plot(mid[sig], sub["I"][sig], "o", color=line.get_color(),
+                markersize=5)
+        ax.plot(mid[~sig], sub["I"][~sig], "o", color=line.get_color(),
+                markersize=5, markerfacecolor="white")
+    ax.axhline(0, color="0.6", lw=0.7)
+    ax.set_xlabel("distance (band midpoint)")
+    ax.set_ylabel("Moran's I")
+    ax.set_title("Moran correlogram")
+    if len(genes) <= 12:
+        ax.legend(frameon=False, fontsize=8)
+    despine(ax)
     if path:
         return save_figure(fig, path)
     return fig
