@@ -67,6 +67,9 @@ def getis_ord(
     n_permutations: int = 0,
 ) -> GetisOrdResult:
     """Gi*/Gi per cell × gene on RAW values ``X`` [N, G] (not z-scored)."""
+    if alternative not in ("two-sided", "greater", "less"):
+        raise ValueError("alternative must be 'two-sided', 'greater' or "
+                         f"'less', got {alternative!r}")
     X = jnp.asarray(X)
     if X.ndim == 1:
         X = X[:, None]

@@ -406,6 +406,11 @@ def radius_neighbors(
     Large 2D inputs route through the bucket-grid kNN instead of the
     O(N²) scan.
     """
+    if not (isinstance(coords, jax.Array)
+            and not isinstance(coords, np.ndarray)):
+        # list/f64 inputs: coerce like build_graph (keeps the public ops
+        # export accepting plain sequences and pins the compute dtype)
+        coords = np.asarray(coords, dtype=np.float32)
     n = coords.shape[0]
     # the cap is a capacity, not a requirement: small datasets simply can't
     # have k_max neighbors, so clamp (validity masking handles the rest)

@@ -285,6 +285,9 @@ def local_moran(
     same offset scheme as :func:`local_geary`.
     """
     del chunk
+    if null not in ("total", "conditional"):
+        raise ValueError(
+            f"null must be 'total' or 'conditional', got {null!r}")
     n, G = Z.shape
     k = graph.neighbor_idx.shape[1]
     lag = spatial_lag(graph, Z)
@@ -307,9 +310,14 @@ def local_moran(
             u = jax.random.choice(jax.random.fold_in(key, 1),
                                   n - 1, (k,), replace=False)
             lag_p = jnp.zeros_like(Z)
+            sequence = n * G > 50_000_000
             for j in range(k):
                 draw_idx = perm[(inv + 1 + u[j]) % n]
                 lag_p = lag_p + graph.neighbor_w[:, j:j + 1] * Z[draw_idx]
+                if sequence:
+                    # stop XLA batching the k gathers into one [N, k, G]
+                    # temp (OOMs at scale; same guard as spatial_lag)
+                    lag_p = jax.lax.optimization_barrier(lag_p)
             Ip = Z * lag_p
         extreme = jnp.abs(Ip) >= abs_obs
         return count + extreme.astype(jnp.int32), None
@@ -389,10 +397,14 @@ def local_geary(
             u = jax.random.choice(jax.random.fold_in(key, 1),
                                   n - 1, (k,), replace=False)
             cp = jnp.zeros_like(Z)
+            sequence = Z.shape[0] * Z.shape[1] > 50_000_000
             for j in range(k):
                 draw_idx = perm[(inv + 1 + u[j]) % n]
                 d = Z - Z[draw_idx]
                 cp = cp + graph.neighbor_w[:, j:j + 1] * d * d
+                if sequence:
+                    # same [N, k, G]-temp guard as spatial_lag
+                    cp = jax.lax.optimization_barrier(cp)
         return count + (cp <= c_obs).astype(jnp.int32), None
 
     count, _ = jax.lax.scan(body, jnp.zeros((n, G), jnp.int32),

@@ -336,12 +336,18 @@ def ripley_k(
         overflow = []
         for start in range(0, n_simulations, _ENVELOPE_CHUNK):
             nd = min(_ENVELOPE_CHUNK, n_simulations - start)
+            # pad a TAIL chunk of a multi-chunk run to the full width:
+            # n_draws is a static shape, so an odd remainder would compile
+            # the heavy draw-scan twice (minutes on the remote TPU);
+            # surplus draws are valid CSR draws — computed and discarded
+            nd_run = _ENVELOPE_CHUNK if n_simulations > _ENVELOPE_CHUNK \
+                else nd
             cs, mcs = _csr_sim_counts(
                 base_key, jnp.uint32(start), mins_full, span_full,
                 mins_j, span_j, radii_sq_j, nbx=spec.nbx, nby=spec.nby,
                 window=spec.window, n_radii=len(radii), C=spec.capacity,
-                n=n, n_draws=nd)
-            sims_parts.append(norm * np.asarray(cs))
+                n=n, n_draws=nd_run)
+            sims_parts.append(norm * np.asarray(cs)[:nd])
             overflow.append(int(np.asarray(mcs).max()))
         sims = np.concatenate(sims_parts, axis=0)
         bad = max(overflow)
@@ -438,12 +444,15 @@ def cross_type_k(
         parts = []
         for start in range(0, n_permutations, _ENVELOPE_CHUNK):
             nd = min(_ENVELOPE_CHUNK, n_permutations - start)
+            # tail padding: one compiled shape (same rationale as ripley_k)
+            nd_run = _ENVELOPE_CHUNK if n_permutations > _ENVELOPE_CHUNK \
+                else nd
             cts = _label_perm_counts(
                 base_key, jnp.uint32(start), coords_j, table, bx, by,
                 codes_j, radii_sq_j, nbx=spec.nbx, nby=spec.nby,
                 window=spec.window, n_radii=len(radii), n_types=n_types,
-                n=n, n_draws=nd)
-            parts.append(area * np.asarray(cts) / denom[None, None])
+                n=n, n_draws=nd_run)
+            parts.append(area * np.asarray(cts)[:nd] / denom[None, None])
         sims = np.concatenate(parts, axis=0)
         out["K_cross_env_lo"] = np.quantile(sims, 0.025, axis=0)
         out["K_cross_env_hi"] = np.quantile(sims, 0.975, axis=0)

@@ -395,7 +395,3 @@ def plot_celltype_confidence(adata, label_column: str = "cell_type",
         adata, cell_type_column=label_column,
         confidence_column=confidence_column, spatial_key=spatial_key,
         path=save)
-
-
-# reference-spelled alias (ref plotting/validation.py:954)
-plot_ontology_mapping = plot_ontology_mapping_table
