@@ -76,6 +76,19 @@ def test_knn_grid_clustered_density():
     np.testing.assert_allclose(dist, ref_d[:, 1:], rtol=1e-4, atol=1e-4)
 
 
+def test_knn_grid_large_k_exact():
+    """k larger than the default bucket target (auto-scaled capacity)."""
+    from spatialcore_tpu.ops import knn_grid
+
+    coords = _coords(3000, seed=9)
+    k = 40
+    idx, dist = knn_grid(coords, k)
+    ref_d, ref_i = cKDTree(coords).query(coords, k=k + 1)
+    np.testing.assert_allclose(dist, ref_d[:, 1:], rtol=1e-4, atol=1e-3)
+    same = (np.sort(idx, axis=1) == np.sort(ref_i[:, 1:], axis=1)).mean()
+    assert same > 0.999
+
+
 def test_knn_grid_fallback_chunked():
     from spatialcore_tpu.ops import knn_grid
 
