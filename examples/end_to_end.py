@@ -73,7 +73,8 @@ def main(outdir="docs/images"):
     import spatialcore_tpu as sct
     from spatialcore_tpu.annotation import train_and_annotate, TrainingConfig
     from spatialcore_tpu.plotting.spatial import (
-        plot_domain_distances, plot_spatial_celltype, plot_spatial_gene)
+        plot_domain_distances, plot_spatial_celltype, plot_spatial_gene,
+        plot_spatial_hotspots)
     from spatialcore_tpu.plotting.validation import plot_marker_heatmap
 
     t0 = time.time()
@@ -180,6 +181,8 @@ def main(outdir="docs/images"):
                         path=out / "vignette_markers.png")
     plot_domain_distances(adata, boundaries_key="spatial_domain_boundaries",
                           path=out / "vignette_domains.png")
+    plot_spatial_hotspots(adata, "MS4A1",
+                          path=out / "vignette_hotspots.png")
     print(f"[7/7] figures → {out}  (total {time.time() - t0:.0f}s)")
     print("VIGNETTE_OK")
 
