@@ -258,6 +258,54 @@ def plot_correlogram(
     return fig
 
 
+def plot_co_occurrence(
+    adata,
+    anchor_type: str,
+    key: str = "co_occurrence",
+    types=None,
+    path: Optional[Union[str, Path]] = None,
+):
+    """Squidpy-style co-occurrence curves around one anchor type.
+
+    Plots ``P(type b | within shell of an anchor cell) / P(b)`` vs shell
+    midpoint for every (or selected) ``b``. Needs
+    :func:`spatial.co_occurrence` results in ``uns[key]``.
+    """
+    res = adata.uns.get(key)
+    all_types = adata.uns.get(f"{key}_types")
+    if res is None or all_types is None:
+        raise ValueError(f"No '{key}' results — run spatial.co_occurrence")
+    all_types = list(all_types)
+    if anchor_type not in all_types:
+        raise ValueError(f"'{anchor_type}' not in {key} types {all_types}")
+    score = np.asarray(res["score"])
+    edges = np.asarray(res["interval"])
+    mid = (edges[:-1] + edges[1:]) / 2 if len(edges) == score.shape[0] + 1 \
+        else edges[: score.shape[0]]
+    ai = all_types.index(anchor_type)
+    plot_types = all_types if types is None else \
+        ([types] if isinstance(types, str) else list(types))
+    missing = [t for t in plot_types if t not in all_types]
+    if missing:
+        raise ValueError(f"Types not in results: {missing[:5]}")
+    fig, axes = setup_figure(ax_width=8, ax_height=5)
+    ax = axes[0, 0]
+    palette = generate_celltype_palette(all_types)
+    for t in plot_types:
+        ax.plot(mid, score[:, ai, all_types.index(t)], "-o", ms=3,
+                color=palette[t], label=t, alpha=0.85)
+    ax.axhline(1.0, color="0.6", lw=0.7, ls="--")
+    ax.set_xlabel("distance")
+    ax.set_ylabel(f"P(type | near {anchor_type}) / P(type)")
+    ax.set_title(f"co-occurrence around {anchor_type}")
+    if len(plot_types) <= 12:
+        ax.legend(frameon=False, fontsize=8)
+    despine(ax)
+    if path:
+        return save_figure(fig, path)
+    return fig
+
+
 def plot_spatial_genes(
     adata,
     genes: List[str],
