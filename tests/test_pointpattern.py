@@ -40,6 +40,36 @@ def test_clark_evans_validation():
         sct.spatial.clark_evans(a)
 
 
+def test_correlogram_and_cooccurrence_plots():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from spatialcore_tpu.plotting import plot_co_occurrence, plot_correlogram
+
+    rng = np.random.default_rng(3)
+    n = 1500
+    coords = np.vstack([rng.normal([30, 30], 6, (n // 2, 2)),
+                        rng.uniform(0, 100, (n - n // 2, 2))]).astype(
+        np.float32)
+    X = np.stack([np.sin(coords[:, 0] / 20) + rng.normal(0, 0.3, n),
+                  rng.normal(0, 1, n)], axis=1).astype(np.float32)
+    a = _adata_with_coords(coords)
+    a.X = np.abs(X)[:, :2].repeat(2, axis=1)[:, :3]
+    a.obs["ct"] = ["A"] * (n // 2) + ["B"] * (n - n // 2)
+
+    a = sct.spatial.moran_correlogram(a, genes=[a.var_names[0]],
+                                      bands=[0.0, 1.0, 2.0, 3.0],
+                                      k_max=256)
+    fig = plot_correlogram(a)
+    assert fig.axes[0].lines
+
+    a = sct.spatial.co_occurrence(a, "ct", n_radii=6)
+    fig = plot_co_occurrence(a, "A")
+    assert len(fig.axes[0].lines) >= 2
+    with pytest.raises(ValueError, match="not in"):
+        plot_co_occurrence(a, "ZZZ")
+
+
 def test_moran_scatter_plot():
     import matplotlib
 
