@@ -39,7 +39,8 @@ class GetisOrdResult(NamedTuple):
     G: jax.Array        # [N, G] raw Gi(*) ratio statistic
     z_score: jax.Array  # [N, G] analytic z under randomization
     p_value: jax.Array  # [N, G] analytic normal p (per ``alternative``)
-    p_sim: jax.Array    # [N, G] permutation p ((#extreme+1)/(P+1)); ones if P=0
+    p_sim: jax.Array    # [N, G] permutation p ((#extreme+1)/(P+1), per
+                        # ``alternative``); ones if P=0
 
 
 def _binary_lag(graph: SpatialGraph, X: jax.Array) -> jax.Array:
@@ -117,14 +118,20 @@ def getis_ord(
     if n_permutations == 0:
         return GetisOrdResult(G, z, p, jnp.ones_like(p))
 
-    abs_obs = jnp.abs(z)
     base = key_for(seed, "perm_getis", 0)
 
     def body(count, step):
         key = jax.random.fold_in(base, step)
         perm = jax.random.permutation(key, n)
         _, zp, _ = stat(X[perm])
-        extreme = jnp.abs(zp) >= abs_obs
+        # extremeness matches `alternative` so p_sim and the analytic p
+        # answer the same hypothesis (advisor finding, round 2)
+        if alternative == "greater":
+            extreme = zp >= z
+        elif alternative == "less":
+            extreme = zp <= z
+        else:
+            extreme = jnp.abs(zp) >= jnp.abs(z)
         return count + extreme.astype(jnp.int32), None
 
     count, _ = jax.lax.scan(body, jnp.zeros_like(z, jnp.int32),

@@ -19,6 +19,7 @@ import time
 from itertools import combinations
 from typing import List, Literal, Optional, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
@@ -159,7 +160,13 @@ def _dense_expression(adata, gene_names: List[str], layer: Optional[str]) -> np.
     sub = X[:, idx]
     if sp.issparse(sub):
         sub = sub.toarray()
-    return np.asarray(sub, dtype=np.float32)
+    sub = np.asarray(sub)
+    # f64 validation mode: keep float64 end-to-end when x64 is enabled so
+    # the 1e-6 ecosystem-agreement bar is testable (SURVEY §7 hard part 1);
+    # TPU production mode stays f32.
+    if sub.dtype == np.float64 and jax.config.jax_enable_x64:
+        return sub
+    return sub.astype(np.float32, copy=False)
 
 
 # ---------------------------------------------------------------------------
@@ -649,9 +656,10 @@ def lees_l_local(
         Zx_np, lag_np = np.asarray(Zx), np.asarray(res.lag_zy)
 
     cat = ["NS", "HH", "LL", "HL", "LH"]
+    pair_col = {p: i for i, p in enumerate(ok_pairs)}
     for gx, gy in pairs:
         key = f"{gx}_{gy}"
-        if (gx, gy) not in ok_pairs:
+        if (gx, gy) not in pair_col:
             logger.warning(f"Pair ({gx}, {gy}): zero-variance gene — writing zeros")
             adata.obs[f"{key}_lees_l"] = np.zeros(n_cells, np.float32)
             adata.obs[f"{key}_quadrant"] = pd.Categorical(["NS"] * n_cells,
@@ -662,7 +670,7 @@ def lees_l_local(
                 "zero_variance": True,
             }
             continue
-        i = ok_pairs.index((gx, gy))
+        i = pair_col[(gx, gy)]
         pv = p_local[:, i] if compute_cell_pvalues else None
         q = np.asarray(classify_quadrants(
             jnp.asarray(Zx_np[:, i]), jnp.asarray(lag_np[:, i]),
@@ -846,6 +854,7 @@ def local_gearys_c(
 def local_join_counts(
     adata,
     column: str,
+    category=None,
     spatial_key: str = "spatial",
     n_neighbors: int = 6,
     n_permutations: int = 999,
@@ -858,10 +867,12 @@ def local_join_counts(
 
     BB_i counts same-category (1-1) neighbor joins at each positive cell;
     the conditional-permutation p flags significant local clustering of
-    the binary condition. Outputs ``obs[f"{key}_BB"]`` and
-    ``obs[f"{key}_p"]`` (p = 1 where the cell is 0). (Extension — ROADMAP
-    item 6; the reference has only global join counts via this build's
-    ``join_count_statistics``.)
+    the binary condition. ``column`` must be boolean or numeric (>0 is
+    positive), or categorical with ``category`` naming the positive class
+    — the same contract as ``join_count_statistics``. Outputs
+    ``obs[f"{key}_BB"]`` and ``obs[f"{key}_p"]`` (p = 1 where the cell is
+    0). (Extension — ROADMAP item 6; the reference has only global join
+    counts via this build's ``join_count_statistics``.)
     """
     from ..ops.moran import local_join_counts as _ljc
 
@@ -870,11 +881,20 @@ def local_join_counts(
         adata = adata.copy()
     if column not in adata.obs.columns:
         raise ValueError(f"adata.obs['{column}'] not found")
-    raw = adata.obs[column]
-    vals = np.asarray(raw, dtype=object)
-    uniq = pd.unique(raw.astype(bool) if raw.dtype == bool else raw)
-    x = np.asarray(raw.astype(bool) if raw.dtype == bool
-                   else raw.astype(float) > 0, np.float32)
+    series = adata.obs[column]
+    if category is not None:
+        x = (series.astype(str) == str(category)).to_numpy().astype(np.float32)
+    else:
+        uniq = set(series.dropna().unique())
+        if series.dtype == bool or uniq.issubset({True, False}):
+            x = series.fillna(False).astype(bool).to_numpy().astype(np.float32)
+        else:
+            try:
+                x = (series.astype(float) > 0).to_numpy().astype(np.float32)
+            except (ValueError, TypeError):
+                raise ValueError(
+                    f"Column '{column}' is not boolean or numeric; pass "
+                    "category=<label> to binarize.") from None
     if x.sum() == 0 or x.sum() == len(x):
         raise ValueError(
             f"obs['{column}'] must contain both 0/False and 1/True values")
@@ -885,7 +905,7 @@ def local_join_counts(
     adata.obs[f"{key}_BB"] = np.asarray(bb)
     adata.obs[f"{key}_p"] = np.asarray(p)
     update_metadata(adata, "local_join_counts", parameters={
-        "column": column, "n_neighbors": n_neighbors,
+        "column": column, "category": category, "n_neighbors": n_neighbors,
         "n_permutations": n_permutations, "seed": seed,
         "computation_time_seconds": round(time.time() - start, 2)})
     logger.info(f"Local join counts for '{column}' "

@@ -136,3 +136,74 @@ def test_stored_radius_graph_reused_for_default_request():
     g = _get_graph(ad, 6, "spatial", use_existing_graph=True)
     # radius graphs are deliberate; a default kNN request reuses them
     assert not bool(np.asarray(g.valid).all()) or g.degree != 6
+
+
+# ---------------------------------------------------------------------------
+# Round-2 advisor findings (ADVICE.md round 2)
+# ---------------------------------------------------------------------------
+
+def test_local_join_counts_categorical_column():
+    from spatialcore_tpu.spatial import local_join_counts
+
+    ad = _toy_adata(n=200)
+    # categorical string column with category= escape hatch (round-2 fix:
+    # previously hit raw.astype(float) -> opaque ValueError)
+    local_join_counts(ad, "cell_type", category="A", n_permutations=19)
+    assert "cell_type_local_jc_BB" in ad.obs
+    assert "cell_type_local_jc_p" in ad.obs
+
+
+def test_local_join_counts_categorical_without_category_raises():
+    from spatialcore_tpu.spatial import local_join_counts
+
+    ad = _toy_adata(n=200)
+    with pytest.raises(ValueError, match="category"):
+        local_join_counts(ad, "cell_type", n_permutations=9)
+
+
+def test_local_join_counts_numeric_and_bool_columns():
+    from spatialcore_tpu.spatial import local_join_counts
+
+    ad = _toy_adata(n=200)
+    rng = np.random.default_rng(3)
+    ad.obs["flag"] = rng.random(200) > 0.5
+    ad.obs["score"] = (rng.random(200) - 0.5).astype(np.float32)
+    local_join_counts(ad, "flag", n_permutations=19)
+    local_join_counts(ad, "score", n_permutations=19)
+    assert "flag_local_jc_BB" in ad.obs
+    assert "score_local_jc_BB" in ad.obs
+
+
+def test_getis_p_sim_respects_alternative():
+    import jax.numpy as jnp
+
+    from spatialcore_tpu.ops.getis import getis_ord
+    from spatialcore_tpu.ops.graph import build_graph
+
+    rng = np.random.default_rng(4)
+    coords = rng.uniform(0, 100, (300, 2)).astype(np.float32)
+    # a strong hot spot: elevated values in one corner
+    x = rng.normal(0, 1, 300).astype(np.float32)
+    hot = (coords[:, 0] < 25) & (coords[:, 1] < 25)
+    x[hot] += 4.0
+    graph = build_graph(jnp.asarray(coords), n_neighbors=6)
+    rg = getis_ord(graph, jnp.asarray(x), alternative="greater",
+                   n_permutations=99, seed=0)
+    rl = getis_ord(graph, jnp.asarray(x), alternative="less",
+                   n_permutations=99, seed=0)
+    rt = getis_ord(graph, jnp.asarray(x), alternative="two-sided",
+                   n_permutations=99, seed=0)
+    z = np.asarray(rg.z_score)[:, 0]
+    pg = np.asarray(rg.p_sim)[:, 0]
+    pl = np.asarray(rl.p_sim)[:, 0]
+    pt = np.asarray(rt.p_sim)[:, 0]
+    top = int(np.argmax(z))          # strongest hot cell
+    bot = int(np.argmin(z))          # strongest cold cell
+    # one-sided 'greater' flags the hot cell, not the cold one
+    assert pg[top] < 0.05 and pg[bot] > 0.5
+    # one-sided 'less' flags the cold cell, not the hot one
+    assert pl[bot] < 0.05 and pl[top] > 0.5
+    # two-sided flags both
+    assert pt[top] < 0.1 and pt[bot] < 0.1
+    # for a strongly hot cell: one-sided p <= two-sided p
+    assert pg[top] <= pt[top] + 1e-9

@@ -50,17 +50,23 @@ def test_spatial_weights_csr_exact(world):
 
 
 def test_local_moran_statistics_match_reference(world):
+    # Tolerances are set by the FIXTURE's own precision: the reference
+    # hard-casts to float32 internally (autocorrelation.py:821-853), so
+    # its stored outputs carry ~1e-5 of its own f32 accumulation noise
+    # (measured max |Δ| vs the dense f64 oracle: 9.5e-6 on I). The 1e-6
+    # bar for these statistics is asserted against f64 oracles in
+    # tests/test_f64_fixture_golden.py.
     adata = sct.spatial.local_morans_i(world.copy(), n_permutations=199,
                                        seed=0)
     np.testing.assert_allclose(adata.obsm["local_morans_I"],
                                FIX["lisa_local_morans_I"],
-                               rtol=1e-4, atol=1e-4)
+                               rtol=1e-3, atol=2e-5)
     np.testing.assert_allclose(adata.obsm["local_morans_z"],
                                FIX["lisa_local_morans_z"],
-                               rtol=1e-4, atol=1e-4)
+                               rtol=1e-3, atol=5e-6)
     np.testing.assert_allclose(adata.obsm["local_morans_lag"],
                                FIX["lisa_local_morans_lag"],
-                               rtol=1e-4, atol=1e-4)
+                               rtol=1e-3, atol=5e-6)
     # p-values come from different RNGs: compare decisions, not draws.
     # (alpha=0.05, P=199 => per-cell MC std ~ 0.015 at the boundary)
     ref_sig = FIX["lisa_local_morans_p"] < 0.05
@@ -90,9 +96,11 @@ def test_lees_l_local_matches_reference(world):
     adata = sct.spatial.lees_l_local(world.copy(),
                                      gene_pairs=[("GENE0", "GENE1")],
                                      n_neighbors=6)
+    # f32-fixture-limited (measured max |Δ| 4.8e-7); 1e-6 bar covered by
+    # tests/test_f64_fixture_golden.py
     np.testing.assert_allclose(
         np.asarray(adata.obs["GENE0_GENE1_lees_l"], np.float64),
-        FIX["lee_local"], rtol=1e-4, atol=1e-4)
+        FIX["lee_local"], rtol=1e-4, atol=2e-6)
 
 
 def test_metagene_scores_match_reference():
@@ -116,10 +124,12 @@ def test_ks_threshold_matches_reference():
 
 
 def test_gmm_thresholds_match_reference():
-    """Different EM implementations: thresholds agree to the mixture scale."""
+    """Independent EM implementations converge to the same mixture: measured
+    |Δthreshold| is 1.9e-6 (2-comp) / 3.4e-4 (3-comp) vs the executed
+    reference's sklearn fit — asserted at 0.01 for restart-order slack."""
     from spatialcore_tpu.stats.thresholding import threshold_gmm
 
     t2, _, _, _ = threshold_gmm(FIX["bimodal"], n_components=2, seed=0)
-    assert abs(float(t2) - float(FIX["gmm2_threshold"])) < 0.4
+    assert abs(float(t2) - float(FIX["gmm2_threshold"])) < 0.01
     t3, _, _, _ = threshold_gmm(FIX["trimodal"], n_components=3, seed=0)
-    assert abs(float(t3) - float(FIX["gmm3_threshold"])) < 0.4
+    assert abs(float(t3) - float(FIX["gmm3_threshold"])) < 0.01
