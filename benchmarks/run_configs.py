@@ -6,6 +6,7 @@ Configs (BASELINE.json .configs, sizes scaled by --scale):
   3. 500k-cell CosMx-like: Ripley's K/L + cross-type K with envelopes
   4. 1M-cell Xenium-like: Moran's I, 5k genes × 1k perms (gene-batched)
   5. full niche/domain pipeline (profiles → niches → domains → distances)
+  6. streaming >HBM gene axis: 1M cells × 18,432 genes (ops/streaming.py)
 
 Usage: python benchmarks/run_configs.py [--configs 1,2,3,4,5] [--scale 1.0]
 """
@@ -155,18 +156,21 @@ def config4(scale):
         Zb, den, obs = jax.block_until_ready(
             prep(jax.random.fold_in(jax.random.key(1), batch_i), g))
         # chunk the draws: single device executions much longer than ~60 s
-        # trip the remote tunnel's RPC deadline ("TPU device error")
+        # trip the remote tunnel's RPC deadline ("TPU device error").
+        # Extreme counts accumulate ON DEVICE across chunks — one readback
+        # per batch instead of one per chunk (the round-2 sustained-vs-
+        # burst gap; bench.py's sustained mode goes further with AOT
+        # compiles and a single end-of-run block)
         chunk = int(os.environ.get("BENCH4_CHUNK", 200))
-        count = None
+        count_dev = jnp.zeros((g,), jnp.float32)
         t0 = time.time()
         for ci, start_p in enumerate(range(0, n_perms, chunk)):
             pc = min(chunk, n_perms - start_p)
             p, _, _ = banded_permutation_test(
                 plan, Zb, S0, obs, seed=batch_i * 1000 + ci,
                 n_permutations=pc, den=den)
-            jax.block_until_ready(p)
-            c = np.asarray(p) * (pc + 1) - 1      # recover extreme counts
-            count = c if count is None else count + c
+            count_dev = count_dev + jnp.round(p * (pc + 1.0) - 1.0)
+        count = np.asarray(count_dev)             # the batch's one readback
         total += time.time() - t0
         done += g
         batch_i += 1
@@ -209,6 +213,48 @@ def config5(scale):
           n_domains=n_domains)
 
 
+def config6(scale):
+    """Streaming >HBM gene axis: 1M cells x 18,432 genes (72 GB f32 — 4.5x
+    a v5e's HBM) via ops/streaming.py gene tiles. SURVEY §5 long-context
+    row; round-3 VERDICT item 5. Draws default to 100 (BENCH6_PERMS) so
+    the full run stays ~2-3 min on one chip; the per-draw cost is
+    identical at P=1000."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from spatialcore_tpu.ops.banded import build_null_plan
+    from spatialcore_tpu.ops.graph import build_graph
+    from spatialcore_tpu.ops.streaming import streaming_moran_null
+
+    n = int(1_000_000 * scale)
+    n_genes = int(os.environ.get("BENCH6_GENES", int(18_432 * scale) or 16))
+    n_perms = int(os.environ.get("BENCH6_PERMS", 100))
+    kc = jax.random.key(0)
+    coords_j = jax.random.uniform(kc, (n, 2), jnp.float32, 0.0, 6000.0)
+    graph = build_graph(coords_j, n_neighbors=6)
+    jax.block_until_ready(graph.neighbor_w)
+    plan = build_null_plan(graph, coords_j, block=min(512, max(n // 16, 16)))
+
+    def gen_tile(start, width, ci):
+        # on-device generation (host uploads ride the slow tunnel); a real
+        # workload would slice a backed h5ad here
+        return jax.random.normal(jax.random.fold_in(kc, 7_000 + start),
+                                 (n, width), jnp.float32)
+
+    t0 = time.time()
+    I, p, m, s = streaming_moran_null(
+        graph, plan, gen_tile, n_genes=n_genes, S0=float(n), seed=0,
+        n_permutations=n_perms, tile=min(2048, max(n_genes, 16)),
+        chunk=min(200, n_perms))
+    dt = time.time() - t0
+    rate = n_genes * n_perms / dt
+    _emit(6, "streaming_18k_genes_perms_per_s", rate, "genes*perms/s",
+          n_cells=n, n_genes=n_genes, n_perms=n_perms,
+          total_s=round(dt, 1))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="1,2,3,4,5")
@@ -221,7 +267,8 @@ def main():
     _ = float(jnp.zeros(1)[0])
     print(f"[configs] first-readback warmup: {time.time()-t0:.1f}s",
           file=sys.stderr)
-    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
+           6: config6}
     for c in [int(x) for x in args.configs.split(",")]:
         t0 = time.time()
         try:

@@ -602,3 +602,142 @@ def local_geary_multivariate(
     count, _ = jax.lax.scan(body, jnp.zeros((n,), jnp.int32),
                             jnp.arange(n_permutations))
     return obs, (count + 1.0) / (n_permutations + 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Distance-band correlogram — all bands in one dispatch
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n_permutations",))
+def correlogram_kernel(
+    idx: jax.Array,      # [N, K] radius-neighbor indices (one shared search)
+    dist: jax.Array,     # [N, K] neighbor distances
+    valid: jax.Array,    # [N, K] slot validity
+    Z: jax.Array,        # [N, G] standardized expression
+    edges: jax.Array,    # [B+1] increasing band boundaries
+    seed,
+    n_permutations: int = 0,
+):
+    """Moran's I over every distance band in ONE device dispatch.
+
+    Replaces the per-band Python loop (one dispatch + a host-side CSR
+    moments pass + its own permutation scan PER BAND — ~2 s tunnel latency
+    each at 1M cells, CLAUDE.md per-dispatch lore): band masks derive from
+    one shared radius search, Cliff-Ord S0/S1/S2 come from on-device
+    gathers (band membership is symmetric, so w_ji = 1/deg_j is a gather
+    of the neighbor's band degree — no CSR transpose needed), and ONE
+    permutation scan shares each draw's shuffle across all bands (same
+    draw stream as :func:`permutation_test_global`, so per-band p_sim
+    agrees with running that kernel per band with this seed up to f32
+    summation-order effects on exactly-tied draws). Each draw costs K row
+    gathers TOTAL instead of K per band.
+
+    Returns ``(I_obs [B,G], z [B,G], p_norm [B,G], p_sim [B,G], S0 [B])``;
+    bands with no pairs have S0 = 0 and I = 0, p = 1.
+    """
+    n, K = idx.shape
+    G = Z.shape[1]
+    B = edges.shape[0] - 1
+
+    bid = jnp.searchsorted(edges, dist, side="right") - 1        # [N, K]
+    in_band = valid & (bid >= 0) & (bid < B) & (dist < edges[-1])
+    bid = jnp.where(in_band, bid, B).astype(jnp.int32)           # B = none
+
+    def _col(a, k):
+        return jax.lax.dynamic_index_in_dim(a, k, axis=1, keepdims=False)
+
+    # per-cell per-band degree [N, B+1] (fori_loop over slots keeps both
+    # the temps AND the compiled graph at O(N·B), not O(N·B·K))
+    def _deg_slot(k, acc):
+        return acc + jax.nn.one_hot(_col(bid, k), B + 1, dtype=jnp.float32)
+
+    degNB = jax.lax.fori_loop(0, K, _deg_slot,
+                              jnp.zeros((n, B + 1), jnp.float32))
+    deg = degNB[:, :B]                                           # [N, B]
+    invdeg = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 0.0)
+    has = (deg > 0).astype(jnp.float32)                          # [N, B]
+
+    # row-normalized weight of edge (i, k): 1/deg_i in its band
+    wt = jnp.take_along_axis(
+        jnp.concatenate([invdeg, jnp.zeros((n, 1))], axis=1),
+        bid, axis=1)                                             # [N, K]
+
+    # Cliff-Ord sums per band.  S0 = #rows with pairs (rows sum to 1);
+    # S1 = Σ_i 1/deg_i + Σ_edges 1/(deg_i·deg_j);  S2 = Σ_i (1 + col_i)²
+    # with col_i = Σ_{j∈band(i)} 1/deg_j (symmetry of band membership).
+    S0 = jnp.sum(has, axis=0)                                    # [B]
+
+    def _mom_slot(k, carry):
+        cross_inv, col = carry
+        inv_j = invdeg[_col(idx, k)]                             # [N, B]
+        sel = jax.nn.one_hot(_col(bid, k), B + 1,
+                             dtype=jnp.float32)[:, :B]           # [N, B]
+        return (cross_inv + jnp.sum(sel * invdeg * inv_j, axis=0),
+                col + sel * inv_j)
+
+    cross_inv, col = jax.lax.fori_loop(
+        0, K, _mom_slot, (jnp.zeros((B,), jnp.float32),
+                          jnp.zeros((n, B), jnp.float32)))
+    S1 = jnp.sum(invdeg * has, axis=0) + cross_inv               # [B]
+    S2 = jnp.sum((has + col) ** 2, axis=0)                       # [B]
+
+    den = jnp.sum(Z * Z, axis=0)
+    den = jnp.where(den > 0, den, 1.0)                           # [G]
+
+    def band_num(Zrow, Znbr_of_idx):
+        """num[b, g] = Σ_i w(i,k∈b) z_i z_nbr for each band."""
+
+        def slot(k, num):
+            cross = (Zrow * Znbr_of_idx(_col(idx, k))
+                     * _col(wt, k)[:, None])                     # [N, G]
+            sel = jax.nn.one_hot(_col(bid, k), B + 1,
+                                 dtype=cross.dtype)[:, :B]       # [N, B]
+            return num + jnp.einsum("nb,ng->bg", sel, cross)
+
+        return jax.lax.fori_loop(0, K, slot,
+                                 jnp.zeros((B, G), jnp.float32))
+
+    num_obs = band_num(Z, lambda ik: Z[ik])
+    S0_safe = jnp.where(S0 > 0, S0, 1.0)
+    I_obs = (n / S0_safe[:, None]) * num_obs / den[None, :]      # [B, G]
+
+    # analytic randomization moments (per band × gene kurtosis)
+    z2 = jnp.sum(Z * Z, axis=0)
+    z4 = jnp.sum(Z ** 4, axis=0)
+    b2 = n * z4 / jnp.where(z2 > 0, z2 * z2, 1.0)                # [G]
+    EI = -1.0 / (n - 1)
+    S0b, S1b, S2b = S0_safe[:, None], S1[:, None], S2[:, None]
+    numv = (n * ((n * n - 3 * n + 3) * S1b - n * S2b + 3 * S0b * S0b)
+            - b2[None, :] * ((n * n - n) * S1b - 2 * n * S2b
+                             + 6 * S0b * S0b))
+    # float: (n-1)(n-2)(n-3) overflows int32 from n ≈ 1300
+    denv = float(n - 1) * float(n - 2) * float(n - 3) * S0b * S0b
+    varI = jnp.maximum(numv / denv - EI ** 2, 1e-30)
+    z_sc = (I_obs - EI) / jnp.sqrt(varI)
+    p_norm = p_from_z(z_sc, "two-sided")
+
+    empty = (S0 == 0)[:, None]
+    I_obs = jnp.where(empty, 0.0, I_obs)
+    z_sc = jnp.where(empty, 0.0, z_sc)
+    p_norm = jnp.where(empty, 1.0, p_norm)
+
+    if n_permutations == 0:
+        return I_obs, z_sc, p_norm, jnp.ones_like(p_norm), S0
+
+    base = key_for(seed, "perm_global", 0)
+
+    def body(count, step):
+        key = jax.random.fold_in(base, step)
+        perm = jax.random.permutation(key, n)
+        Zp = Z[perm]
+        num_p = band_num(Zp, lambda ik: Z[perm[ik]])
+        I_p = (n / S0_safe[:, None]) * num_p / den[None, :]
+        extreme = jnp.abs(I_p) >= jnp.abs(I_obs)
+        return count + extreme.astype(jnp.int32), None
+
+    count, _ = jax.lax.scan(body, jnp.zeros((B, G), jnp.int32),
+                            jnp.arange(n_permutations))
+    p_sim = (count + 1.0) / (n_permutations + 1.0)
+    p_sim = jnp.where(empty, 1.0, p_sim)
+    return I_obs, z_sc, p_norm, p_sim, S0

@@ -1,0 +1,148 @@
+"""Streaming permutation nulls for gene matrices beyond one chip's HBM.
+
+The north-star scaling axis reaches N=1M cells x G~18k genes (SURVEY §5
+long-context row): the f32 expression alone is 72 GB — 4.5x a v5e's HBM.
+This driver generalizes the G=2048-tile recipe (docs/performance.md) into
+a documented streaming loop:
+
+* gene tiles of ``tile`` columns (default 2048, the widest bf16 tile that
+  fits a v5e alongside the band matrix) are fetched one at a time;
+* prep (standardize -> bf16 + den + observed I) runs in <=1024-gene
+  chunks — the f32 standardize intermediates are what OOMed at 2048;
+* permutation draws run in <=``chunk``-draw scans (executions stay under
+  the remote tunnel's ~60 s RPC deadline) with extreme counts accumulated
+  ON DEVICE, so the whole workload enqueues asynchronously: the host
+  blocks once per tile boundary at most (to bound in-flight memory), and
+  the previous tile's buffers free before the next tile's prep executes
+  (in-order device queue);
+* every (tile-width, chunk) combination reuses one compiled executable —
+  the tail tile pads to tile/2 or tile so at most two widths compile.
+
+Each tile's draws use seeds ``seed + tile_index * 1000 + chunk_index`` —
+deterministic and independent of the tile split, matching bench.py and
+benchmarks/run_configs.py config 4.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.logging import get_logger
+from .banded import NullPlan, banded_permutation_test
+from .graph import SpatialGraph
+from .moran import moran_observed, standardize
+
+logger = get_logger(__name__)
+
+
+def streaming_moran_null(
+    graph: SpatialGraph,
+    plan: NullPlan,
+    get_tile: Callable[[int, int, int], jax.Array],
+    n_genes: int,
+    S0: float,
+    seed: int = 0,
+    n_permutations: int = 1000,
+    tile: int = 2048,
+    prep_chunk: int = 1024,
+    chunk: int = 200,
+    stat: str = "moran",
+    alternative: str = "greater",
+    band_impl: str = "auto",
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Banded Moran/Geary permutation null over a streamed gene axis.
+
+    ``get_tile(start, width, chunk_index)`` must return the raw [N, width]
+    expression block for genes [start, start+width) — a device array (on-
+    device generation / pre-staged buffers) or host numpy (uploaded once
+    per tile; on remote backends prefer device sources, CLAUDE.md).
+
+    Returns host arrays ``(I_obs, p, null_mean, null_std)`` of length
+    ``n_genes``. Peak device memory is one tile's bf16 Z + the band matrix
+    + one prep chunk's f32 intermediates, independent of ``n_genes``.
+    """
+    widths = []
+    rem = n_genes
+    while rem > 0:
+        if rem >= tile:
+            widths.append(tile)
+            rem -= tile
+        else:
+            widths.append(tile // 2 if rem <= tile // 2 else tile)
+            rem = 0
+    padded = sum(widths)
+
+    @functools.partial(jax.jit, static_argnames=("g",))
+    def _prep(X, g):
+        Z, _ = standardize(X)
+        den = jnp.sum(Z * Z, axis=0)
+        den = jnp.where(den > 0, den, 1.0)
+        obs = moran_observed(graph, Z, S0)
+        return Z.astype(jnp.bfloat16), den, obs
+
+    I_parts, p_parts, m_parts, s_parts = [], [], [], []
+    prev = None
+    start = 0
+    for bi, w in enumerate(widths):
+        parts = []
+        for ci, s in enumerate(range(0, w, prep_chunk)):
+            g = min(prep_chunk, w - s)
+            avail = max(0, min(g, n_genes - (start + s)))
+            if avail > 0:
+                X = get_tile(start + s, avail, ci)
+                if not isinstance(X, jax.Array):
+                    X = jnp.asarray(np.asarray(X, np.float32))
+                X = X.astype(jnp.float32)
+                if avail < g:   # tail tile rounds up to a compiled width;
+                    #             zero columns are inert (zero-variance)
+                    X = jnp.pad(X, ((0, 0), (0, g - avail)))
+            else:
+                X = jnp.zeros((graph.neighbor_idx.shape[0], g), jnp.float32)
+            parts.append(_prep(X, g))
+        if len(parts) == 1:
+            Zb, den, obs = parts[0]
+        else:
+            Zb = jnp.concatenate([p[0] for p in parts], axis=1)
+            den = jnp.concatenate([p[1] for p in parts])
+            obs = jnp.concatenate([p[2] for p in parts])
+        del parts
+
+        count = jnp.zeros((w,), jnp.float32)
+        mean_acc = jnp.zeros((w,), jnp.float32)
+        m2_acc = jnp.zeros((w,), jnp.float32)
+        for ci, s in enumerate(range(0, n_permutations, chunk)):
+            pc = min(chunk, n_permutations - s)
+            p, m, sd = banded_permutation_test(
+                plan, Zb, S0, obs, seed=seed + bi * 1000 + ci,
+                n_permutations=pc, den=den, stat=stat,
+                alternative=alternative, band_impl=band_impl)
+            count = count + jnp.round(p * (pc + 1.0) - 1.0)
+            mean_acc = mean_acc + m * pc
+            m2_acc = m2_acc + (sd * sd + m * m) * pc
+        P = n_permutations
+        p_tile = (count + 1.0) / (P + 1.0)
+        mean_tile = mean_acc / P
+        std_tile = jnp.sqrt(jnp.maximum(m2_acc / P - mean_tile ** 2, 0.0))
+
+        # bound in-flight memory to ~2 tiles: materialize tile bi-1's
+        # results (its buffers are already free) while tile bi computes
+        if prev is not None:
+            for lst, arr in zip((I_parts, p_parts, m_parts, s_parts), prev):
+                lst.append(np.asarray(arr))
+        prev = (obs, p_tile, mean_tile, std_tile)
+        del Zb, den
+        start += w
+    for lst, arr in zip((I_parts, p_parts, m_parts, s_parts), prev):
+        lst.append(np.asarray(arr))
+
+    out = tuple(np.concatenate(ps)[:n_genes]
+                for ps in (I_parts, p_parts, m_parts, s_parts))
+    if padded != n_genes:
+        logger.info(f"streaming null: padded {n_genes} -> {padded} genes "
+                    f"({len(widths)} tiles)")
+    return out

@@ -1086,14 +1086,17 @@ def moran_correlogram(
     the analytic z as well: each band row carries I, E[I], z, p (normal)
     and p_sim when ``n_permutations > 0``.
 
+    All bands (statistics, Cliff-Ord moments, AND the permutation scan)
+    run in ONE device dispatch (ops.moran.correlogram_kernel) — the
+    round-2 implementation paid one dispatch + host CSR-moments pass +
+    its own permutation scan per band (~2 s tunnel latency each at 1M
+    cells).
+
     Output: ``uns[key_added]`` DataFrame (band_lo, band_hi, gene, I,
     z_score, p_value[, p_sim]) + ``uns[f"{key_added}_params"]``.
     """
-    import jax
-
-    from ..ops.graph import graph_moments, radius_neighbors
-    from ..ops.moran import (moran_analytic_moments, moran_observed,
-                             p_from_z, permutation_test_global)
+    from ..ops.graph import radius_neighbors
+    from ..ops.moran import correlogram_kernel
 
     start = time.time()
     if copy:
@@ -1127,43 +1130,27 @@ def moran_correlogram(
     Xb = _dense_expression(adata, gene_names, layer)
     Z, zero_var = standardize(jnp.asarray(Xb))
 
+    I_j, z_j, pn_j, ps_j, S0_j = correlogram_kernel(
+        idx, dist, valid, Z, jnp.asarray(bands, jnp.float32),
+        jnp.uint32(seed), n_permutations=n_permutations)
+    I_np, z_np, p_np, ps_np, S0_np = (
+        np.asarray(I_j), np.asarray(z_j), np.asarray(pn_j),
+        np.asarray(ps_j), np.asarray(S0_j))
+    zv_np = np.asarray(zero_var) if zero_var is not None else None
+
     rows = []
     for b in range(len(bands) - 1):
         lo, hi = float(bands[b]), float(bands[b + 1])
-        in_band = valid & (dist >= lo) & (dist < hi)
-        deg = jnp.sum(in_band, axis=1)
-        w = jnp.where(in_band, 1.0, 0.0) / jnp.maximum(deg, 1)[:, None]
-        gband = SpatialGraph(
-            neighbor_idx=jnp.where(in_band, idx, 0).astype(jnp.int32),
-            neighbor_w=w.astype(jnp.float32),
-            valid=in_band,
-            distances=jnp.where(in_band, dist, jnp.inf))
-        S0 = float(jnp.sum(w))
-        if S0 <= 0:
+        if S0_np[b] <= 0:
             logger.warning(f"band [{lo:.1f}, {hi:.1f}) has no pairs; skipped")
             continue
-        I_obs = moran_observed(gband, Z, S0)
-        m = graph_moments(gband)
-        mu, var = moran_analytic_moments(
-            Z, m["S0"], m["S1"], m["S2"], assumption="randomization")
-        zsc = (I_obs - mu) / jnp.sqrt(jnp.maximum(var, 1e-30))
-        pval = p_from_z(zsc, alternative="two-sided")
-        p_sim = None
-        if n_permutations > 0:
-            p_sim, _, _ = permutation_test_global(
-                gband, Z, S0, I_obs, seed=seed,
-                n_permutations=n_permutations, alternative="two-sided")
-            p_sim = np.asarray(p_sim)
-        I_np = np.asarray(I_obs)
-        z_np = np.asarray(zsc)
-        p_np = np.asarray(pval)
         for gi, gname in enumerate(gene_names):
             row = {"band_lo": lo, "band_hi": hi, "gene": gname,
-                   "I": float(I_np[gi]), "z_score": float(z_np[gi]),
-                   "p_value": float(p_np[gi])}
-            if p_sim is not None:
-                row["p_sim"] = float(p_sim[gi])
-            if zero_var is not None and bool(np.asarray(zero_var)[gi]):
+                   "I": float(I_np[b, gi]), "z_score": float(z_np[b, gi]),
+                   "p_value": float(p_np[b, gi])}
+            if n_permutations > 0:
+                row["p_sim"] = float(ps_np[b, gi])
+            if zv_np is not None and bool(zv_np[gi]):
                 row.update(I=0.0, z_score=0.0, p_value=1.0)
             rows.append(row)
 

@@ -559,3 +559,52 @@ def test_local_geary_multivariate(spatial_adata):
         spatial_adata.copy(), genes=list(adata.var_names[:3]),
         n_permutations=199, seed=0)
     np.testing.assert_array_equal(a2.obs["local_geary_mv_p"].to_numpy(), p)
+
+
+def test_correlogram_kernel_matches_per_band_oracle():
+    """The one-dispatch kernel's on-device Cliff-Ord moments and I values
+    must match the round-2 per-band path (band graph -> host CSR moments
+    -> moran_observed) exactly (f32)."""
+    import jax.numpy as jnp
+
+    import spatialcore_tpu as sct
+    from spatialcore_tpu.ops.graph import (
+        SpatialGraph, graph_moments, radius_neighbors)
+    from spatialcore_tpu.ops.moran import (
+        correlogram_kernel, moran_analytic_moments, moran_observed,
+        standardize)
+
+    rng = np.random.default_rng(3)
+    n = 800
+    coords = rng.uniform(0, 500, (n, 2)).astype(np.float32)
+    X = np.stack([np.sin(coords[:, 0] / 40) + rng.normal(0, 0.4, n),
+                  rng.normal(0, 1, n)], axis=1).astype(np.float32)
+    bands = np.array([0.0, 15.0, 30.0, 60.0], np.float32)
+
+    idx, dist, valid = radius_neighbors(jnp.asarray(coords),
+                                        float(bands[-1]), 64)
+    Z, _ = standardize(jnp.asarray(X))
+    I_k, z_k, p_k, _, S0_k = correlogram_kernel(
+        idx, dist, valid, Z, jnp.asarray(bands), jnp.uint32(0),
+        n_permutations=0)
+
+    for b in range(len(bands) - 1):
+        lo, hi = float(bands[b]), float(bands[b + 1])
+        in_band = valid & (dist >= lo) & (dist < hi)
+        deg = jnp.sum(in_band, axis=1)
+        w = jnp.where(in_band, 1.0, 0.0) / jnp.maximum(deg, 1)[:, None]
+        gband = SpatialGraph(
+            neighbor_idx=jnp.where(in_band, idx, 0).astype(jnp.int32),
+            neighbor_w=w.astype(jnp.float32),
+            valid=in_band,
+            distances=jnp.where(in_band, dist, jnp.inf))
+        m = graph_moments(gband)
+        np.testing.assert_allclose(float(S0_k[b]), m["S0"], rtol=1e-6)
+        I_ref = np.asarray(moran_observed(gband, Z, m["S0"]))
+        np.testing.assert_allclose(np.asarray(I_k)[b], I_ref,
+                                   rtol=1e-4, atol=1e-6)
+        mu, var = moran_analytic_moments(Z, m["S0"], m["S1"], m["S2"],
+                                         assumption="randomization")
+        z_ref = (I_ref - mu) / np.sqrt(np.maximum(np.asarray(var), 1e-30))
+        np.testing.assert_allclose(np.asarray(z_k)[b], z_ref,
+                                   rtol=1e-3, atol=1e-4)
