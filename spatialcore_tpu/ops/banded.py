@@ -384,13 +384,26 @@ def _band_halo_kernel(a_ref, zp_any, out_ref, win_ref, sem_ref, acc_ref,
     per draw instead of three times, and the lag tensor never exists in
     HBM at all (the XLA einsum path round-trips ~12 GB of lag temps per
     draw at G=1024).
+
+    The grid's leading dimension tiles the GENE axis: each g-tile streams
+    [B, Gt] sub-slabs (lane-aligned strided DMA), so VMEM scales with the
+    tile width, not G — this is what lifts the G≤2048 VMEM ceiling the
+    round-2 kernel had (scoped-vmem OOM at G=2560: win+lag+A ≈ 18.3M).
+    Zp still crosses HBM exactly once per draw (g-tiles read disjoint
+    columns); only the A band re-reads once per g-tile (~3 GB ≈ 4 ms —
+    measured round 3: G=2560 via 2×1280 tiles runs 19.0k genes·perms/s
+    vs 17.8k at G=2048 single-tile).
     """
-    i = pl.program_id(0)
-    nsteps = pl.num_programs(0)
+    gt = pl.program_id(0)
+    i = pl.program_id(1)
+    nsteps = pl.num_programs(1)
+    Gt = win_ref.shape[2]
 
     def dma(slab):
-        return pltpu.make_async_copy(zp_any.at[slab], win_ref.at[slab % 4],
-                                     sem_ref.at[slab % 4])
+        return pltpu.make_async_copy(
+            zp_any.at[slab, :, pl.ds(gt * Gt, Gt)],
+            win_ref.at[slab % 4],
+            sem_ref.at[slab % 4])
 
     @pl.when(i == 0)
     def _():
@@ -425,29 +438,42 @@ def _band_halo_kernel(a_ref, zp_any, out_ref, win_ref, sem_ref, acc_ref,
         out_ref[:] = acc_ref[:]
 
 
-def _band_cross_pallas_halo(A, Zp, interpret: bool) -> jax.Array:
-    """cross[g] via the halo-ring kernel. ``Zp`` [nb+2, B, G]."""
+def _halo_tiles(G: int, g_tile: int = 2048) -> Tuple[int, int]:
+    """(n_gene_tiles, tile_width) for the halo kernel; ngt*Gt >= G, Gt a
+    lane-aligned multiple of 128 and <= g_tile (VMEM budget)."""
+    ngt = -(-G // g_tile)
+    Gt = 128 * (-(-G // (128 * ngt)))
+    return ngt, Gt
+
+
+def _band_cross_pallas_halo(A, Zp, interpret: bool,
+                            g_tile: int = 2048) -> jax.Array:
+    """cross[g] via the halo-ring kernel. ``Zp`` [nb+2, B, G] with G a
+    multiple of the :func:`_halo_tiles` width (the caller pads)."""
     nb, B, _ = A.shape
     G = Zp.shape[2]
+    ngt, Gt = _halo_tiles(G, g_tile)
+    if ngt * Gt != G:        # interpret mode runs unpadded; single tile
+        ngt, Gt = 1, G
     out = pl.pallas_call(
         _band_halo_kernel,
-        grid=(nb,),
+        grid=(ngt, nb),
         in_specs=[
-            pl.BlockSpec((1, B, 3 * B), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, B, 3 * B), lambda gt, i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, G), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((1, Gt), lambda gt, i: (0, gt),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, G), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((4, B, G), Zp.dtype),
+            pltpu.VMEM((4, B, Gt), Zp.dtype),
             pltpu.SemaphoreType.DMA((4,)),
-            pltpu.VMEM((1, G), jnp.float32),
-            pltpu.VMEM((B, G), jnp.float32),
+            pltpu.VMEM((1, Gt), jnp.float32),
+            pltpu.VMEM((B, Gt), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(A, Zp)
     return out[0]
@@ -628,8 +654,13 @@ def banded_permutation_test(
         band_impl = ("pallas_halo"
                      if Z.shape[1] >= 1536 and not interpret else "xla")
     G = Z.shape[1]
-    pad_g = ((-G) % 128
-             if (band_impl.startswith("pallas") and not interpret) else 0)
+    if band_impl == "pallas_halo" and not interpret:
+        ngt, Gt = _halo_tiles(G)
+        pad_g = ngt * Gt - G        # equal lane-aligned g-tiles (VMEM cap)
+    elif band_impl.startswith("pallas") and not interpret:
+        pad_g = (-G) % 128
+    else:
+        pad_g = 0
     if pad_g:
         Z = jnp.pad(Z, ((0, 0), (0, pad_g)))
         observed = jnp.pad(observed, (0, pad_g))

@@ -209,9 +209,11 @@ def _global_autocorr(
     # banded null kernel for large N: one random gather + MXU band matmuls
     # per draw instead of 7 gathers (ops/banded.py; ~3x at 1M cells). Its
     # Feistel draw stream differs from the slot kernel's, so the choice is
-    # sticky per (data, seed): "auto" switches on size only.
+    # sticky per (data, seed): "auto" switches on size only. Under a mesh
+    # the banded path gene-shards with zero collectives in the scan
+    # (parallel.stats.sharded_banded_permutation_test, round 3).
     if null_method == "auto":
-        null_method = ("banded" if n_permutations > 0 and mesh is None
+        null_method = ("banded" if n_permutations > 0
                        and n_cells >= 100_000 else "slots")
     plan = None
     if null_method == "banded" and n_permutations > 0:
@@ -233,6 +235,12 @@ def _global_autocorr(
             neighbor_w=_jax.device_put(graph.neighbor_w, rep),
             valid=_jax.device_put(graph.valid, rep),
             distances=_jax.device_put(graph.distances, rep))
+        if plan is not None:
+            from ..ops.banded import NullPlan
+
+            plan = NullPlan(*(_jax.device_put(f, rep)
+                              if isinstance(f, _jax.Array) else f
+                              for f in plan))
         gs = gene_sharding(mesh, ndim=2)
         n_shards = int(np.prod([mesh.shape[a] for a in ("genes",)
                                 if a in mesh.shape])) or 1

@@ -289,3 +289,32 @@ def test_banded_local_moran_matches_direct(setup):
     sig_a = np.asarray(got_bf.p_value)[:, 0] < 0.05
     sig_b = np.asarray(ref.p_value)[:, 0] < 0.05
     assert (sig_a == sig_b).mean() > 0.9
+
+
+def test_halo_gene_tiling_matches_single_tile():
+    """The g-tiled halo grid (round 3: lifts the G<=2048 VMEM ceiling)
+    must reproduce the single-tile kernel exactly."""
+    import jax.numpy as jnp
+
+    from spatialcore_tpu.ops.banded import (
+        _band_cross_pallas_halo, _build_band, _halo_tiles, build_null_plan)
+    from spatialcore_tpu.ops.graph import build_graph
+
+    assert _halo_tiles(2560) == (2, 1280)
+    assert _halo_tiles(2048) == (1, 2048)
+    assert _halo_tiles(5000) == (3, 1792)   # 3*1792 = 5376 >= 5000
+
+    rng = np.random.default_rng(0)
+    n, G, B = 256, 256, 64
+    coords = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+    graph = build_graph(coords, n_neighbors=4)
+    plan = build_null_plan(graph, block=B)
+    A = _build_band(plan.local_idx, plan.w_local, B, jnp.float32)
+    nb = A.shape[0]
+    Zp = jnp.asarray(rng.standard_normal((nb + 2, B, G)), jnp.float32)
+
+    one = np.asarray(_band_cross_pallas_halo(A, Zp, interpret=True,
+                                             g_tile=G))
+    tiled = np.asarray(_band_cross_pallas_halo(A, Zp, interpret=True,
+                                               g_tile=G // 4))
+    np.testing.assert_allclose(tiled, one, rtol=1e-6, atol=1e-6)
