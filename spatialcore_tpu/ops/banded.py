@@ -390,9 +390,12 @@ def _band_halo_kernel(a_ref, zp_any, out_ref, win_ref, sem_ref, acc_ref,
     tile width, not G — this is what lifts the G≤2048 VMEM ceiling the
     round-2 kernel had (scoped-vmem OOM at G=2560: win+lag+A ≈ 18.3M).
     Zp still crosses HBM exactly once per draw (g-tiles read disjoint
-    columns); only the A band re-reads once per g-tile (~3 GB ≈ 4 ms —
-    measured round 3: G=2560 via 2×1280 tiles runs 19.0k genes·perms/s
-    vs 17.8k at G=2048 single-tile).
+    columns); only the A band re-reads once per g-tile. Measured round 3:
+    G=2560 via 2×1280 tiles runs 14.1k genes·perms/s vs 17.7k at G=2048
+    single-tile — the strided sub-slab DMA and per-tile pipeline restart
+    cost more than the wider tile's gather amortization saves, so 2048
+    stays the default tile (docs/performance.md dead-ends); the tiling
+    remains because it removes the hard VMEM ceiling.
     """
     gt = pl.program_id(0)
     i = pl.program_id(1)

@@ -35,7 +35,7 @@ import numpy as np
 from ..core.logging import get_logger
 from .banded import NullPlan, banded_permutation_test
 from .graph import SpatialGraph
-from .moran import moran_observed, standardize
+from .moran import standardize
 
 logger = get_logger(__name__)
 
@@ -60,7 +60,9 @@ def streaming_moran_null(
     ``get_tile(start, width, chunk_index)`` must return the raw [N, width]
     expression block for genes [start, start+width) — a device array (on-
     device generation / pre-staged buffers) or host numpy (uploaded once
-    per tile; on remote backends prefer device sources, CLAUDE.md).
+    per tile; on remote backends prefer device sources, CLAUDE.md). The
+    returned buffer is CONSUMED (donated to the prep program); do not
+    reuse it.
 
     Returns host arrays ``(I_obs, p, null_mean, null_std)`` of length
     ``n_genes``. Peak device memory is one tile's bf16 Z + the band matrix
@@ -77,18 +79,43 @@ def streaming_moran_null(
             rem = 0
     padded = sum(widths)
 
-    @functools.partial(jax.jit, static_argnames=("g",))
+    # donate X (the tile buffer is consumed) AND fuse the observed-I slot
+    # loop to [g]-sized reductions: moran_observed's spatial_lag would
+    # materialize a second [N, g] f32 temp, and input + Z + lag + bf16 out
+    # at 1M x 1024 (4+4+4+2 GB) exceeds a v5e's HBM next to the previous
+    # prep chunk's output (measured round 3: RESOURCE_EXHAUSTED)
+    @functools.partial(jax.jit, static_argnames=("g",), donate_argnums=(0,))
     def _prep(X, g):
         Z, _ = standardize(X)
         den = jnp.sum(Z * Z, axis=0)
         den = jnp.where(den > 0, den, 1.0)
-        obs = moran_observed(graph, Z, S0)
+        n = Z.shape[0]
+        num = jnp.zeros((g,), jnp.float32)
+        for j in range(graph.neighbor_idx.shape[1]):
+            w = graph.neighbor_w[:, j:j + 1]
+            num = num + jnp.sum(w * Z * Z[graph.neighbor_idx[:, j]], axis=0)
+            # barrier THREADS Z: a barrier on num alone leaves XLA free to
+            # hoist all k [N, g] gather temps to coexist (compile-time HBM
+            # check: 26.7 G at 1M x 1024; the CLAUDE.md gather-batching
+            # pathology in its compile-time form)
+            Z, num = jax.lax.optimization_barrier((Z, num))
+        obs = (n / S0) * num / den
         return Z.astype(jnp.bfloat16), den, obs
 
     I_parts, p_parts, m_parts, s_parts = [], [], [], []
     prev = None
     start = 0
     for bi, w in enumerate(widths):
+        # materialize tile bi-1's results BEFORE enqueueing tile bi's
+        # prep: the sync guarantees the previous tile's 4 GB working set
+        # is free before this tile allocates (measured on the remote v5e:
+        # fully async two-tile overlap RESOURCE_EXHAUSTs — the margin at
+        # G=2048 is ~0.7 GB; within a tile everything still enqueues
+        # asynchronously, which is where the round-3 overhead win lives)
+        if prev is not None:
+            for lst, arr in zip((I_parts, p_parts, m_parts, s_parts), prev):
+                lst.append(np.asarray(arr))
+            prev = None
         parts = []
         for ci, s in enumerate(range(0, w, prep_chunk)):
             g = min(prep_chunk, w - s)
@@ -129,11 +156,6 @@ def streaming_moran_null(
         mean_tile = mean_acc / P
         std_tile = jnp.sqrt(jnp.maximum(m2_acc / P - mean_tile ** 2, 0.0))
 
-        # bound in-flight memory to ~2 tiles: materialize tile bi-1's
-        # results (its buffers are already free) while tile bi computes
-        if prev is not None:
-            for lst, arr in zip((I_parts, p_parts, m_parts, s_parts), prev):
-                lst.append(np.asarray(arr))
         prev = (obs, p_tile, mean_tile, std_tile)
         del Zb, den
         start += w

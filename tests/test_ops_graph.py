@@ -173,8 +173,9 @@ def test_graph_moments():
     coords = _coords(150)
     g = build_graph(coords, n_neighbors=5)
     m = graph_moments(g)
-    W = g.to_csr()
-    assert abs(m["S0"] - W.sum()) < 1e-6
+    # graph_moments accumulates in f64 (round 3) — oracle must too
+    W = g.to_csr().astype(np.float64)
+    assert abs(m["S0"] - W.sum()) < 1e-9
     sym = W + W.T
     assert abs(m["S1"] - 0.5 * sym.multiply(sym).sum()) < 1e-6
     row = np.asarray(W.sum(axis=1)).ravel()
