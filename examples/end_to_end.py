@@ -153,6 +153,17 @@ def main(outdir="docs/images"):
     assert hot_b > 0.5
     assert (hs[:, 1] == 1).mean() < 0.02
 
+    # distance-band correlogram (one device dispatch for all bands):
+    # the follicle marker's autocorrelation must decay with distance
+    adata = sct.spatial.moran_correlogram(adata, genes=["MS4A1"],
+                                          n_bands=4, n_permutations=49,
+                                          seed=0)
+    cg = adata.uns["moran_correlogram"].sort_values("band_lo")
+    print("[5d/7] correlogram I(d) for MS4A1:",
+          [round(float(v), 3) for v in cg["I"]])
+    assert float(cg["I"].iloc[0]) > float(cg["I"].iloc[-1])
+    assert float(cg["p_sim"].iloc[0]) <= 0.05
+
     # point-pattern aggregation: this synthetic field is near-CSR overall
     # (uniform background + follicles), so R ≈ 1 — a sanity check that the
     # index is calibrated, not a clustering claim

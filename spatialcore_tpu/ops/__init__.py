@@ -10,7 +10,13 @@ from .graph import (
     radius_neighbors,
     spatial_lag,
 )
+from .banded import (
+    NullPlan,
+    banded_permutation_test,
+    build_null_plan,
+)
 from .lee import LeesLResult, lees_l_pairs
+from .streaming import streaming_moran_null
 from .pallas_knn import pallas_knn
 from .moran import (
     LocalMoranResult,
@@ -18,6 +24,7 @@ from .moran import (
     classify_quadrants,
     geary_analytic_moments,
     geary_observed,
+    correlogram_kernel,
     local_moran,
     moran_analytic_moments,
     moran_observed,
@@ -34,5 +41,7 @@ __all__ = [
     "permutation_test_global", "local_moran", "LocalMoranResult",
     "classify_quadrants", "QUADRANT_LABELS",
     "lees_l_pairs", "LeesLResult",
+    "NullPlan", "build_null_plan", "banded_permutation_test",
+    "streaming_moran_null", "correlogram_kernel",
     "apply_fdr", "benjamini_hochberg", "bonferroni",
 ]

@@ -441,6 +441,52 @@ def _band_halo_kernel(a_ref, zp_any, out_ref, win_ref, sem_ref, acc_ref,
         out_ref[:] = acc_ref[:]
 
 
+def _band_halo_kernel_1t(a_ref, zp_any, out_ref, win_ref, sem_ref, acc_ref,
+                         lag_ref):
+    """Single-g-tile variant with the round-2 one-dimensional grid and
+    whole-slab DMAs — byte-identical behavior to the proven production
+    kernel; :func:`_band_cross_pallas_halo` dispatches here when the gene
+    width fits one tile (the common case, G <= 2048)."""
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    def dma(slab):
+        return pltpu.make_async_copy(zp_any.at[slab], win_ref.at[slab % 4],
+                                     sem_ref.at[slab % 4])
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        dma(0).start()
+        dma(1).start()
+        dma(2).start()
+        dma(0).wait()
+        dma(1).wait()
+
+    @pl.when(i + 3 < nsteps + 2)
+    def _():
+        dma(i + 3).start()
+
+    dma(i + 2).wait()
+
+    B = win_ref.shape[1]
+    a = a_ref[0]
+    z0 = win_ref[i % 4]
+    z1 = win_ref[(i + 1) % 4]
+    z2 = win_ref[(i + 2) % 4]
+    lag_ref[:] = jnp.dot(a[:, :B], z0, preferred_element_type=jnp.float32)
+    lag_ref[:] += jnp.dot(a[:, B:2 * B], z1,
+                          preferred_element_type=jnp.float32)
+    lag_ref[:] += jnp.dot(a[:, 2 * B:], z2,
+                          preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] + jnp.sum(
+        z1.astype(jnp.float32) * lag_ref[:], axis=0, keepdims=True)
+
+    @pl.when(i == nsteps - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
 def _halo_tiles(G: int, g_tile: int = 2048) -> Tuple[int, int]:
     """(n_gene_tiles, tile_width) for the halo kernel; ngt*Gt >= G, Gt a
     lane-aligned multiple of 128 and <= g_tile (VMEM budget)."""
@@ -458,6 +504,31 @@ def _band_cross_pallas_halo(A, Zp, interpret: bool,
     ngt, Gt = _halo_tiles(G, g_tile)
     if ngt * Gt != G:        # interpret mode runs unpadded; single tile
         ngt, Gt = 1, G
+    if ngt == 1:
+        # single tile: the round-2 one-dimensional grid with whole-slab
+        # DMAs — the proven production path for G <= 2048
+        out = pl.pallas_call(
+            _band_halo_kernel_1t,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, B, 3 * B), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, G), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, G), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((4, B, G), Zp.dtype),
+                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.VMEM((1, G), jnp.float32),
+                pltpu.VMEM((B, G), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(A, Zp)
+        return out[0]
     out = pl.pallas_call(
         _band_halo_kernel,
         grid=(ngt, nb),
@@ -602,12 +673,14 @@ def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
 
     init = (jnp.zeros((G,), jnp.int32), jnp.zeros((G,), jnp.float32),
             jnp.zeros((G,), jnp.float32))
-    # unroll=2: consecutive draws are independent except for the [G]-sized
-    # accumulators, letting XLA overlap one draw's random gather with the
-    # previous draw's band matmuls
+    # unroll=1 (round 3): unroll=2 measured NO throughput win (17.57k vs
+    # 17.77k at 1M x 2048 x 100 — the loop is bandwidth-bound, matching
+    # the docs/performance.md dead-end note) while keeping a second 4.1 GB
+    # Zp temp alive; dropping it frees the headroom the streaming driver
+    # needs next to a resident gene tile
     (count, s1, s2), _ = jax.lax.scan(body, init,
                                       jnp.arange(n_permutations),
-                                      unroll=2)
+                                      unroll=1)
     P = n_permutations
     p = (count + 1.0) / (P + 1.0)
     mean = s1 / P
