@@ -130,13 +130,18 @@ def streaming_moran_null(
                     X = jnp.pad(X, ((0, 0), (0, g - avail)))
             else:
                 X = jnp.zeros((graph.neighbor_idx.shape[0], g), jnp.float32)
-            parts.append(_prep(X, g))
+            # block per prep chunk: keeps at most one prep program's
+            # temps in flight next to the accumulated bf16 parts (async
+            # prep chains RESOURCE_EXHAUST on the 16 GB v5e — measured;
+            # the sync costs ~0.1 s against ~100 s of tile scans)
+            parts.append(jax.block_until_ready(_prep(X, g)))
         if len(parts) == 1:
             Zb, den, obs = parts[0]
         else:
             Zb = jnp.concatenate([p[0] for p in parts], axis=1)
             den = jnp.concatenate([p[1] for p in parts])
             obs = jnp.concatenate([p[2] for p in parts])
+        jax.block_until_ready(Zb)
         del parts
 
         count = jnp.zeros((w,), jnp.float32)
