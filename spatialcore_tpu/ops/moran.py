@@ -702,17 +702,20 @@ def correlogram_kernel(
     S0_safe = jnp.where(S0 > 0, S0, 1.0)
     I_obs = (n / S0_safe[:, None]) * num_obs / den[None, :]      # [B, G]
 
-    # analytic randomization moments (per band × gene kurtosis)
+    # analytic randomization moments (per band × gene kurtosis).
+    # ALL n-polynomial coefficients as Python floats: n*n alone
+    # overflows int32 from n ≈ 46k, (n-1)(n-2)(n-3) from n ≈ 1300
+    nf = float(n)
     z2 = jnp.sum(Z * Z, axis=0)
     z4 = jnp.sum(Z ** 4, axis=0)
-    b2 = n * z4 / jnp.where(z2 > 0, z2 * z2, 1.0)                # [G]
-    EI = -1.0 / (n - 1)
+    b2 = nf * z4 / jnp.where(z2 > 0, z2 * z2, 1.0)               # [G]
+    EI = -1.0 / (nf - 1.0)
     S0b, S1b, S2b = S0_safe[:, None], S1[:, None], S2[:, None]
-    numv = (n * ((n * n - 3 * n + 3) * S1b - n * S2b + 3 * S0b * S0b)
-            - b2[None, :] * ((n * n - n) * S1b - 2 * n * S2b
-                             + 6 * S0b * S0b))
-    # float: (n-1)(n-2)(n-3) overflows int32 from n ≈ 1300
-    denv = float(n - 1) * float(n - 2) * float(n - 3) * S0b * S0b
+    numv = (nf * ((nf * nf - 3.0 * nf + 3.0) * S1b - nf * S2b
+                  + 3.0 * S0b * S0b)
+            - b2[None, :] * ((nf * nf - nf) * S1b - 2.0 * nf * S2b
+                             + 6.0 * S0b * S0b))
+    denv = (nf - 1.0) * (nf - 2.0) * (nf - 3.0) * S0b * S0b
     varI = jnp.maximum(numv / denv - EI ** 2, 1e-30)
     z_sc = (I_obs - EI) / jnp.sqrt(varI)
     p_norm = p_from_z(z_sc, "two-sided")
