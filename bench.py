@@ -127,8 +127,10 @@ def main():
     S0 = float(n_cells)
 
     t0 = time.time()
-    plan = build_null_plan(graph, coords_j, block=512)
-    print(f"[bench] null plan build: {time.time()-t0:.1f}s", file=sys.stderr)
+    block = int(os.environ.get("BENCH_BLOCK", 256))
+    plan = build_null_plan(graph, coords_j, block=block)
+    print(f"[bench] null plan build: {time.time()-t0:.1f}s (block={block})",
+          file=sys.stderr)
 
     # batch schedule: full tiles + tail rounded up to tile or tile/2 so at
     # most two executable widths exist (a 904-wide tail would recompile the

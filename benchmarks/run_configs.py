@@ -116,7 +116,7 @@ def config4(scale):
     coords = np.asarray(coords_j)
     graph = build_graph(coords, n_neighbors=6)
     jax.block_until_ready(graph.neighbor_w)
-    plan = build_null_plan(graph, coords, block=min(512, max(n // 16, 16)))
+    plan = build_null_plan(graph, coords, block=min(256, max(n // 16, 16)))
     S0 = float(n)
 
     import functools
@@ -235,7 +235,7 @@ def config6(scale):
     coords_j = jax.random.uniform(kc, (n, 2), jnp.float32, 0.0, 6000.0)
     graph = build_graph(coords_j, n_neighbors=6)
     jax.block_until_ready(graph.neighbor_w)
-    plan = build_null_plan(graph, coords_j, block=min(512, max(n // 16, 16)))
+    plan = build_null_plan(graph, coords_j, block=min(256, max(n // 16, 16)))
 
     def gen_tile(start, width, ci):
         # on-device generation (host uploads ride the slow tunnel); a real

@@ -215,13 +215,17 @@ class NullPlan(NamedTuple):
 def build_null_plan(
     graph: SpatialGraph,
     coords: Optional[np.ndarray] = None,
-    block: int = 512,
+    block: int = 256,
 ) -> NullPlan:
     """Prep: relabel cells, split edges into band vs far list.
 
     The band covers neighbor offsets within ±block positions (window =
     previous/self/next block). Larger blocks lower the far fraction but
-    raise the dense-matmul FLOPs ∝ B; 512 balances both at 1M cells.
+    raise the dense-matmul FLOPs and A traffic ∝ B. Measured at 1M cells
+    × G=2048 × 100 draws (round 3): B=256 → 23.0k genes·perms/s,
+    B=320 → 21.0k, B=128 → 20.4k (far edges 6.2% bite), B=512 → 17.6k —
+    the round-2 default of 512 was tuned when the gather dominated;
+    256 is the sweet spot and the default.
 
     Pass ``coords`` as a DEVICE array to build the whole plan on device
     (one 4-byte readback; no bulk host↔device transfers — the remote
