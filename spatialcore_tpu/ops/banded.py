@@ -223,7 +223,8 @@ def build_null_plan(
     previous/self/next block). Larger blocks lower the far fraction but
     raise the dense-matmul FLOPs and A traffic ∝ B. Measured at 1M cells
     × G=2048 × 100 draws (round 3): B=256 → 23.0k genes·perms/s,
-    B=320 → 21.0k, B=128 → 20.4k (far edges 6.2% bite), B=512 → 17.6k —
+    B=320 → 21.0k, B=384 → 20.1k, B=128 → 20.4k (far edges 6.2% bite),
+    B=512 → 17.6k —
     the round-2 default of 512 was tuned when the gather dominated;
     256 is the sweet spot and the default.
 
