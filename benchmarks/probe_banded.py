@@ -29,6 +29,7 @@ def main():
     prec = os.environ.get("PROBE_PREC", "bf16")
     pm = os.environ.get("PROBE_PERM", "feistel")
     block = int(os.environ.get("PROBE_BLOCK", 512))
+    impl = os.environ.get("PROBE_IMPL", "auto")
 
     dev = jax.devices()[0]
     print(f"device={dev.platform}:{dev.device_kind} N={n:,} G={g} P={p} "
@@ -64,7 +65,7 @@ def main():
 
     pb = timed("banded", lambda s: banded_permutation_test(
         plan, Z, S0, obs, seed=s, n_permutations=p, precision=prec,
-        perm_method=pm)[0])
+        perm_method=pm, band_impl=impl)[0])
 
     if os.environ.get("PROBE_LEGACY", "1") == "1":
         pl_ = timed("legacy", lambda s: permutation_test_global(

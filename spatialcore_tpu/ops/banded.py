@@ -492,6 +492,108 @@ def _band_halo_kernel_1t(a_ref, zp_any, out_ref, win_ref, sem_ref, acc_ref,
         out_ref[:] = acc_ref[:]
 
 
+def _band_halo_kernel_rot4(a_ref, zp_any, out_ref, win_ref, sem_ref,
+                           acc_ref, lag_ref):
+    """Rotation-baked halo variant: ONE K=4B matmul per grid step.
+
+    The 4-slot ring is laid out as one contiguous [4B, G] VMEM window and
+    ``A`` is built with each block-row's three weight blocks placed at
+    column range (slab %% 4)·B (:func:`_build_band_rot4`) — the fourth
+    block is zero, absorbing whatever the prefetch DMA is writing into
+    the unused slot (finite bf16 × zero weight = 0). This fuses the three
+    [B,B]@[B,G] dots into a single [B,4B]@[4B,G] dot: +33% redundant
+    FLOPs for a 4× longer MXU K-dimension per issue.
+    """
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    B = lag_ref.shape[0]
+
+    def dma(slab):
+        return pltpu.make_async_copy(
+            zp_any.at[slab],
+            win_ref.at[pl.ds((slab % 4) * B, B)],
+            sem_ref.at[slab % 4])
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        # zero the window: the unused 4th slot must hold finite values
+        # before its first DMA lands (uninitialized VMEM could be NaN,
+        # and 0 * NaN would poison the fused dot)
+        win_ref[:] = jnp.zeros_like(win_ref)
+        dma(0).start()
+        dma(1).start()
+        dma(2).start()
+        dma(0).wait()
+        dma(1).wait()
+
+    @pl.when(i + 3 < nsteps + 2)
+    def _():
+        dma(i + 3).start()
+
+    dma(i + 2).wait()
+
+    a = a_ref[0]                                         # [B, 4B]
+    lag_ref[:] = jnp.dot(a, win_ref[:],
+                         preferred_element_type=jnp.float32)
+    z1 = win_ref[pl.ds(((i + 1) % 4) * B, B)]            # center slab
+    acc_ref[:] = acc_ref[:] + jnp.sum(
+        z1.astype(jnp.float32) * lag_ref[:], axis=0, keepdims=True)
+
+    @pl.when(i == nsteps - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def _build_band_rot4(local_idx, w_local, block: int, dtype):
+    """A4[nb, B, 4B]: like :func:`_build_band` but each window slab's
+    B-wide weight block sits at column (padded_slab %% 4)·B — the layout
+    :func:`_band_halo_kernel_rot4` needs for its single fused dot. The
+    column block not covered by the three window slabs stays zero."""
+    nb = local_idx.shape[0] // block
+    k = local_idx.shape[1]
+    li3 = local_idx.reshape(nb, block, k)      # rel positions [0, 3B)
+    lw3 = w_local.reshape(nb, block, k)
+    i_idx = jnp.arange(nb, dtype=jnp.int32)[:, None, None]
+    slab = i_idx + li3 // block                # padded slab per entry
+    col4 = (slab % 4) * block + li3 % block    # column in [0, 4B)
+    iota = jnp.arange(4 * block, dtype=jnp.int32)[None, None, :]
+    A = jnp.zeros((nb, block, 4 * block), dtype)
+    zero = jnp.zeros((), dtype)
+    for j in range(k):
+        A = A + jnp.where(iota == col4[:, :, j:j + 1],
+                          lw3[:, :, j:j + 1].astype(dtype), zero)
+    return A
+
+
+def _band_cross_pallas_halo4(A4, Zp, interpret: bool) -> jax.Array:
+    """cross[g] via the rotation-baked single-dot halo kernel."""
+    nb, B, _ = A4.shape
+    G = Zp.shape[2]
+    out = pl.pallas_call(
+        _band_halo_kernel_rot4,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, B, 4 * B), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, G), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, G), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((4 * B, G), Zp.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((1, G), jnp.float32),
+            pltpu.VMEM((B, G), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(A4, Zp)
+    return out[0]
+
+
 def _halo_tiles(G: int, g_tile: int = 2048) -> Tuple[int, int]:
     """(n_gene_tiles, tile_width) for the halo kernel; ngt*Gt >= G, Gt a
     lane-aligned multiple of 128 and <= g_tile (VMEM budget)."""
@@ -602,6 +704,8 @@ def _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab, den, S0, perm,
     zblk = Zp[1:nb + 1]
     if band_impl == "pallas_halo":
         cross = _band_cross_pallas_halo(A, Zp, interpret=interpret)
+    elif band_impl == "pallas_halo4":
+        cross = _band_cross_pallas_halo4(A, Zp, interpret=interpret)
     elif band_impl == "pallas":
         cross = _band_cross_pallas(A, Zp, interpret=interpret)
     else:
@@ -645,7 +749,10 @@ def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
         den = jnp.sum(Z.astype(jnp.float32) ** 2, axis=0)
         den = jnp.where(den > 0, den, 1.0)
     wdt = jnp.bfloat16 if precision == "bf16" else Z.dtype
-    A = _build_band(local_idx, w_local, block, wdt)
+    if band_impl == "pallas_halo4":
+        A = _build_band_rot4(local_idx, w_local, block, wdt)
+    else:
+        A = _build_band(local_idx, w_local, block, wdt)
     Ztab = Z if Z.dtype == wdt else Z.astype(wdt)
     G = Z.shape[1]
     if perm_method == "sort":
@@ -719,7 +826,10 @@ def banded_permutation_test(
 
     ``band_impl``: "pallas" fuses the band contraction on-chip, "xla" uses
     batched einsums, "pallas_halo" reads Zp once with manual halo DMA and
-    materializes no [nb, B, G] lag temp. "auto" picks "xla" below G=1536
+    materializes no [nb, B, G] lag temp. "pallas_halo4" is the
+    rotation-baked experiment: one K=4B fused dot per grid step instead of
+    three K=B dots (+33% redundant FLOPs, single g-tile only — VMEM holds
+    the whole [4B, G] window, so G <= 2048 at B=256). "auto" picks "xla" below G=1536
     (they tie at G≤1024) and "pallas_halo" at wider gene tiles on real
     TPUs, where skipping the lag-temp HBM traffic wins ~9% (measured
     17.7k vs 16.3k genes·perms/s at 1M×2048). On non-TPU backends Pallas

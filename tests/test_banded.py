@@ -268,6 +268,27 @@ def test_pallas_halo_band_impl_matches_xla(setup):
     np.testing.assert_array_equal(np.asarray(p_h), np.asarray(p_x))
 
 
+def test_pallas_halo4_band_impl_matches_xla(setup):
+    """Interpret-mode rotation-baked single-dot halo variant == XLA path.
+
+    The measured verdict (docs/performance.md dead-ends) is that halo4's
+    +33% redundant FLOPs lose to the 3-dot halo kernel at B=256 (21.4k vs
+    23.0k g*p/s); it stays selectable and this pins its correctness.
+    """
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    S0 = float(np.asarray(graph.neighbor_w).sum())
+    obs = moran_observed(graph, Z, S0)
+    p_x, m_x, s_x = banded_permutation_test(
+        plan, Z, S0, obs, seed=2, n_permutations=19, precision="f32",
+        band_impl="xla")
+    p_h, m_h, s_h = banded_permutation_test(
+        plan, Z, S0, obs, seed=2, n_permutations=19, precision="f32",
+        band_impl="pallas_halo4")
+    np.testing.assert_allclose(np.asarray(m_h), np.asarray(m_x), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(p_h), np.asarray(p_x))
+
+
 def test_banded_local_moran_matches_direct(setup):
     """Banded LISA == direct kernel: same draws (sort/f32), same p."""
     from spatialcore_tpu.ops.banded import banded_local_moran
