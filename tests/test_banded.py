@@ -339,3 +339,102 @@ def test_halo_gene_tiling_matches_single_tile():
     tiled = np.asarray(_band_cross_pallas_halo(A, Zp, interpret=True,
                                                g_tile=G // 4))
     np.testing.assert_allclose(tiled, one, rtol=1e-6, atol=1e-6)
+
+
+def test_banded_int8_statistically_equivalent(setup):
+    """int8 null mode: 100% decision agreement with the f32 oracle path.
+
+    The int8 system quantizes z per gene (s_g = min(max|z|, 8)/127) and
+    band weights per row, so its draws differ from f32 by O(s_g) — the
+    same precision class as bf16 (8 significant bits) at half the bytes.
+    Draws compare against the observed value of the SAME quantized
+    operator, so Monte-Carlo counting is internally consistent.
+    """
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    S0 = float(np.asarray(graph.neighbor_w).sum())
+    obs = moran_observed(graph, Z, S0)
+    p32, m32, _ = banded_permutation_test(
+        plan, Z, S0, obs, seed=5, n_permutations=99, precision="f32")
+    p8, m8, _ = banded_permutation_test(
+        plan, Z, S0, obs, seed=5, n_permutations=99, precision="int8")
+    np.testing.assert_allclose(np.asarray(m8), np.asarray(m32), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(p8), np.asarray(p32), atol=0.05)
+    assert ((np.asarray(p8) < 0.05) == (np.asarray(p32) < 0.05)).all()
+
+
+def test_banded_int8_geary(setup):
+    """int8 Geary draws agree with the f32 path at quantization tolerance."""
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    S0 = float(np.asarray(graph.neighbor_w).sum())
+    obs = geary_observed(graph, Z, S0)
+    p32, m32, _ = banded_permutation_test(
+        plan, Z, S0, obs, seed=9, n_permutations=99, precision="f32",
+        stat="geary", alternative="less")
+    p8, m8, _ = banded_permutation_test(
+        plan, Z, S0, obs, seed=9, n_permutations=99, precision="int8",
+        stat="geary", alternative="less")
+    np.testing.assert_allclose(np.asarray(m8), np.asarray(m32), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(p8), np.asarray(p32), atol=0.05)
+
+
+def test_pallas_halo_int8_matches_xla(setup):
+    """Interpret-mode int8 halo kernel == int8 XLA einsum path EXACTLY
+    (both accumulate the identical integers)."""
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    S0 = float(np.asarray(graph.neighbor_w).sum())
+    obs = moran_observed(graph, Z, S0)
+    p_x, m_x, s_x = banded_permutation_test(
+        plan, Z, S0, obs, seed=2, n_permutations=29, precision="int8",
+        band_impl="xla")
+    p_k, m_k, s_k = banded_permutation_test(
+        plan, Z, S0, obs, seed=2, n_permutations=29, precision="int8",
+        band_impl="pallas_halo")
+    np.testing.assert_array_equal(np.asarray(p_k), np.asarray(p_x))
+    np.testing.assert_allclose(np.asarray(m_k), np.asarray(m_x),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_int8_prequantized_matches_inline(setup):
+    """Streaming preps quantize once and pass (Zq, sz); must equal the
+    inline _quantize_z(Z) route bit-for-bit."""
+    from spatialcore_tpu.ops.banded import _quantize_z
+
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    S0 = float(np.asarray(graph.neighbor_w).sum())
+    obs = moran_observed(graph, Z, S0)
+    den = jnp.sum(Z * Z, axis=0)
+    p_a, m_a, _ = banded_permutation_test(
+        plan, Z, S0, obs, seed=11, n_permutations=49, precision="int8",
+        den=den)
+    Zq, sz = _quantize_z(Z)
+    p_b, m_b, _ = banded_permutation_test(
+        plan, Zq, S0, obs, seed=11, n_permutations=49, precision="int8",
+        den=den, sz=sz)
+    np.testing.assert_array_equal(np.asarray(p_a), np.asarray(p_b))
+    # integer products are exact, but the two programs compile differently
+    # so the f32 reduction order of the sz2-scaled mean may differ by ulps
+    np.testing.assert_allclose(np.asarray(m_a), np.asarray(m_b),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_quantize_z_properties():
+    """Quantizer: symmetric, exact recovery scale, outlier saturation."""
+    from spatialcore_tpu.ops.banded import _quantize_z
+
+    rng = np.random.default_rng(0)
+    Z = jnp.asarray(rng.standard_normal((512, 8)).astype(np.float32))
+    Zq, s = _quantize_z(Z)
+    assert Zq.dtype == jnp.int8
+    err = np.abs(np.asarray(Zq, np.float32) * np.asarray(s)[None, :]
+                 - np.asarray(Z))
+    # step size is s/2 per value; s = max|z|/127
+    assert err.max() <= float(np.asarray(s).max()) / 2 + 1e-6
+    # outliers beyond clip*sigma saturate instead of coarsening the gene
+    Zo = Z.at[0, 0].set(1000.0)
+    Zq2, s2 = _quantize_z(Zo)
+    assert float(s2[0]) <= 8.0 / 127.0 + 1e-6
+    assert int(Zq2[0, 0]) == 127
