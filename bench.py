@@ -24,8 +24,9 @@ row gather is issue-bound, so a 4 KB int8 row serves 2x the genes of a
 compare against the observed value of the same quantized operator, and
 tests pin 100% decision agreement with the f32 oracle
 (tests/test_banded.py::test_banded_int8_statistically_equivalent).
-Measured round 3 sustained: 34.3k genes*perms/s int8 vs 25.3k bf16.
-The 6144-gene schedule runs as one 4096 + one 2048 tile, all real work.
+Measured round 3 sustained: 37.2k genes*perms/s int8 (2x4096-tile
+schedule, 8192 genes x 1000 draws in 220 s) vs 25.3k bf16 — all real
+computed work, no dummy columns.
 The round-2 sustained-vs-burst gap (15.2k vs 17.8k) came from per-chunk
 host readbacks and a tail-width recompile inside the timed region; round
 3 removes both:
@@ -43,7 +44,8 @@ Data is generated ON-DEVICE (host->device uploads ride a slow tunnel) and
 the first device->host readback of the process (which can stall minutes on
 a degraded tunnel) is eaten before any timed region.
 
-Env overrides: BENCH_CELLS, BENCH_GENES (default 6144), BENCH_PERMS
+Env overrides: BENCH_CELLS, BENCH_GENES (default 8192 int8 / 6144
+otherwise), BENCH_PERMS
 (default 1000), BENCH_K, BENCH_CHUNK (default 200), BENCH_PREC=int8|bf16
 |f32 (default int8), BENCH_TILE (default 4096 int8 / 2048 otherwise),
 BENCH_MODE=sustained|burst, BENCH_IMPL=auto|xla|pallas|pallas_halo,
@@ -75,8 +77,10 @@ def main():
         n_genes = int(os.environ.get("BENCH_GENES", 2048))
         n_perms = int(os.environ.get("BENCH_PERMS", 100))
     else:
-        # 6144 genes (>= the 5,000-gene north star) tile-quantized: one
-        # 4096 + one 2048 tile under int8, 3x 2048 under bf16. Tile-
+        # tile-quantized gene count >= the 5,000-gene north star: 2x 4096
+        # tiles under int8 (a 2048-wide tail measured 34.3k vs 37.2k for
+        # pure 4096 tiles — the issue-bound row gather is fixed cost per
+        # draw regardless of width), 3x 2048 under bf16. Tile-
         # quantized on purpose: a 1024-wide tail batch runs at 13.2k
         # genes*perms/s vs 17.8k at 2048 (the per-draw row gather is a
         # fixed cost amortized over the gene width), and on a real slice
@@ -84,7 +88,8 @@ def main():
         # artifact. Measured round 3: prep fully hides behind the async
         # scan queue (308.9 s total vs 308.1 s scans-only at 5120 genes),
         # so tail width was the entire remaining sustained-vs-burst gap.
-        n_genes = int(os.environ.get("BENCH_GENES", 6144))
+        n_genes = int(os.environ.get(
+            "BENCH_GENES", 8192 if prec == "int8" else 6144))
     chunk = min(chunk, n_perms)
 
     import jax
@@ -151,6 +156,12 @@ def main():
         if rem >= tile:
             widths.append(tile)
             rem -= tile
+        elif widths:
+            # tail next to full tiles: round UP to the full tile — the
+            # issue-bound row gather costs the same at any width, so this
+            # is free wall-clock-wise and avoids a second executable
+            widths.append(tile)
+            rem = 0
         else:
             w = tile // 2 if rem <= tile // 2 else tile
             widths.append(w)

@@ -283,6 +283,13 @@ class SpatialData:
 def _deep_copy_uns(d):
     if isinstance(d, dict):
         return {k: _deep_copy_uns(v) for k, v in d.items()}
+    # lists/tuples recurse too: the provenance ledger's ``operations`` list
+    # must not be shared between copies (an append on one copy would leak
+    # into every other — caught by the round-3 int8 provenance test)
+    if isinstance(d, list):
+        return [_deep_copy_uns(v) for v in d]
+    if isinstance(d, tuple):
+        return tuple(_deep_copy_uns(v) for v in d)
     if isinstance(d, pd.DataFrame):
         return d.copy()
     if isinstance(d, np.ndarray):

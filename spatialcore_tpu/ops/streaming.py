@@ -54,6 +54,7 @@ def streaming_moran_null(
     stat: str = "moran",
     alternative: str = "greater",
     band_impl: str = "auto",
+    precision: str = "bf16",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Banded Moran/Geary permutation null over a streamed gene axis.
 
@@ -64,9 +65,16 @@ def streaming_moran_null(
     returned buffer is CONSUMED (donated to the prep program); do not
     reuse it.
 
+    ``precision="int8"`` stores each tile quantized per gene (half the
+    HBM of bf16, exact int8 MXU band dots — ops/banded.py): pass
+    ``tile=4096`` to amortize the issue-bound per-draw row gather over
+    2x the genes of the widest bf16 tile. Measured round 3: 15.3k ->
+    28.3k genes*perms/s warm on the 1M x 18,432-gene streaming run.
+
     Returns host arrays ``(I_obs, p, null_mean, null_std)`` of length
-    ``n_genes``. Peak device memory is one tile's bf16 Z + the band matrix
-    + one prep chunk's f32 intermediates, independent of ``n_genes``.
+    ``n_genes``. Peak device memory is one tile's quantized Z + the band
+    matrix + one prep chunk's f32 intermediates, independent of
+    ``n_genes``.
     """
     widths = []
     rem = n_genes
@@ -74,6 +82,14 @@ def streaming_moran_null(
         if rem >= tile:
             widths.append(tile)
             rem -= tile
+        elif widths:
+            # tail next to full tiles: round UP to the full tile. The
+            # per-draw row gather is issue-bound (same wall-clock at any
+            # width), so a zero-padded full tile costs what a half tile
+            # would — and reuses the one compiled executable instead of
+            # compiling a second width (remote compiles run ~1 min).
+            widths.append(tile)
+            rem = 0
         else:
             widths.append(tile // 2 if rem <= tile // 2 else tile)
             rem = 0
@@ -100,7 +116,11 @@ def streaming_moran_null(
             # pathology in its compile-time form)
             Z, num = jax.lax.optimization_barrier((Z, num))
         obs = (n / S0) * num / den
-        return Z.astype(jnp.bfloat16), den, obs
+        if precision == "int8":
+            from .banded import _quantize_z
+            Zq, s_z = _quantize_z(Z)
+            return Zq, den, obs, s_z
+        return Z.astype(jnp.bfloat16), den, obs, jnp.ones((g,), jnp.float32)
 
     I_parts, p_parts, m_parts, s_parts = [], [], [], []
     prev = None
@@ -136,11 +156,12 @@ def streaming_moran_null(
             # the sync costs ~0.1 s against ~100 s of tile scans)
             parts.append(jax.block_until_ready(_prep(X, g)))
         if len(parts) == 1:
-            Zb, den, obs = parts[0]
+            Zb, den, obs, szv = parts[0]
         else:
             Zb = jnp.concatenate([p[0] for p in parts], axis=1)
             den = jnp.concatenate([p[1] for p in parts])
             obs = jnp.concatenate([p[2] for p in parts])
+            szv = jnp.concatenate([p[3] for p in parts])
         jax.block_until_ready(Zb)
         del parts
 
@@ -152,7 +173,9 @@ def streaming_moran_null(
             p, m, sd = banded_permutation_test(
                 plan, Zb, S0, obs, seed=seed + bi * 1000 + ci,
                 n_permutations=pc, den=den, stat=stat,
-                alternative=alternative, band_impl=band_impl)
+                alternative=alternative, band_impl=band_impl,
+                precision=precision,
+                sz=szv if precision == "int8" else None)
             count = count + jnp.round(p * (pc + 1.0) - 1.0)
             mean_acc = mean_acc + m * pc
             m2_acc = m2_acc + (sd * sd + m * m) * pc
@@ -162,7 +185,7 @@ def streaming_moran_null(
         std_tile = jnp.sqrt(jnp.maximum(m2_acc / P - mean_tile ** 2, 0.0))
 
         prev = (obs, p_tile, mean_tile, std_tile)
-        del Zb, den
+        del Zb, den, szv
         start += w
     for lst, arr in zip((I_parts, p_parts, m_parts, s_parts), prev):
         lst.append(np.asarray(arr))

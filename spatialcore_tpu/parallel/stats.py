@@ -85,6 +85,8 @@ def sharded_banded_permutation_test(
     stat: str = "moran",
     alternative: str = "greater",
     band_impl: str = "auto",
+    precision: str = "bf16",
+    sz: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Banded permutation null (ops.banded), gene-sharded over the mesh.
 
@@ -108,11 +110,14 @@ def sharded_banded_permutation_test(
     observed = jax.device_put(observed, gs1)
     if den is not None:
         den = jax.device_put(den, gs1)
+    if sz is not None:
+        sz = jax.device_put(sz, gs1)
     with mesh:
         return banded_permutation_test(
             plan, Z, S0, observed, seed=seed,
             n_permutations=n_permutations, stat=stat,
-            alternative=alternative, band_impl=band_impl, den=den)
+            alternative=alternative, band_impl=band_impl, den=den,
+            precision=precision, sz=sz)
 
 
 def sharded_lees_l(

@@ -215,6 +215,13 @@ def _global_autocorr(
     if null_method == "auto":
         null_method = ("banded" if n_permutations > 0
                        and n_cells >= 100_000 else "slots")
+    # "banded_int8": per-gene-quantized null system — exact int8 MXU band
+    # dots, half the HBM bytes of bf16, ~1.5x draw throughput at 1M cells
+    # (docs/performance.md). Decision-level agreement with f32 is pinned
+    # by tests/test_banded.py; observed I stays f32.
+    null_precision = "bf16"
+    if null_method == "banded_int8":
+        null_method, null_precision = "banded", "int8"
     plan = None
     if null_method == "banded" and n_permutations > 0:
         from ..ops.banded import banded_permutation_test, build_null_plan
@@ -274,7 +281,8 @@ def _global_autocorr(
             if plan is not None:
                 p_sim, _, _ = banded_permutation_test(
                     plan, Z, S0, observed, seed, n_permutations,
-                    stat=stat, alternative=alternative)
+                    stat=stat, alternative=alternative,
+                    precision=null_precision)
             else:
                 p_sim, _, _ = permutation_test_global(
                     graph, Z, S0, observed, seed, n_permutations,
@@ -310,7 +318,9 @@ def _global_autocorr(
             "n_neighbors": n_neighbors, "n_permutations": n_permutations,
             "use_existing_graph": use_existing_graph, "seed": seed,
             "assumption": assumption, "alternative": alternative,
-            "null_method": null_method if n_permutations > 0 else "analytic",
+            "null_method": (
+                ("banded_int8" if null_precision == "int8" else null_method)
+                if n_permutations > 0 else "analytic"),
             "backend": "spatialcore_tpu",
         },
         outputs={"uns": key_added},
@@ -342,6 +352,11 @@ def morans_i(
     (autocorrelation.py:585-625). ``p_value`` is the seeded permutation
     p-value when ``n_permutations > 0``, else the analytic tail probability
     under ``assumption``. ``z_score`` uses the analytic variance.
+
+    ``null_method``: "auto" picks the banded kernel at >=100k cells;
+    "banded_int8" additionally runs the null system in per-gene-quantized
+    int8 (exact integer MXU dots, ~1.5x draw throughput, decision-level
+    agreement with f32 — docs/performance.md). Observed I is always f32.
     """
     return _global_autocorr(
         adata, "moran", genes, layer, spatial_key, n_neighbors, n_permutations,

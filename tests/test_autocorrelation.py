@@ -520,6 +520,28 @@ def test_morans_i_banded_null_method(spatial_adata):
                   "morans_i"] is not None
 
 
+def test_morans_i_banded_int8_null_method(spatial_adata):
+    """null_method='banded_int8': same observed I (f32), same inference,
+    provenance records the quantized null."""
+    import spatialcore_tpu as sct
+
+    a1 = spatial_adata.copy()
+    a2 = spatial_adata.copy()
+    a1 = sct.spatial.morans_i(a1, n_permutations=99, seed=0,
+                              null_method="banded_int8")
+    a2 = sct.spatial.morans_i(a2, n_permutations=99, seed=0,
+                              null_method="banded")
+    df1 = a1.uns["morans_i"].set_index("gene")
+    df2 = a2.uns["morans_i"].set_index("gene")
+    np.testing.assert_allclose(df1["I"], df2["I"], rtol=1e-6)
+    assert df1.loc["GENE0", "p_value"] <= 0.02
+    sig1 = df1["p_value"] < 0.05
+    sig2 = df2["p_value"] < 0.05
+    assert (sig1 == sig2).all()
+    ops = a1.uns["spatialcore_metadata"]["operations"]
+    assert ops[-1]["parameters"]["null_method"] == "banded_int8"
+
+
 def test_local_join_counts(spatial_adata):
     """Clustered binary condition: positives in the hotspot get small p."""
     import spatialcore_tpu as sct

@@ -216,3 +216,27 @@ def test_facade_available_modules():
     import spatialcore_tpu as sct
 
     assert "core" in sct.available_modules()
+
+
+def test_copy_does_not_share_uns_lists():
+    """uns lists (e.g. the provenance operations ledger) must be
+    independent after copy(): an append on the copy must not leak into
+    the original (round-3 regression — _deep_copy_uns skipped lists)."""
+    import numpy as np
+    import pandas as pd
+
+    from spatialcore_tpu.core.container import SpatialData
+    from spatialcore_tpu.core.metadata import update_metadata
+
+    a = SpatialData(X=np.zeros((4, 2), np.float32),
+                    var=pd.DataFrame(index=["g0", "g1"]))
+    update_metadata(a, "op_a", parameters={"x": 1}, outputs={})
+    b = a.copy()
+    update_metadata(b, "op_b", parameters={"x": 2}, outputs={})
+    ops_a = a.uns["spatialcore_metadata"]["operations"]
+    ops_b = b.uns["spatialcore_metadata"]["operations"]
+    assert [o["function"] if "function" in o else o.get("function_name")
+            for o in ops_a] != [
+        o["function"] if "function" in o else o.get("function_name")
+        for o in ops_b]
+    assert len(ops_a) == 1 and len(ops_b) == 2

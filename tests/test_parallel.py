@@ -258,3 +258,54 @@ def test_morans_i_mesh_banded_null_matches_single_device():
                                   df1["p_value"].to_numpy())
     np.testing.assert_allclose(df8["I"].to_numpy(), df1["I"].to_numpy(),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_banded_sharded_int8_matches_and_collective_free(world):
+    """int8 null under gene sharding: bitwise-equal p to single device and
+    zero collectives in the compiled HLO (quantization is per-gene, so it
+    shards columnwise like everything else in the draw loop)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spatialcore_tpu.ops.banded import (
+        NullPlan, _banded_test, _quantize_z, banded_permutation_test,
+        build_null_plan)
+    from spatialcore_tpu.parallel import sharded_banded_permutation_test
+
+    graph, X = world
+    S0 = float(X.shape[0])
+    Z, _ = standardize(jnp.asarray(X))
+    plan = build_null_plan(graph, block=64)
+    obs = moran_observed(graph, Z, S0)
+
+    p1, m1, s1 = banded_permutation_test(plan, Z, S0, obs, seed=3,
+                                         n_permutations=20, band_impl="xla",
+                                         precision="int8")
+    mesh = auto_mesh()
+    p8, m8, s8 = sharded_banded_permutation_test(
+        plan, Z, S0, obs, seed=3, n_permutations=20, mesh=mesh,
+        band_impl="xla", precision="int8")
+    np.testing.assert_array_equal(np.asarray(p8), np.asarray(p1))
+    np.testing.assert_allclose(np.asarray(m8), np.asarray(m1), atol=1e-6)
+
+    rep = NamedSharding(mesh, P())
+    plan_r = NullPlan(*(jax.device_put(f, rep) if isinstance(f, jax.Array)
+                        else f for f in plan))
+    Zq, sz = _quantize_z(Z)
+    Zs = jax.device_put(Zq, NamedSharding(mesh, P(None, "genes")))
+    obs_s = jax.device_put(obs, NamedSharding(mesh, P("genes")))
+    den = jnp.sum(Z * Z, axis=0)
+    den_s = jax.device_put(den, NamedSharding(mesh, P("genes")))
+    sz_s = jax.device_put(sz, NamedSharding(mesh, P("genes")))
+    with mesh:
+        lowered = _banded_test.lower(
+            plan_r.order, plan_r.local_idx, plan_r.w_local, plan_r.far_src,
+            plan_r.far_dst, plan_r.far_w, plan_r.rc_sum, Zs, S0, obs_s,
+            jnp.uint32(3), den_s, sz_s, block=plan.block, n=plan.n,
+            n_permutations=20, stat="moran", alternative="greater",
+            precision="int8", perm_method="feistel", band_impl="xla",
+            interpret=True)
+        hlo = lowered.compile().as_text()
+    collectives = ["all-gather", "all-reduce", "collective-permute",
+                   "all-to-all", "reduce-scatter", "collective-broadcast"]
+    found = [c for c in collectives if c in hlo]
+    assert not found, f"collectives in gene-sharded int8 banded HLO: {found}"

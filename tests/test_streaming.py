@@ -68,3 +68,28 @@ def test_streaming_multi_tile_shapes_and_consistency():
     assert (p > 0).all() and (p <= 1).all()
     # null moments near the analytic expectation E[I] = -1/(n-1)
     assert abs(m.mean() - (-1.0 / (n - 1))) < 0.01
+
+
+def test_streaming_int8_matches_bf16_decisions():
+    """precision="int8" streams quantized tiles; decisions must match the
+    f32 path and observed I stays the exact f32 value."""
+    coords, X = _world(n=500, g=48, seed=3)
+    n, g = X.shape
+    graph = build_graph(coords, n_neighbors=6)
+    plan = build_null_plan(graph, block=64)
+    S0 = float(n)
+
+    kw = dict(n_genes=g, S0=S0, seed=2, n_permutations=49, tile=32,
+              prep_chunk=16, chunk=25, band_impl="xla")
+    I8, p8, m8, s8 = streaming_moran_null(
+        graph, plan, lambda st, w, ci: jnp.asarray(X[:, st:st + w]),
+        precision="int8", **kw)
+    I32, p32, m32, s32 = streaming_moran_null(
+        graph, plan, lambda st, w, ci: jnp.asarray(X[:, st:st + w]),
+        precision="f32", **kw)
+    assert I8.shape == p8.shape == (g,)
+    # observed I is computed in f32 BEFORE quantization: exact match
+    np.testing.assert_allclose(I8, I32, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(p8, p32, atol=0.05)
+    assert ((p8 < 0.05) == (p32 < 0.05)).all()
+    np.testing.assert_allclose(m8, m32, atol=5e-3)
