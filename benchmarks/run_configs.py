@@ -110,7 +110,9 @@ def config4(scale):
     n = int(1_000_000 * scale)
     n_genes_total = int(os.environ.get("BENCH4_GENES", int(5000 * scale) or 8))
     n_perms = int(os.environ.get("BENCH4_PERMS", int(1000 * scale) or 8))
-    gene_batch = min(2048, max(n_genes_total, 8))
+    prec = os.environ.get("BENCH4_PREC", "int8")
+    gene_batch = min(4096 if prec == "int8" else 2048,
+                     max(n_genes_total, 8))
     kc = jax.random.key(0)
     coords_j = jax.random.uniform(kc, (n, 2), jnp.float32, 0.0, 6000.0)
     coords = np.asarray(coords_j)
@@ -130,7 +132,13 @@ def config4(scale):
         den = jnp.sum(Z * Z, axis=0)
         den = jnp.where(den > 0, den, 1.0)
         obs = moran_observed(graph, Z, S0)
-        return Z.astype(jnp.bfloat16), den, obs
+        if prec == "int8":
+            from spatialcore_tpu.ops.banded import _quantize_z
+
+            Zq, s_z = _quantize_z(Z)
+            return Zq, den, obs, s_z
+        return (Z.astype(jnp.bfloat16), den, obs,
+                jnp.ones((g,), jnp.float32))
 
     def prep(key, width):
         step = min(1024, width)
@@ -139,21 +147,39 @@ def config4(scale):
             for i, s in enumerate(range(0, width, step))]
         if len(parts) == 1:
             return parts[0]
-        return (jnp.concatenate([p[0] for p in parts], axis=1),
-                jnp.concatenate([p[1] for p in parts]),
-                jnp.concatenate([p[2] for p in parts]))
+        return tuple(jnp.concatenate([p[j] for p in parts],
+                                     axis=1 if j == 0 else 0)
+                     for j in range(4))
+
+    chunk = int(os.environ.get("BENCH4_CHUNK", 200))
+    widths = sorted({min(gene_batch, n_genes_total - s)
+                     for s in range(0, n_genes_total, gene_batch)})
+    pcs = sorted({min(chunk, n_perms - s) for s in range(0, n_perms, chunk)})
+    # warm every (width, chunk) executable OUTSIDE the clock (remote
+    # Pallas compiles run ~1 min each; bench.py AOT-compiles instead)
+    t0 = time.time()
+    for w in widths:
+        Zb, den, obs, szv = prep(jax.random.key(77), w)
+        for pc in pcs:
+            p, _, _ = banded_permutation_test(
+                plan, Zb, S0, obs, seed=9_999, n_permutations=pc, den=den,
+                precision=prec, sz=szv if prec == "int8" else None)
+            jax.block_until_ready(p)
+        del Zb, den, obs, szv
+    print(f"[config4] warm-up ({len(widths)}x{len(pcs)} executables): "
+          f"{time.time()-t0:.1f}s", file=sys.stderr)
 
     total = 0.0
     done = 0
     batch_i = 0
-    Zb = den = obs = None
+    Zb = den = obs = szv = None
     for start in range(0, n_genes_total, gene_batch):
         g = min(gene_batch, n_genes_total - start)
-        del Zb, den, obs  # free the previous 4GB batch BEFORE re-prepping
-        Zb = den = obs = None
+        del Zb, den, obs, szv  # free the previous batch BEFORE re-prepping
+        Zb = den = obs = szv = None
         # prep at the batch's TRUE width: a 904-gene tail computed at the
-        # full 2048 tile wasted ~18% of the run
-        Zb, den, obs = jax.block_until_ready(
+        # full tile would waste band FLOPs (the gather is fixed cost)
+        Zb, den, obs, szv = jax.block_until_ready(
             prep(jax.random.fold_in(jax.random.key(1), batch_i), g))
         # chunk the draws: single device executions much longer than ~60 s
         # trip the remote tunnel's RPC deadline ("TPU device error").
@@ -161,14 +187,14 @@ def config4(scale):
         # per batch instead of one per chunk (the round-2 sustained-vs-
         # burst gap; bench.py's sustained mode goes further with AOT
         # compiles and a single end-of-run block)
-        chunk = int(os.environ.get("BENCH4_CHUNK", 200))
         count_dev = jnp.zeros((g,), jnp.float32)
         t0 = time.time()
         for ci, start_p in enumerate(range(0, n_perms, chunk)):
             pc = min(chunk, n_perms - start_p)
             p, _, _ = banded_permutation_test(
                 plan, Zb, S0, obs, seed=batch_i * 1000 + ci,
-                n_permutations=pc, den=den)
+                n_permutations=pc, den=den, precision=prec,
+                sz=szv if prec == "int8" else None)
             count_dev = count_dev + jnp.round(p * (pc + 1.0) - 1.0)
         count = np.asarray(count_dev)             # the batch's one readback
         total += time.time() - t0
@@ -176,7 +202,7 @@ def config4(scale):
         batch_i += 1
     rate = done * n_perms / total
     _emit(4, "xenium_moran_genes_perms_per_s", rate, "genes*perms/s",
-          n_cells=n, n_genes=done, n_perms=n_perms,
+          n_cells=n, n_genes=done, n_perms=n_perms, precision=prec,
           total_s=round(total, 1))
 
 

@@ -333,7 +333,7 @@ def test_join_counts_detect_clustering(spatial_adata):
     """Clustered binary labels → significant BB, depleted BW."""
     from spatialcore_tpu.spatial import join_count_statistics
 
-    adata = spatial_adata
+    adata = spatial_adata.copy()
     coords = np.asarray(adata.obsm["spatial"])
     # label the left half "black" → strong spatial clustering
     adata.obs["left"] = coords[:, 0] < np.median(coords[:, 0])
@@ -372,7 +372,7 @@ def test_join_counts_detect_clustering(spatial_adata):
 def test_local_gearys_c(spatial_adata):
     from spatialcore_tpu.spatial import local_gearys_c
 
-    adata = spatial_adata
+    adata = spatial_adata.copy()
     adata = local_gearys_c(adata, n_permutations=99, seed=0)
     C = adata.obsm["local_geary_C"]
     p = adata.obsm["local_geary_p"]
