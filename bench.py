@@ -255,18 +255,45 @@ def main():
         pcs = sorted({chunk, n_perms % chunk or chunk})
         compiled = {}
         t0 = time.time()
+
+        def compile_with_retry(build, what, tries=4, wait=45.0):
+            # the remote compile service intermittently fails NEW shapes
+            # with RESOURCE_EXHAUSTED / INTERNAL while cached executables
+            # keep working (CLAUDE.md environment quirks) — ride it out
+            # rather than record a failed driver run
+            for attempt in range(tries):
+                try:
+                    return build()
+                except Exception as e:  # noqa: BLE001
+                    msg = str(e)
+                    transient = ("RESOURCE_EXHAUSTED" in msg
+                                 or "INTERNAL" in msg
+                                 or "UNAVAILABLE" in msg)
+                    if not transient or attempt == tries - 1:
+                        raise
+                    print(f"[bench] transient backend fault compiling "
+                          f"{what}; retry {attempt + 1}/{tries - 1} in "
+                          f"{wait:.0f}s", file=sys.stderr)
+                    time.sleep(wait)
+
         for w in sorted(set(widths)):
-            Zb, den, obs, szv = jax.block_until_ready(prep_width(
-                jax.random.key(99), w))
+            Zb, den, obs, szv = compile_with_retry(
+                lambda: jax.block_until_ready(prep_width(
+                    jax.random.key(99), w)), f"prep w={w}")
             for pc in pcs:
-                lowered = _banded_test.lower(
-                    plan.order, plan.local_idx, plan.w_local, plan.far_src,
-                    plan.far_dst, plan.far_w, plan.rc_sum, Zb, S0, obs,
-                    jnp.uint32(0), den, szv, block=plan.block, n=plan.n,
-                    n_permutations=pc, stat="moran", alternative="greater",
-                    precision=prec, perm_method="feistel",
-                    band_impl=band_for[w], interpret=interp)
-                compiled[(w, pc)] = lowered.compile()
+                def build(w=w, pc=pc, Zb=Zb, den=den, obs=obs, szv=szv):
+                    lowered = _banded_test.lower(
+                        plan.order, plan.local_idx, plan.w_local,
+                        plan.far_src, plan.far_dst, plan.far_w, plan.rc_sum,
+                        Zb, S0, obs, jnp.uint32(0), den, szv,
+                        block=plan.block, n=plan.n, n_permutations=pc,
+                        stat="moran", alternative="greater", precision=prec,
+                        perm_method="feistel", band_impl=band_for[w],
+                        interpret=interp)
+                    return lowered.compile()
+
+                compiled[(w, pc)] = compile_with_retry(
+                    build, f"scan w={w} pc={pc}")
             del Zb, den, obs, szv
         print(f"[bench] AOT compile ({len(compiled)} executables): "
               f"{time.time()-t0:.1f}s", file=sys.stderr)

@@ -112,6 +112,14 @@ def main(outdir="docs/images"):
     assert mi.loc["MS4A1", "p_value"] <= 0.05
     assert abs(mi.loc["NOISE1", "I"]) < 0.02  # noise is not
     assert mi.loc["GRAD1", "p_value"] <= 0.0101  # min p with 99 perms (f32)
+    # the quantized int8 null (half the bytes, exact integer MXU dots)
+    # reaches the same decisions; observed I stays exact f32
+    a8 = sct.spatial.morans_i(adata.copy(), n_permutations=99, seed=0,
+                              n_neighbors=8, null_method="banded_int8",
+                              key_added="morans_i_int8")
+    m8 = a8.uns["morans_i_int8"].set_index("gene")
+    assert (m8["I"] - mi["I"]).abs().max() < 1e-5
+    assert ((m8["p_value"] < 0.05) == (mi["p_value"] < 0.05)).all()
 
     # --- niches ---------------------------------------------------------
     adata = sct.spatial.compute_neighborhood_profile(adata, "cell_type",
