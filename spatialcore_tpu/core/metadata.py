@@ -66,6 +66,11 @@ class MetadataTracker:
 
     def flush(self, adata) -> None:
         meta = adata.uns.setdefault(METADATA_KEY, {"operations": []})
+        if isinstance(meta, str):
+            # ledger was JSON-stringified for h5ad (prepare_metadata_for_
+            # h5ad) and the file was reopened — restore before appending
+            meta = json.loads(meta)
+            adata.uns[METADATA_KEY] = meta
         meta.setdefault("operations", []).extend(self.operations)
         self.operations = []
 

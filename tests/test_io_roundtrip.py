@@ -61,3 +61,23 @@ def test_full_analysis_roundtrip(tmp_path):
     ops = [o["function"] for o in
            back.uns["spatialcore_metadata"]["operations"]]
     assert "morans_i" in ops and "make_spatial_domains" in ops
+
+
+def test_update_metadata_after_h5ad_stringify():
+    """Appending an op after prepare_metadata_for_h5ad (stringified
+    ledger) must restore the dict instead of crashing (round-3 fix)."""
+    import numpy as np
+    import pandas as pd
+
+    from spatialcore_tpu.core.container import SpatialData
+    from spatialcore_tpu.core.metadata import (
+        get_operations, prepare_metadata_for_h5ad, update_metadata)
+
+    a = SpatialData(X=np.zeros((3, 2), np.float32),
+                    var=pd.DataFrame(index=["g0", "g1"]))
+    update_metadata(a, "op_a", parameters={}, outputs={})
+    prepare_metadata_for_h5ad(a)
+    assert isinstance(a.uns["spatialcore_metadata"], str)
+    update_metadata(a, "op_b", parameters={}, outputs={})
+    ops = get_operations(a)
+    assert [o["function"] for o in ops] == ["op_a", "op_b"]
