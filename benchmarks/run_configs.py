@@ -7,6 +7,7 @@ Configs (BASELINE.json .configs, sizes scaled by --scale):
   4. 1M-cell Xenium-like: Moran's I, 5k genes × 1k perms (gene-batched)
   5. full niche/domain pipeline (profiles → niches → domains → distances)
   6. streaming >HBM gene axis: 1M cells × 18,432 genes (ops/streaming.py)
+  7. annotation throughput: LR train + device-resident scoring
 
 Usage: python benchmarks/run_configs.py [--configs 1,2,3,4,5] [--scale 1.0]
 """
@@ -332,6 +333,66 @@ def config6(scale):
           precision=prec, total_s=round(dt, 1))
 
 
+def config7(scale):
+    """Annotation throughput: train the CellTypist-replacement LR model
+    and score device-resident expression (annotation/model.py). Train
+    data uploads once (host synthetic, the realistic ingest path);
+    inference X generates ON DEVICE so the cells/s number measures the
+    MXU scoring path, not the tunnel."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from spatialcore_tpu.annotation.training import train_cell_type_model
+    from spatialcore_tpu.core.container import SpatialData
+
+    n_train = int(os.environ.get("BENCH7_TRAIN", int(100_000 * scale) or 64))
+    n_infer = int(os.environ.get("BENCH7_INFER", int(500_000 * scale) or 64))
+    g = int(os.environ.get("BENCH7_GENES", 512))
+    c = int(os.environ.get("BENCH7_TYPES", 25))
+    epochs = int(os.environ.get("BENCH7_EPOCHS", 20))
+
+    rng = np.random.default_rng(0)
+    centroids = rng.normal(0.0, 1.0, (c, g)).astype(np.float32)
+    y = rng.integers(0, c, n_train)
+    X = (centroids[y] + rng.normal(0, 1.2, (n_train, g))).astype(np.float32)
+    X = np.log1p(np.abs(X))          # log1p-normalized-like positive data
+    adata = SpatialData(X=X, var=pd.DataFrame(
+        index=[f"G{i}" for i in range(g)]))
+    adata.obs["cell_type"] = pd.Categorical([f"T{t}" for t in y])
+
+    t0 = time.time()
+    model = _retry_compile(
+        lambda: train_cell_type_model(adata, epochs=epochs, seed=0),
+        "config7 train")
+    t_train = time.time() - t0
+
+    # accuracy sanity on held-out synthetic draws from the same mixture
+    yh = rng.integers(0, c, 20_000)
+    Xh = np.log1p(np.abs(centroids[yh]
+                         + rng.normal(0, 1.2, (20_000, g)))).astype(
+        np.float32)
+    labels, _ = model.predict(Xh)
+    acc = (labels == np.array([f"T{t}" for t in yh], object)).mean()
+
+    # inference: device-resident X (no tunnel), public decision path
+    kd = jax.random.key(3)
+    Xd = jnp.log1p(jnp.abs(jax.random.normal(kd, (n_infer, g))))
+    jax.block_until_ready(Xd)
+    _retry_compile(lambda: model.decision_scores(Xd[:4096]),
+                   "config7 score warm")
+    t0 = time.time()
+    scores = model.decision_scores(Xd)
+    t_score = time.time() - t0
+    rate = n_infer / t_score
+    _emit(7, "annotation_train_s_plus_score_cells_per_s", rate, "cells/s",
+          n_train=n_train, n_genes=g, n_types=c, epochs=epochs,
+          train_s=round(t_train, 1), holdout_acc=round(float(acc), 4),
+          n_infer=n_infer, score_s=round(t_score, 2))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="1,2,3,4,5")
@@ -345,7 +406,7 @@ def main():
     print(f"[configs] first-readback warmup: {time.time()-t0:.1f}s",
           file=sys.stderr)
     fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
-           6: config6}
+           6: config6, 7: config7}
     for c in [int(x) for x in args.configs.split(",")]:
         t0 = time.time()
         try:

@@ -104,13 +104,24 @@ class CellTypeModel:
             xb = X[s:s + batch_size]
             if hasattr(xb, "todense"):
                 xb = np.asarray(xb.todense())
-            xb = np.asarray(xb, np.float32)
-            if gene_idx is not None:
-                cols = np.where(gene_idx >= 0, gene_idx, 0)
-                xb = xb[:, cols]
-                xb[:, gene_idx < 0] = np.asarray(mean)[gene_idx < 0]
+            if isinstance(xb, jax.Array):
+                # device-resident input stays on device (no host bounce —
+                # the remote tunnel makes a [65k, G] round-trip cost
+                # seconds); absent-gene fill runs as jnp ops
+                xb = xb.astype(jnp.float32)
+                if gene_idx is not None:
+                    cols = jnp.where(gene_idx >= 0, gene_idx, 0)
+                    xb = jnp.where(jnp.asarray(gene_idx < 0)[None, :],
+                                   mean[None, :], xb[:, cols])
+            else:
+                xb = np.asarray(xb, np.float32)
+                if gene_idx is not None:
+                    cols = np.where(gene_idx >= 0, gene_idx, 0)
+                    xb = xb[:, cols]
+                    xb[:, gene_idx < 0] = np.asarray(mean)[gene_idx < 0]
+                xb = jnp.asarray(xb)
             out[s:s + batch_size] = np.asarray(
-                _score_batch(jnp.asarray(xb), W, b, mean, std))
+                _score_batch(xb, W, b, mean, std))
         return out
 
     def predict(self, X, gene_idx: Optional[np.ndarray] = None,

@@ -350,3 +350,33 @@ def test_model_registry_publish_and_annotate(tmp_path, monkeypatch):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError, match="publish_model"):
         resolve_model("no_such_model", models_dir=tmp_path / "empty")
+
+
+def test_decision_scores_device_input_matches_numpy():
+    """A jax-array X must score identically to numpy X (device-resident
+    path added round 3 — no host bounce), including absent-gene fill."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spatialcore_tpu.annotation.model import CellTypeModel
+
+    rng = np.random.default_rng(0)
+    g, c = 24, 4
+    model = CellTypeModel(
+        W=rng.normal(size=(g, c)).astype(np.float32),
+        b=rng.normal(size=(c,)).astype(np.float32),
+        classes=[f"T{i}" for i in range(c)],
+        genes=[f"G{i}" for i in range(g)],
+        scaler_mean=rng.normal(size=(g,)).astype(np.float32),
+        scaler_std=(rng.uniform(0.5, 2.0, g)).astype(np.float32),
+    )
+    X = rng.normal(size=(100, g + 6)).astype(np.float32)
+    gene_idx = np.concatenate([np.arange(g - 5) + 3,
+                               -np.ones(5, np.int64)]).astype(np.int64)
+    s_np = model.decision_scores(X, gene_idx=gene_idx)
+    s_dev = model.decision_scores(jnp.asarray(X), gene_idx=gene_idx)
+    np.testing.assert_allclose(s_dev, s_np, rtol=1e-5, atol=1e-6)
+    # labels agree end-to-end too
+    l_np, _ = model.predict(X, gene_idx=gene_idx)
+    l_dev, _ = model.predict(jnp.asarray(X), gene_idx=gene_idx)
+    assert (l_np == l_dev).all()
