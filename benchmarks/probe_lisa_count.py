@@ -1,5 +1,15 @@
 """Counter-dtype probe for the LISA permutation scan (direct kernel).
 
+STATUS (round 3): UNMEASURED — the direct-path scan program (sort
+permutation + k barriered lag gathers + [N, G] count update) takes
+>6 min PER VARIANT in the remote compile service at 500k cells, so the
+three-variant comparison never completed inside a TPU-healthy window.
+The int16/bf16 counter idea (halve the count read+write traffic, exact
+for P <= 32767 / <= 256) remains a candidate; measure when a local
+compiler or a stable backend exists. Note the compile cost itself is a
+finding: a user's first 500k-cell LISA call pays the same multi-minute
+remote compile.
+
 The local-Moran draw loop's [N, G] count update (read + write per draw)
 plus the [N, G] Ip comparison is the documented bottleneck at scale.
 This times the production direct-path body (ops.moran.local_moran
@@ -26,15 +36,20 @@ P = int(os.environ.get("PROBE_PERMS", 20))
 
 kc = jax.random.key(0)
 coords = jax.random.uniform(kc, (N, 2), jnp.float32, 0.0, 6000.0)
+import sys, time as _t
+_t0 = _t.time()
 _ = float(coords[0, 0])                      # eat first-readback stall
+print(f"readback warmup {_t.time()-_t0:.1f}s", flush=True)
 graph = build_graph(coords, n_neighbors=6)
 jax.block_until_ready(graph.neighbor_w)
+print("graph built", flush=True)
 
 Z = jax.random.normal(jax.random.key(1), (N, G), jnp.float32)
 # jit: eager spatial_lag dispatches every gather separately over the
 # remote tunnel (~seconds each when degraded)
 abs_obs = jax.jit(lambda z: jnp.abs(z * spatial_lag(graph, z)))(Z)
 jax.block_until_ready(abs_obs)
+print("abs_obs ready", flush=True)
 base = key_for(0, "perm_local", 0)
 
 
@@ -53,6 +68,7 @@ def run(count_dtype):
         count, _ = jax.lax.scan(body, c0, jnp.arange(P))
         return count.astype(jnp.int32)
 
+    print(f"compiling {count_dtype.__name__}...", flush=True)
     c = jax.block_until_ready(scan())          # compile + warm
     t0 = time.time()
     c = jax.block_until_ready(scan())
