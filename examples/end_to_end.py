@@ -73,7 +73,7 @@ def main(outdir="docs/images"):
     import spatialcore_tpu as sct
     from spatialcore_tpu.annotation import train_and_annotate, TrainingConfig
     from spatialcore_tpu.plotting.spatial import (
-        plot_domain_distances, plot_spatial_celltype, plot_spatial_gene,
+        plot_distance_map, plot_domain_distances, plot_spatial_celltype, plot_spatial_gene,
         plot_spatial_hotspots)
     from spatialcore_tpu.plotting.validation import plot_marker_heatmap
 
@@ -198,8 +198,10 @@ def main(outdir="docs/images"):
     plot_spatial_gene(adata, "GRAD1", path=out / "vignette_gradient.png")
     plot_marker_heatmap(adata, markers=markers,
                         path=out / "vignette_markers.png")
-    plot_domain_distances(adata, boundaries_key="spatial_domain_boundaries",
-                          path=out / "vignette_domains.png")
+    plot_distance_map(adata, boundaries_key="spatial_domain_boundaries",
+                      path=out / "vignette_domains.png")
+    plot_domain_distances(adata, "spatial_domain",
+                          save=out / "vignette_domain_connections.png")
     plot_spatial_hotspots(adata, "MS4A1",
                           path=out / "vignette_hotspots.png")
     print(f"[7/7] figures → {out}  (total {time.time() - t0:.0f}s)")

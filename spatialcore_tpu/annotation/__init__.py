@@ -50,7 +50,7 @@ from .confidence import (
     transform_confidence,
 )
 from .markers import (get_markers_for_type, list_available_cell_types,
-                      load_canonical_markers)
+                      load_canonical_markers, match_to_canonical)
 from .pipeline import TrainingConfig, train_and_annotate, train_and_annotate_config
 from .loading import (
     estimate_adata_memory_gb,
@@ -92,7 +92,6 @@ from .ontology import (
     extract_biological_tokens,
     has_ontology_ids,
     load_ontology_index,
-    match_to_canonical,
     search_ontology_index,
 )
 from .patterns import CELL_TYPE_PATTERNS, get_canonical_term

@@ -14,6 +14,7 @@ import shutil
 from pathlib import Path
 from typing import Optional, Union
 
+from ..core.compat import param_aliases
 from ..core.logging import get_logger
 
 logger = get_logger("annotation.acquisition")
@@ -80,7 +81,7 @@ def resolve_uri_to_local(
     if scheme == "cellxgene":
         from .cellxgene import download_cellxgene_reference
 
-        return download_cellxgene_reference(rest, target)
+        return download_cellxgene_reference(rest, target.parent)
     raise ValueError(f"Unknown URI scheme '{scheme}://' in '{uri}'")
 
 
@@ -97,6 +98,7 @@ def _upload(local: Path, uri: str) -> None:
         raise ValueError(f"Cannot upload to scheme '{scheme}://'")
 
 
+@param_aliases(source="source_uri", output="output_path")
 def acquire_reference(
     source_uri: str,
     output_path: Union[str, Path],

@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 import scipy.sparse as sp
 
+from ..core.compat import param_aliases
 from ..core.logging import get_logger
 from ..core.metadata import update_metadata
 from .confidence import ConfidenceMethod, transform_confidence
@@ -211,17 +212,103 @@ def annotate_cells(
     return adata
 
 
-# Drop-in name parity with the reference API.
-annotate_celltypist = annotate_cells
+@param_aliases(confidence_method="confidence_transform",
+               models="custom_model_path")
+def annotate_celltypist(
+    adata,
+    tissue: str = "unknown",
+    ensemble_mode: bool = True,
+    custom_model_path=None,
+    majority_voting: bool = False,
+    over_clustering: Optional[str] = None,
+    min_prop: float = 0.0,
+    min_gene_overlap_pct: float = 25.0,
+    min_confidence: float = 0.5,
+    store_decision_scores: bool = True,
+    confidence_transform: ConfidenceMethod = "zscore",
+    batch_size: Optional[int] = None,
+    renormalize_overlap: bool = True,
+    models_dir: Optional[Union[str, Path]] = None,
+    copy: bool = False,
+):
+    """Reference-signature annotation front-end (ref annotate.py:253-708).
+
+    Resolves models from ``custom_model_path`` (one model, a list for an
+    ensemble, or a ``CellTypeModel``) or from the ``tissue`` preset table;
+    ``ensemble_mode=False`` keeps only the first resolved model. Runs
+    ``annotate_cells`` (max-confidence ensembling, overlap gate,
+    subset-and-renormalize), then optional majority voting over
+    ``over_clustering`` — a vote below ``min_prop`` of its cluster keeps
+    the per-cell label, the reference's heterogeneity guard — and finally
+    marks cells below ``min_confidence`` Unassigned.
+    """
+    from .confidence import filter_low_confidence
+
+    if custom_model_path is not None:
+        models = (list(custom_model_path)
+                  if isinstance(custom_model_path, (list, tuple))
+                  else [custom_model_path])
+    else:
+        models = get_models_for_tissue(tissue)
+    if not ensemble_mode:
+        models = models[:1]
+
+    if majority_voting and over_clustering is None:
+        raise ValueError(
+            "majority_voting=True needs over_clustering (a precomputed "
+            "cluster column in obs); on-the-fly over-clustering is a "
+            "scanpy-side feature the TPU build does not bundle")
+    adata = annotate_cells(
+        adata, models, confidence_method=confidence_transform,
+        min_gene_overlap_pct=min_gene_overlap_pct, batch_size=batch_size,
+        renormalize_overlap=renormalize_overlap, models_dir=models_dir,
+        store_decision_scores=store_decision_scores,
+        over_clustering=None, copy=copy)
+
+    if majority_voting:
+        clusters = adata.obs[over_clustering].astype(str).to_numpy()
+        pred = adata.obs["cell_type_predicted"].astype(str).to_numpy()
+        final = pred.copy()
+        for cl in pd.unique(clusters):
+            rows = clusters == cl
+            vals, cnts = np.unique(pred[rows], return_counts=True)
+            win = cnts.argmax()
+            if cnts[win] / rows.sum() >= min_prop:
+                final[rows] = vals[win]
+        adata.obs["cell_type"] = pd.Categorical(final)
+        logger.info(f"Majority voting over '{over_clustering}' "
+                    f"(min_prop={min_prop})")
+
+    if min_confidence and min_confidence > 0:
+        adata = filter_low_confidence(adata, threshold=min_confidence)
+    return adata
 
 
-def get_model_gene_overlap(adata, model) -> dict:
-    """Overlap stats between a model's genes and the query panel."""
-    gene_idx = _gene_overlap(model, list(adata.var_names))
-    n = int((gene_idx >= 0).sum())
-    return {"n_model_genes": model.n_genes, "n_overlap": n,
+@param_aliases(adata="query_genes")
+def get_model_gene_overlap(model_path, query_genes) -> dict:
+    """Overlap stats between a model's genes and the query panel.
+
+    ``model_path`` is a saved artifact path or a ``CellTypeModel``;
+    ``query_genes`` a gene list or an AnnData (its var_names are used).
+    Returns the reference's keys (training.py:732-785): n_model_genes,
+    n_query_genes, n_overlap, overlap_pct, overlapping_genes,
+    missing_genes.
+    """
+    model = (model_path if isinstance(model_path, CellTypeModel)
+             else CellTypeModel.load(model_path))
+    if hasattr(query_genes, "var_names"):
+        query_genes = list(query_genes.var_names)
+    gene_idx = _gene_overlap(model, list(query_genes))
+    present = gene_idx >= 0
+    n = int(present.sum())
+    return {"n_model_genes": model.n_genes,
+            "n_query_genes": len(query_genes),
+            "n_overlap": n,
             "overlap_pct": round(100.0 * n / model.n_genes, 2),
-            "missing": [g for g, i in zip(model.genes, gene_idx) if i < 0][:50]}
+            "overlapping_genes": [g for g, p in zip(model.genes, present)
+                                  if p],
+            "missing_genes": [g for g, p in zip(model.genes, present)
+                              if not p]}
 
 
 def get_annotation_summary(adata) -> dict:

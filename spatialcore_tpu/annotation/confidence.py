@@ -15,6 +15,7 @@ from typing import List, Literal, Optional, Tuple
 import numpy as np
 import pandas as pd
 
+from ..core.compat import param_aliases
 from ..core.logging import get_logger
 from ..core.metadata import update_metadata
 
@@ -68,9 +69,41 @@ def transform_confidence(
 
 def extract_decision_scores(
     adata,
-    key: str = "cell_type_decision_scores",
-) -> Tuple[np.ndarray, List[str]]:
-    """(scores [N, C], class names) from obsm + its uns class list."""
+    celltypist_result=None,
+    key_added: str = "celltypist",
+    copy: bool = False,
+    key: Optional[str] = None,
+):
+    """Decision-score matrix plumbing, both directions.
+
+    Reference form (ref confidence.py:175-278): pass an annotation
+    result object (anything with ``.decision_matrix`` and
+    ``.cell_types``) and its scores are STORED under
+    ``obsm[f"{key_added}_decision_scores"]`` /
+    ``uns[f"{key_added}_cell_types"]``; returns the adata.
+
+    This package's historical form: ``extract_decision_scores(adata,
+    key)`` READS ``obsm[key]`` and returns ``(scores [N, C], classes)``.
+    """
+    if isinstance(celltypist_result, str) and key is None:
+        celltypist_result, key = None, celltypist_result
+    if celltypist_result is not None:
+        if copy:
+            adata = adata.copy()
+        matrix = getattr(celltypist_result, "decision_matrix", None)
+        if matrix is None:
+            raise ValueError(
+                "celltypist_result must expose .decision_matrix")
+        classes = list(getattr(celltypist_result, "cell_types", None)
+                       if getattr(celltypist_result, "cell_types", None)
+                       is not None else getattr(matrix, "columns", []))
+        scores = np.asarray(matrix, dtype=np.float32)
+        store = f"{key_added}_decision_scores"
+        adata.obsm[store] = scores
+        adata.uns[f"{key_added}_cell_types"] = classes
+        adata.uns[f"{store}_classes"] = classes  # this package's key
+        return adata
+    key = key or "cell_type_decision_scores"
     if key not in adata.obsm:
         raise KeyError(
             f"adata.obsm['{key}'] not found; run annotation first.")
@@ -83,6 +116,7 @@ def extract_decision_scores(
     return scores, classes
 
 
+@param_aliases(label_column="cell_type_column")
 def filter_low_confidence(
     adata,
     confidence_column: str = "cell_type_confidence",
@@ -111,6 +145,7 @@ def filter_low_confidence(
     return adata
 
 
+@param_aliases(label_column="cell_type_column")
 def filter_low_count_types(
     adata,
     cell_type_column: str = "cell_type",
@@ -138,6 +173,7 @@ def filter_low_count_types(
     return adata
 
 
+@param_aliases(label_column="cell_type_column", canonical_markers="markers")
 def filter_by_marker_validation(
     adata,
     cell_type_column: str = "cell_type",
@@ -149,6 +185,7 @@ def filter_by_marker_validation(
     unassigned_label: str = UNASSIGNED,
     seed: int = 42,
     copy: bool = False,
+    n_components: int = 3,
 ):
     """Dual-threshold QC: keep a cell only if annotation confidence AND a
     GMM-3 canonical-marker metagene probability both pass.
@@ -186,7 +223,8 @@ def filter_by_marker_validation(
             sub = np.asarray(sub.todense())
         score = np.asarray(compute_metagene_score(
             np.asarray(sub, np.float32), "shifted_geometric_mean"))
-        _, _, prob_high, _ = threshold_gmm(score, n_components=3, seed=seed)
+        _, _, prob_high, _ = threshold_gmm(score, n_components=n_components,
+                                           seed=seed)
         fail = (prob_high < marker_probability_threshold) & \
                (conf[cells] < confidence_threshold)
         relabel[cells[fail]] = True
@@ -208,13 +246,17 @@ def filter_by_marker_validation(
     return adata
 
 
+@param_aliases(decision_scores_key="key", confidence_column="out_column")
 def compute_confidence_from_obsm(
     adata,
     key: str = "cell_type_decision_scores",
     method: ConfidenceMethod = "zscore",
     out_column: str = "cell_type_confidence",
+    copy: bool = False,
 ):
     """Recompute per-cell confidence from stored decision scores."""
+    if copy:
+        adata = adata.copy()
     scores, _ = extract_decision_scores(adata, key)
     adata.obs[out_column] = transform_confidence(scores, method)
     return adata

@@ -15,6 +15,7 @@ from typing import Dict, List, Optional, Union
 
 import pandas as pd
 
+from ..core.compat import param_aliases
 from ..core.logging import get_logger
 
 logger = get_logger("annotation.discovery")
@@ -33,6 +34,7 @@ class DiscoveredDataset:
         return round(self.size_bytes / 1e9, 3) if self.size_bytes else None
 
 
+@param_aliases(path="root")
 def discover_training_data(
     root: Union[str, Path],
     pattern: str = "*.h5ad",
@@ -127,24 +129,93 @@ def print_discovery_summary(datasets) -> None:
 
 
 def query_local_references(
-    root,
-    pattern: str = "*.h5ad",
+    metadata_df,
     tissue: Optional[str] = None,
-    metadata_csv=None,
+    condition: Optional[str] = None,
+    min_cells: int = 1000,
+    file_column: str = "file_path",
+    tissue_column: str = "tissue",
+    condition_column: str = "condition",
+    cells_column: str = "n_cells",
+    pattern: str = "*.h5ad",
+) -> pd.DataFrame:
+    """Filter reference metadata by tissue / condition / cell count
+    (ref discovery.py:403-468).
+
+    ``metadata_df`` is the frame from :func:`load_local_metadata`; a
+    path-like first argument instead discovers h5ad files under it and
+    builds the frame on the fly (this package's historical form).
+    """
+    if not isinstance(metadata_df, pd.DataFrame):
+        datasets = discover_training_data(metadata_df, pattern=pattern)
+        metadata_df = pd.DataFrame([{
+            file_column: d.uri, "name": d.name,
+            tissue_column: d.metadata.get("tissue", ""),
+            condition_column: d.metadata.get("condition", ""),
+            cells_column: d.metadata.get("n_cells"),
+        } for d in datasets])
+        min_cells = 0  # discovery carries no cell counts
+    df = metadata_df
+    if tissue is not None and tissue_column in df.columns:
+        df = df[df[tissue_column].astype(str).str.lower()
+                .str.contains(tissue.lower(), regex=False)]
+    if condition is not None and condition_column in df.columns:
+        df = df[df[condition_column].astype(str).str.lower()
+                == condition.lower()]
+    if min_cells and cells_column in df.columns:
+        counts = pd.to_numeric(df[cells_column], errors="coerce")
+        df = df[counts.fillna(0) >= min_cells]
+    if file_column in df.columns:
+        missing = [p for p in df[file_column]
+                   if not str(p).startswith(("gs://", "s3://"))
+                   and not Path(str(p)).exists()]
+        if missing:
+            logger.warning(f"{len(missing)} referenced files not found "
+                           f"(first: {missing[0]})")
+    return df.reset_index(drop=True)
+
+
+def load_local_metadata(
+    metadata_csv: Union[str, Path],
+    sample_csv: Optional[Union[str, Path]] = None,
 ):
-    """Discover local references, optionally filtered by a curated CSV."""
-    datasets = discover_training_data(root, pattern=pattern)
-    if metadata_csv is not None:
-        df = query_metadata(metadata_csv, tissue=tissue)
-        keep = set(df["uri"].astype(str))
-        datasets = [d for d in datasets if d.uri in keep]
-    return datasets
+    """Read curated reference metadata (+ optional sample summary) CSVs.
+
+    Returns ``(metadata_df, sample_df_or_None)`` per ref
+    discovery.py:349-400.
+    """
+    metadata_csv = Path(metadata_csv)
+    if not metadata_csv.exists():
+        raise FileNotFoundError(f"Metadata CSV not found: {metadata_csv}")
+    metadata_df = pd.read_csv(metadata_csv)
+    sample_df = None
+    if sample_csv is not None:
+        sample_csv = Path(sample_csv)
+        if not sample_csv.exists():
+            raise FileNotFoundError(f"Sample CSV not found: {sample_csv}")
+        sample_df = pd.read_csv(sample_csv)
+    return metadata_df, sample_df
 
 
-def load_local_metadata(metadata_csv) -> pd.DataFrame:
-    """Read a curated metadata CSV unfiltered (reference-name alias)."""
-    return pd.read_csv(metadata_csv)
-
-
-# Reference-name alias
-create_metadata_template = make_metadata_template
+@param_aliases(path="output_path", datasets="discovered_datasets")
+def create_metadata_template(
+    output_path: Union[str, Path],
+    discovered_datasets: Optional[List[DiscoveredDataset]] = None,
+) -> Path:
+    """Write a metadata CSV template, optionally pre-populated from
+    :func:`discover_training_data` (ref discovery.py:471-529)."""
+    output_path = Path(output_path)
+    if discovered_datasets:
+        rows = [{
+            "file_path": d.uri, "name": d.name, "tissue": "",
+            "condition": "", "n_cells": None,
+            "label_column": "cell_type", "notes": "",
+        } for d in discovered_datasets]
+    else:
+        rows = [{"file_path": "", "name": "", "tissue": "",
+                 "condition": "", "n_cells": None,
+                 "label_column": "cell_type", "notes": ""}]
+    output_path.parent.mkdir(parents=True, exist_ok=True)
+    pd.DataFrame(rows).to_csv(output_path, index=False)
+    logger.info(f"Metadata template → {output_path}")
+    return output_path

@@ -18,6 +18,7 @@ import h5py
 import numpy as np
 import scipy.sparse as sp
 
+from ..core.compat import param_aliases
 from ..core.container import SpatialData
 from ..core.io import _read_any, _read_dataframe, read_h5ad
 from ..core.logging import get_logger
@@ -79,19 +80,24 @@ def _read_sparse_rows(group: h5py.Group, rows: np.ndarray) -> sp.csr_matrix:
          new_indptr), shape=(rows.size, shape[1]))
 
 
+@param_aliases(label_column="stratify_by", random_state="seed")
 def load_adata_backed(
     path: Union[str, Path],
     max_cells: Optional[int] = None,
     stratify_by: Optional[str] = "cell_type",
     seed: int = 0,
     backed_threshold_bytes: int = BACKED_THRESHOLD_BYTES,
+    large_file_threshold_gb: Optional[float] = None,
 ) -> SpatialData:
     """Load an h5ad, sampling ≤``max_cells`` rows out-of-core when large.
 
-    Small files (< ``backed_threshold_bytes``) load fully then subset.
+    Small files (< ``backed_threshold_bytes``, or the reference-style
+    ``large_file_threshold_gb`` when given) load fully then subset.
     Large files read obs first, choose stratified indices, then materialize
     only those rows of X / layers / obsm.
     """
+    if large_file_threshold_gb is not None:
+        backed_threshold_bytes = int(large_file_threshold_gb * 1024 ** 3)
     path = Path(path)
     size = path.stat().st_size
     if size < backed_threshold_bytes and max_cells is None:
@@ -133,16 +139,18 @@ def load_adata_backed(
     return adata
 
 
+@param_aliases(max_cells="n_cells", random_state="seed")
 def subsample_adata(
     adata,
     n_cells: int,
     stratify_by: Optional[str] = None,
     seed: int = 0,
+    copy: bool = True,
 ):
     """Deterministic (optionally stratified) subsample of an in-memory
-    SpatialData (reference parity name)."""
+    SpatialData (ref loading.py:134-190)."""
     if n_cells >= adata.n_obs:
-        return adata
+        return adata.copy() if copy else adata
     if stratify_by and stratify_by in adata.obs.columns:
         rows = stratified_sample_indices(
             adata.obs[stratify_by].astype(str).to_numpy(), n_cells, seed)
@@ -152,9 +160,23 @@ def subsample_adata(
     return adata[rows]
 
 
-def estimate_adata_memory_gb(path) -> float:
-    """Rough in-memory size of an h5ad (file size ×1.5 for CSR overheads)."""
-    return round(Path(path).stat().st_size * 1.5 / 1e9, 3)
+def estimate_adata_memory_gb(n_cells=None, n_genes=None,
+                             dtype_bytes: int = 4,
+                             path=None) -> float:
+    """Estimated dense-matrix memory in GB.
+
+    Reference form: ``(n_cells, n_genes, dtype_bytes)`` →
+    ``n_cells·n_genes·dtype_bytes / 1024³`` (ref loading.py:55-74).
+    This package's historical form: ``(path)`` or ``path=`` → file size
+    ×1.5 for CSR overheads.
+    """
+    if path is None and isinstance(n_cells, (str, Path)):
+        n_cells, path = None, n_cells
+    if path is not None:
+        return round(Path(path).stat().st_size * 1.5 / 1e9, 3)
+    if n_cells is None or n_genes is None:
+        raise ValueError("Pass (n_cells, n_genes) or path=")
+    return (int(n_cells) * int(n_genes) * int(dtype_bytes)) / (1024 ** 3)
 
 
 def get_available_memory_gb() -> float:

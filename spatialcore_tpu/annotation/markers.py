@@ -12,6 +12,7 @@ import json
 from pathlib import Path
 from typing import Dict, List, Optional, Union
 
+from ..core.compat import param_aliases
 from ..core.logging import get_logger
 
 logger = get_logger("annotation.markers")
@@ -20,6 +21,7 @@ _BUILTIN = Path(__file__).parent.parent / "data" / "markers" / \
     "canonical_markers.json"
 
 
+@param_aliases(config_path="path")
 def load_canonical_markers(
     path: Optional[Union[str, Path]] = None,
 ) -> Dict[str, List[str]]:
@@ -46,6 +48,37 @@ def get_markers_for_type(cell_type: str,
     return low.get(cell_type.lower(), [])
 
 
-def list_available_cell_types(path=None):
-    """Cell types with bundled canonical markers."""
-    return sorted(load_canonical_markers(path))
+def list_available_cell_types(markers=None, path=None):
+    """Cell types with defined markers (ref markers.py:271-297).
+
+    Accepts a pre-loaded marker dict (reference form), a path to a
+    marker JSON (this package's historical positional form), or nothing
+    (bundled canonical markers).
+    """
+    if isinstance(markers, (str, Path)):
+        markers, path = None, markers
+    if markers is None:
+        markers = load_canonical_markers(path)
+    return sorted(markers)
+
+
+_NON_TYPES = {"Unassigned", "Unknown", "unknown", "cell", "", None}
+
+
+@param_aliases(cell_type="label")
+def match_to_canonical(
+    label: str,
+    markers: Optional[Dict[str, List[str]]] = None,
+) -> Optional[str]:
+    """Exact case-insensitive match of a label to a canonical marker
+    type; None when unmatched (ref markers.py:187-268 — no fuzzy
+    matching here, by design)."""
+    if label in _NON_TYPES:
+        return None
+    if markers is None:
+        markers = load_canonical_markers()
+    low = str(label).lower().strip()
+    for canonical in markers:
+        if canonical.lower() == low:
+            return canonical
+    return None

@@ -138,14 +138,15 @@ def train_and_annotate(
 
     # S3: ontology IDs on training labels
     logger.info("Stage 3: mapping training labels to CL IDs")
-    combined = add_ontology_ids(
-        combined, cell_type_column=config.cell_type_column,
+    combined, _, _ = add_ontology_ids(
+        combined, source_col=config.cell_type_column,
         skip_if_exists=True)
 
     # S4: balanced subsample grouped by CL ID
     logger.info("Stage 4: Cap & Fill balancing")
-    group_col = ("cell_type_ontology_term_id"
-                 if combined.obs["cell_type_ontology_term_id"].notna().any()
+    mapped_any = (combined.obs["cell_type_ontology_term_id"].astype(str)
+                  .str.match(r"^CL:[0-9]+$").any())
+    group_col = ("cell_type_ontology_term_id" if mapped_any
                  else config.cell_type_column)
     combined = subsample_balanced(
         combined, cell_type_column=config.cell_type_column,
@@ -174,8 +175,8 @@ def train_and_annotate(
 
     # S7: ontology IDs on predictions
     logger.info("Stage 7: mapping predictions to CL IDs")
-    adata = add_ontology_ids(adata, cell_type_column="cell_type",
-                             skip_if_exists=False)
+    adata, _, _ = add_ontology_ids(adata, source_col="cell_type",
+                                   skip_if_exists=False)
 
     # S8: QC plots (before thresholding so figures show all cells)
     if config.make_plots and out_dir:

@@ -24,6 +24,7 @@ import pandas as pd
 import scipy.sparse as sp
 
 from ..core import container as _container
+from ..core.compat import param_aliases
 from ..core.genes import normalize_gene_names
 from ..core.io import read_h5ad
 from ..core.logging import get_logger
@@ -57,62 +58,100 @@ def _is_excluded(label: str, exclude: Sequence[str]) -> bool:
 # ---------------------------------------------------------------------------
 
 
+@param_aliases(references="reference_paths", cell_type_column="label_columns",
+               panel_genes="target_genes",
+               max_cells_per_reference="max_cells_per_ref",
+               seed="random_state")
 def combine_references(
-    references: Sequence,
-    cell_type_column: str = "cell_type",
-    panel_genes: Optional[Sequence[str]] = None,
-    max_cells_per_reference: Optional[int] = None,
-    exclude_labels: Optional[Sequence[str]] = None,
+    reference_paths: Sequence,
+    label_columns: Union[str, Sequence[str]] = "cell_type",
+    output_column: str = "original_label",
+    max_cells_per_ref: Optional[int] = 100_000,
+    target_genes: Optional[Sequence[str]] = None,
+    normalize_data: bool = True,
+    random_state: int = 0,
+    validate_labels: bool = True,
     min_cells_per_type: int = 10,
+    strict_validation: bool = False,
+    cache_dir: Optional[Union[str, Path]] = None,
+    exclude_labels: Optional[Sequence[str]] = None,
+    filter_min_cells: bool = True,
     normalize_genes: bool = True,
     source_column: str = "reference_source",
-    seed: int = 0,
 ):
     """Merge reference datasets into one training SpatialData.
 
-    Per reference: load (path or SpatialData), validate the label column,
-    optionally cap cells (stratified), map Ensembl→HUGO names, subset to
-    panel genes, re-normalize to log1p-10k (from raw counts when present),
-    then inner-join shared genes, concatenate, drop excluded labels and
-    types below ``min_cells_per_type``.
+    Per reference: load (path, gs://..s3:// URI, or SpatialData), validate
+    its label column (``validate_labels``; ``strict_validation`` raises on
+    any issue), copy labels to ``output_column``, optionally cap cells
+    (stratified, ``max_cells_per_ref``), map Ensembl→HUGO names, subset to
+    ``target_genes``, re-normalize to log1p-10k (``normalize_data``, from
+    raw counts when present), then inner-join shared genes, concatenate,
+    drop excluded labels and — when ``filter_min_cells`` — types below
+    ``min_cells_per_type`` (ref training.py:84-457). ``label_columns`` is
+    one column name for all references or a per-reference list; cloud URIs
+    download into ``cache_dir``.
     """
+    from .acquisition import resolve_uri_to_local
+    from .validation import validate_cell_type_column
+
     if exclude_labels is None:
         exclude_labels = DEFAULT_EXCLUDE_LABELS
-    if not references:
+    if not reference_paths:
         raise ValueError("At least one reference is required")
+    if isinstance(label_columns, str):
+        label_columns = [label_columns] * len(reference_paths)
+    if len(label_columns) != len(reference_paths):
+        raise ValueError(
+            f"label_columns has {len(label_columns)} entries for "
+            f"{len(reference_paths)} references")
 
     loaded = []
-    for i, ref in enumerate(references):
+    for i, (ref, label_col) in enumerate(zip(reference_paths,
+                                             label_columns)):
         name = f"ref{i}"
         if isinstance(ref, (str, Path)):
+            if str(ref).startswith(("gs://", "s3://")):
+                ref = resolve_uri_to_local(str(ref), cache_dir=cache_dir)
             name = Path(ref).stem
             logger.info(f"Loading reference {name} from {ref}")
             adata = read_h5ad(ref)
         else:
             adata = ref.copy()
             name = adata.uns.get("reference_name", name)
-        if cell_type_column not in adata.obs.columns:
+        if label_col not in adata.obs.columns:
             raise ValueError(
-                f"Reference {name}: column '{cell_type_column}' not found "
+                f"Reference {name}: column '{label_col}' not found "
                 f"in obs (has {list(adata.obs.columns)[:8]}...)")
-        labels = adata.obs[cell_type_column].astype(str)
+        if validate_labels:
+            res = validate_cell_type_column(
+                adata, label_col, min_cells_per_type=min_cells_per_type)
+            if res.errors and strict_validation:
+                raise ValueError(
+                    f"Reference {name}: label validation failed — "
+                    + "; ".join(i.message for i in res.errors))
+            for issue in res.errors:
+                logger.warning(f"Reference {name}: {issue.message}")
+        labels = adata.obs[label_col].astype(str)
         if labels.isna().any() or (labels == "nan").mean() > 0.05:
             logger.warning(f"Reference {name}: >5% null labels")
 
-        if max_cells_per_reference and adata.n_obs > max_cells_per_reference:
+        if max_cells_per_ref and adata.n_obs > max_cells_per_ref:
             idx = _stratified_indices(
-                labels.to_numpy(), max_cells_per_reference,
-                np_rng(seed, "combine_cap", i))
+                labels.to_numpy(), max_cells_per_ref,
+                np_rng(random_state, "combine_cap", i))
             adata = adata[np.sort(idx)]
         if normalize_genes:
             normalize_gene_names(adata)
-        if panel_genes is not None:
-            keep = [g for g in adata.var_names if g in set(panel_genes)]
+        if target_genes is not None:
+            keep = [g for g in adata.var_names if g in set(target_genes)]
             if not keep:
                 raise ValueError(
                     f"Reference {name} shares no genes with the panel")
             adata = adata[:, keep]
-        ensure_normalized(adata)
+        if normalize_data:
+            ensure_normalized(adata)
+        adata.obs[output_column] = adata.obs[label_col].astype(str)
         adata.obs[source_column] = name
         loaded.append(adata)
 
@@ -127,14 +166,18 @@ def combine_references(
     loaded = [a[:, shared_genes] for a in loaded]
     combined = _container.concat(loaded)
 
-    labels = combined.obs[cell_type_column].astype(str)
+    labels = combined.obs[output_column].astype(str)
     keep_mask = ~labels.map(lambda l: _is_excluded(l, exclude_labels))
     counts = labels[keep_mask].value_counts()
     small = set(counts[counts < min_cells_per_type].index)
-    if small:
+    if small and filter_min_cells:
         logger.info(f"Dropping {len(small)} cell types below "
                     f"{min_cells_per_type} cells: {sorted(small)[:5]}...")
         keep_mask &= ~labels.isin(small)
+    elif small:
+        logger.warning(f"{len(small)} cell types below {min_cells_per_type} "
+                       f"cells kept (filter_min_cells=False): "
+                       f"{sorted(small)[:5]}...")
     n_dropped = int((~keep_mask).sum())
     if n_dropped:
         logger.info(f"Excluding {n_dropped:,} cells "
@@ -142,7 +185,7 @@ def combine_references(
     combined = combined[keep_mask.to_numpy()]
     logger.info(f"Combined reference: {combined.n_obs:,} cells × "
                 f"{combined.n_vars:,} genes, "
-                f"{combined.obs[cell_type_column].nunique()} types")
+                f"{combined.obs[output_column].nunique()} types")
     return combined
 
 
@@ -162,13 +205,15 @@ def _stratified_indices(labels: np.ndarray, n_target: int, rng) -> np.ndarray:
 
 
 def ensure_normalized(adata, target_sum: float = 1e4,
-                      unsafe_force: bool = False):
+                      unsafe_force: bool = False, copy: bool = False):
     """Guarantee X is log1p target-sum normalized (safe paths only).
 
     Safe: raw counts found anywhere (re-normalize from them) or X already
     verified log1p_10k. Anything else raises unless ``unsafe_force``
     (reference loading.py:344-488).
     """
+    if copy:
+        adata = adata.copy()
     status = check_normalization_status(adata)
     state = status["x_state"]
     if state == "log1p_10k":
@@ -340,9 +385,10 @@ def _resolve_target_totals(
     return targets
 
 
+@param_aliases(cell_type_column="label_column", seed="random_state")
 def subsample_balanced(
     adata,
-    cell_type_column: str = "cell_type",
+    label_column: str = "cell_type",
     max_cells_per_type: int = 5000,
     min_cells_per_type: int = 50,
     min_cells_per_source: int = 50,
@@ -350,7 +396,8 @@ def subsample_balanced(
     source_balance: str = "proportional",
     group_by_column: Optional[str] = None,
     target_proportions=None,
-    seed: int = 0,
+    random_state: int = 0,
+    copy: bool = True,
 ):
     """Cap & Fill balancing: cap each cell type, fill fairly across sources.
 
@@ -364,9 +411,10 @@ def subsample_balanced(
     ``target_proportions`` — a ``{cell_type: fraction}`` dict (or path to a
     JSON file of one) pinning each type's share of the FINAL output; per-type
     totals come from the fixed-point solver ``_resolve_target_totals``
-    (reference training.py:1101-1215).
+    (reference training.py:1101-1215). ``copy=True`` (the reference
+    default) materializes the subset; ``copy=False`` returns a slice.
     """
-    group_col = group_by_column or cell_type_column
+    group_col = group_by_column or label_column
     if group_col not in adata.obs.columns:
         raise ValueError(f"Column '{group_col}' not found in obs")
     if isinstance(target_proportions, (str, Path)):
@@ -395,7 +443,7 @@ def subsample_balanced(
         counts = pd.Series(sources[g_idx]).value_counts().to_dict()
         alloc = _source_targets(counts, target, min_cells_per_source,
                                 source_balance)
-        rng = np_rng(seed, "cap_fill", gi)
+        rng = np_rng(random_state, "cap_fill", gi)
         for s, n_take in alloc.items():
             s_idx = g_idx[sources[g_idx] == s]
             if n_take >= s_idx.size:
@@ -406,7 +454,10 @@ def subsample_balanced(
     logger.info(f"subsample_balanced: {adata.n_obs:,} → {idx.size:,} cells "
                 f"(cap {max_cells_per_type}/type, "
                 f"source_balance={source_balance})")
-    return adata[idx]
+    sub = adata[idx]
+    if copy and hasattr(sub, "copy"):
+        sub = sub.copy()
+    return sub
 
 
 # ---------------------------------------------------------------------------
@@ -558,8 +609,74 @@ def train_cell_type_model(
     return model
 
 
-# Drop-in name parity with the reference API.
-train_celltypist_model = train_cell_type_model
+@param_aliases(cell_type_column="label_column", seed="random_state")
+def train_celltypist_model(
+    adata,
+    label_column: str = "cell_type",
+    model_name: str = "custom_model",
+    output_path: Optional[Union[str, Path]] = None,
+    use_SGD: bool = True,
+    mini_batch: bool = True,
+    balance_cell_type: bool = True,
+    feature_selection: bool = False,
+    n_jobs: int = -1,
+    max_iter: int = 100,
+    epochs: int = 30,
+    batch_size: int = 1024,
+    batch_number: int = 200,
+    learning_rate: float = 0.05,
+    l2: float = 1e-4,
+    random_state: int = 0,
+    checkpoint_dir=None,
+    checkpoint_every: int = 10,
+    resume: bool = True,
+) -> CellTypeModel:
+    """Reference-signature trainer (ref training.py:556-729), TPU path.
+
+    Thin front-end over ``train_cell_type_model``: the TPU implementation
+    is always on-device minibatch SGD, so ``use_SGD``/``mini_batch``/
+    ``n_jobs`` are accepted for drop-in compatibility and logged when they
+    request the sklearn-only paths; ``max_iter`` substitutes for ``epochs``
+    when ``mini_batch=False`` (the reference's full-batch mode), and
+    ``batch_number`` caps the number of minibatch steps per epoch by
+    raising ``batch_size`` when needed. ``feature_selection`` runs the
+    celltypist two-pass scheme for real: train, keep the union of each
+    class's top-300 |weight| genes, retrain on the subset.
+    ``output_path`` saves the artifacts directory after training.
+    """
+    if not use_SGD or n_jobs != -1:
+        logger.info("train_celltypist_model: use_SGD/n_jobs are sklearn "
+                    "knobs; the TPU path always runs on-device SGD")
+    n_epochs = epochs if mini_batch else max_iter
+    n = adata.n_obs
+    eff_batch = batch_size
+    if mini_batch and batch_number and n // batch_size > batch_number:
+        eff_batch = int(np.ceil(n / batch_number))
+        logger.info(f"train_celltypist_model: batch_size {batch_size} → "
+                    f"{eff_batch} to honor batch_number={batch_number}")
+
+    kwargs = dict(cell_type_column=label_column, epochs=n_epochs,
+                  batch_size=eff_batch, learning_rate=learning_rate, l2=l2,
+                  balance_cell_type=balance_cell_type, seed=random_state,
+                  model_name=model_name, checkpoint_dir=checkpoint_dir,
+                  checkpoint_every=checkpoint_every, resume=resume)
+    model = train_cell_type_model(adata, **kwargs)
+
+    if feature_selection:
+        top = 300
+        order = np.argsort(-np.abs(model.W), axis=0)[:top]   # [top, C]
+        keep = np.zeros(model.n_genes, bool)
+        keep[np.unique(order)] = True
+        genes = [g for g, k in zip(model.genes, keep) if k]
+        logger.info(f"feature_selection: retraining on {len(genes)}/"
+                    f"{model.n_genes} top-|W| genes")
+        sub = adata[:, genes]
+        model = train_cell_type_model(sub, **kwargs)
+        model.metadata["feature_selection"] = True
+
+    if output_path is not None:
+        save_model_artifacts(model, output_path, model_name=model_name)
+    return model
 
 
 # ---------------------------------------------------------------------------
@@ -567,24 +684,48 @@ train_celltypist_model = train_cell_type_model
 # ---------------------------------------------------------------------------
 
 
-def generate_color_scheme(classes: Sequence[str],
-                          palette: Optional[Sequence[str]] = None) -> Dict[str, str]:
-    """Deterministic class→hex colors (sorted labels, cycled palette)."""
+@param_aliases(classes="cell_types")
+def generate_color_scheme(
+    cell_types: Sequence[str],
+    custom_colors: Optional[Dict[str, str]] = None,
+    palette: Optional[Sequence[str]] = None,
+) -> Dict[str, str]:
+    """Deterministic type→hex colors (sorted labels, cycled palette).
+
+    ``custom_colors`` entries override the palette assignment per type
+    (reference training.py:845-900).
+    """
     base = list(palette or HIGH_CONTRAST_PALETTE)
-    return {c: base[i % len(base)] for i, c in enumerate(sorted(classes))}
+    colors = {c: base[i % len(base)] for i, c in enumerate(sorted(cell_types))}
+    if custom_colors:
+        colors.update({c: v for c, v in custom_colors.items()
+                       if c in colors})
+    return colors
 
 
+@param_aliases(colors="custom_colors")
 def save_model_artifacts(
     model: CellTypeModel,
     output_dir: Union[str, Path],
-    colors: Optional[Dict[str, str]] = None,
+    model_name: Optional[str] = None,
+    training_metadata: Optional[Dict] = None,
+    custom_colors: Optional[Dict[str, str]] = None,
 ) -> Dict[str, Path]:
-    """Save model (.npz), metadata (.json), and colors (.json)."""
+    """Save model (.npz), metadata (.json), and colors (.json).
+
+    ``model_name`` overrides the name baked into the model's metadata;
+    ``training_metadata`` is merged into the saved metadata JSON
+    (reference training.py:907-1021).
+    """
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
-    name = model.metadata.get("model_name", "model")
+    name = model_name or model.metadata.get("model_name", "model")
+    if training_metadata:
+        model.metadata = {**model.metadata, **dict(training_metadata)}
+    model.metadata["model_name"] = name
     model_path = model.save(out / f"{name}.npz")
-    colors = colors or generate_color_scheme(model.classes)
+    colors = generate_color_scheme(model.classes,
+                                   custom_colors=custom_colors)
     colors_path = out / f"{name}_colors.json"
     with open(colors_path, "w") as f:
         json.dump(colors, f, indent=2)
@@ -598,10 +739,25 @@ def get_panel_genes(adata) -> list:
     return list(adata.var_names)
 
 
-def get_training_summary(model) -> dict:
-    """Compact summary of a trained CellTypeModel."""
-    return {"model_name": model.metadata.get("model_name"),
-            "n_genes": model.n_genes, "n_classes": model.n_classes,
-            "classes": model.classes,
-            "n_training_cells": model.metadata.get("n_training_cells"),
-            "final_loss": model.metadata.get("final_loss")}
+@param_aliases(model="combined_adata")
+def get_training_summary(combined_adata,
+                         label_column: str = "cell_type"):
+    """Cell-type distribution of the combined training data.
+
+    Returns a DataFrame with cell_type / n_cells / pct_total (reference
+    training.py:787-809). Passing a trained ``CellTypeModel`` instead
+    returns the legacy dict summary of the model itself.
+    """
+    if isinstance(combined_adata, CellTypeModel):
+        model = combined_adata
+        return {"model_name": model.metadata.get("model_name"),
+                "n_genes": model.n_genes, "n_classes": model.n_classes,
+                "classes": model.classes,
+                "n_training_cells": model.metadata.get("n_training_cells"),
+                "final_loss": model.metadata.get("final_loss")}
+    counts = combined_adata.obs[label_column].value_counts()
+    return pd.DataFrame({
+        "cell_type": counts.index.astype(str),
+        "n_cells": counts.to_numpy(),
+        "pct_total": 100.0 * counts.to_numpy() / combined_adata.n_obs,
+    })

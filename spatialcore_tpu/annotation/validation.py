@@ -14,6 +14,7 @@ from dataclasses import dataclass, field
 from typing import Dict, List
 
 
+from ..core.compat import param_aliases
 from ..core.logging import get_logger
 
 logger = get_logger("annotation.validation")
@@ -60,17 +61,25 @@ class CellTypeValidationResult:
         return "\n".join(lines)
 
 
+@param_aliases(min_types="min_cell_types", max_types="max_cell_types")
 def validate_cell_type_column(
     adata,
     column: str = "cell_type",
-    max_null_fraction: float = 0.05,
-    min_types: int = 1,
-    max_types: int = 500,
     min_cells_per_type: int = 10,
+    max_cell_types: int = 500,
+    min_cell_types: int = 1,
+    allow_nulls: bool = False,
+    max_null_fraction: float = 0.05,
+    check_suspicious_patterns: bool = True,
     imbalance_warn_ratio: float = 1000.0,
     raise_on_error: bool = False,
 ) -> CellTypeValidationResult:
-    """Validate a label column for use as training/annotation ground truth."""
+    """Validate a label column for use as training/annotation ground truth.
+
+    Reference signature (validation.py:130-352): ``allow_nulls`` downgrades
+    any null fraction to informational; ``check_suspicious_patterns``
+    toggles the cluster-id heuristics.
+    """
     issues: List[ValidationIssue] = []
     if column not in adata.obs.columns:
         res = CellTypeValidationResult(
@@ -83,7 +92,7 @@ def validate_cell_type_column(
 
     series = adata.obs[column]
     null_frac = float(series.isna().mean())
-    if null_frac > max_null_fraction:
+    if null_frac > max_null_fraction and not allow_nulls:
         issues.append(ValidationIssue(
             "error", f"{null_frac:.1%} null labels "
             f"(> {max_null_fraction:.0%} allowed)"))
@@ -94,13 +103,13 @@ def validate_cell_type_column(
     labels = series.dropna().astype(str)
     counts = labels.value_counts()
     n_types = len(counts)
-    if n_types < min_types:
+    if n_types < min_cell_types:
         issues.append(ValidationIssue(
-            "error", f"Only {n_types} cell types (min {min_types})"))
-    if n_types > max_types:
+            "error", f"Only {n_types} cell types (min {min_cell_types})"))
+    if n_types > max_cell_types:
         issues.append(ValidationIssue(
-            "error", f"{n_types} cell types exceeds {max_types} — is this "
-            "a cluster column?"))
+            "error", f"{n_types} cell types exceeds {max_cell_types} — is "
+            "this a cluster column?"))
 
     small = counts[counts < min_cells_per_type]
     if len(small):
@@ -109,11 +118,12 @@ def validate_cell_type_column(
             f"cells: {sorted(small.index)[:5]}"))
 
     suspicious = []
-    for lab in counts.index:
-        for pat, why in SUSPICIOUS_PATTERNS:
-            if pat.match(lab):
-                suspicious.append((lab, why))
-                break
+    if check_suspicious_patterns:
+        for lab in counts.index:
+            for pat, why in SUSPICIOUS_PATTERNS:
+                if pat.match(lab):
+                    suspicious.append((lab, why))
+                    break
     if suspicious:
         frac = len(suspicious) / n_types
         sev = "error" if frac > 0.5 else "warning"
@@ -145,8 +155,13 @@ def check_label_ontology_consistency(
     adata,
     label_column: str = "cell_type",
     ontology_column: str = "cell_type_ontology_term_id",
+    detect_hierarchy: bool = True,
 ) -> List[ValidationIssue]:
-    """Flag labels mapped to multiple IDs and IDs shared by many labels."""
+    """Flag labels mapped to multiple IDs and IDs shared by many labels.
+
+    ``detect_hierarchy`` toggles the informational shared-ID check
+    (reference validation.py:371-424).
+    """
     issues: List[ValidationIssue] = []
     if ontology_column not in adata.obs.columns:
         return [ValidationIssue(
@@ -158,19 +173,45 @@ def check_label_ontology_consistency(
         issues.append(ValidationIssue(
             "warning", f"{len(multi)} labels map to multiple ontology IDs: "
             f"{sorted(multi.index)[:5]}"))
-    per_id = df.groupby(ontology_column)[label_column].nunique()
-    coarse = per_id[per_id > 3]
-    if len(coarse):
-        issues.append(ValidationIssue(
-            "info", f"{len(coarse)} ontology IDs cover >3 distinct labels "
-            "(hierarchical collapsing)"))
+    if detect_hierarchy:
+        per_id = df.groupby(ontology_column)[label_column].nunique()
+        coarse = per_id[per_id > 3]
+        if len(coarse):
+            issues.append(ValidationIssue(
+                "info", f"{len(coarse)} ontology IDs cover >3 distinct "
+                "labels (hierarchical collapsing)"))
     return issues
 
 
+@param_aliases(adata="adatas")
 def validate_multiple_columns(
-    adata,
+    adatas,
     columns: List[str],
+    raise_on_error: bool = True,
     **kwargs,
-) -> Dict[str, CellTypeValidationResult]:
-    """Validate several candidate label columns; returns per-column results."""
-    return {c: validate_cell_type_column(adata, c, **kwargs) for c in columns}
+):
+    """Validate label columns across several references before combining.
+
+    Reference form (validation.py:427-496): ``adatas`` a list paired with
+    per-reference ``columns``; returns a list of results and raises when
+    any reference has errors (``raise_on_error``). Passing a single
+    AnnData instead validates each of ``columns`` on it and returns a
+    ``{column: result}`` dict (this build's original convenience form,
+    never raising unless requested via kwargs).
+    """
+    if not isinstance(adatas, (list, tuple)):
+        return {c: validate_cell_type_column(adatas, c, **kwargs)
+                for c in columns}
+    if len(adatas) != len(columns):
+        raise ValueError(
+            f"Number of adatas ({len(adatas)}) must match columns "
+            f"({len(columns)})")
+    results = [validate_cell_type_column(a, c, **kwargs)
+               for a, c in zip(adatas, columns)]
+    failed = [r for r in results if r.errors]
+    if failed and raise_on_error:
+        raise ValueError(
+            f"Validation failed for {len(failed)} reference(s):\n"
+            + "\n".join(f"{r.column}: {e.message}"
+                        for r in failed for e in r.errors))
+    return results

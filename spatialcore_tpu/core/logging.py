@@ -14,6 +14,8 @@ import sys
 from pathlib import Path
 from typing import Optional, Union
 
+from .compat import param_aliases
+
 _ROOT_NAME = "spatialcore_tpu"
 _DEFAULT_FORMAT = "%(asctime)s | %(levelname)-7s | %(name)s | %(message)s"
 _DATE_FORMAT = "%H:%M:%S"
@@ -50,6 +52,7 @@ def get_logger(name: Optional[str] = None) -> logging.Logger:
     return logging.getLogger(name)
 
 
+@param_aliases(format_string="fmt")
 def setup_logging(
     level: Union[int, str] = logging.INFO,
     fmt: str = _DEFAULT_FORMAT,

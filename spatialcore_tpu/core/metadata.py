@@ -41,10 +41,29 @@ def _serialize_param(value: Any) -> Any:
 
 
 class MetadataTracker:
-    """Accumulates operation records and flushes them onto a container."""
+    """Accumulates operation records and flushes them onto a container.
 
-    def __init__(self) -> None:
+    Matches the reference's bound form (ref core/metadata.py:26-46):
+    ``MetadataTracker(adata, json_path)`` initializes the uns ledger on
+    construction, ``record`` appends straight to the bound adata, and
+    ``json_path`` mirrors the ledger to disk on every flush.  The unbound
+    form (no arguments) accumulates records for a later explicit
+    ``flush(adata)``.
+    """
+
+    def __init__(self, adata=None, json_path=None) -> None:
         self.operations = []
+        self.adata = adata
+        self.json_path = Path(json_path) if json_path else None
+        if adata is not None:
+            meta = adata.uns.setdefault(METADATA_KEY, {
+                "created": datetime.now(timezone.utc).isoformat(),
+                "operations": [],
+            })
+            if isinstance(meta, str):
+                adata.uns[METADATA_KEY] = json.loads(meta)
+            elif not isinstance(meta.get("operations", []), list):
+                meta["operations"] = list(meta["operations"])
 
     def record(
         self,
@@ -62,9 +81,15 @@ class MetadataTracker:
             "version": __version__,
         }
         self.operations.append(op)
+        if self.adata is not None:
+            self.flush(self.adata)
         return op
 
-    def flush(self, adata) -> None:
+    def flush(self, adata=None) -> None:
+        if adata is None:
+            adata = self.adata
+        if adata is None:
+            raise ValueError("flush() needs an adata (none bound)")
         meta = adata.uns.setdefault(METADATA_KEY, {"operations": []})
         if isinstance(meta, str):
             # ledger was JSON-stringified for h5ad (prepare_metadata_for_
@@ -73,6 +98,10 @@ class MetadataTracker:
             adata.uns[METADATA_KEY] = meta
         meta.setdefault("operations", []).extend(self.operations)
         self.operations = []
+        if self.json_path is not None:
+            self.json_path.parent.mkdir(parents=True, exist_ok=True)
+            self.json_path.write_text(json.dumps(meta, indent=2,
+                                                 default=str))
 
 
 def update_metadata(

@@ -31,7 +31,7 @@ _FLAT = {
                 "plot_spatial_gene", "plot_spatial_genes",
                 "plot_spatial_multi_gene", "plot_spatial_hotspots",
                 "plot_moran_scatter", "plot_correlogram", "plot_co_occurrence",
-                "plot_domain_distances"],
+                "plot_domain_distances", "plot_distance_map"],
     "validation": ["plot_marker_heatmap", "plot_2d_validation",
                    "plot_marker_dotplot", "plot_deg_heatmap",
                    "plot_celltype_confidence_spatial",

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
+from ..core.compat import param_aliases
 from ..core.logging import get_logger
 from ..core.metadata import update_metadata
 from ..ops.geometry import (
@@ -105,6 +106,7 @@ def make_spatial_domains(
     output_column: str = "spatial_domain",
     assign_all_cells: bool = True,
     domain_expansion_warn_ratio: float = 10.0,
+    r_functions_path=None,
     copy: bool = False,
     platform: Optional[Literal["cosmx", "xenium", "visium"]] = None,
     spatial_key: str = "spatial",
@@ -119,8 +121,14 @@ def make_spatial_domains(
     summary, and (optionally) ``uns[f"{output_column}_boundaries"]`` raster
     boundary coordinates per domain. ``pixels_per_dist`` sets raster pixels
     per ``cell_dist_um`` (fidelity knob); ``grid_max_dim`` caps grid size.
+    ``r_functions_path`` is accepted for reference-signature compatibility
+    and ignored: the R Buffer-Union-Shrink pass is replaced by the
+    on-device raster pipeline (ref spatial/r_functions.R:34-124).
     """
     start = time.time()
+    if r_functions_path is not None:
+        logger.info("make_spatial_domains: r_functions_path ignored — the "
+                    "TPU build runs the raster geometry pass, not R")
     if copy:
         adata = adata.copy()
     if spatial_key not in adata.obsm:
@@ -327,6 +335,7 @@ def make_spatial_domains(
     return adata
 
 
+@param_aliases(domain_column="output_column")
 def get_domain_summary(adata, output_column: str = "spatial_domain") -> pd.DataFrame:
     """Per-domain size table from a ``make_spatial_domains`` result."""
     key = f"{output_column}_params"

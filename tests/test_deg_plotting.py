@@ -87,12 +87,19 @@ def test_plotting_suite_smoke(tmp_path):
     plot_spatial_confidence(adata, path=out / "h.png")
     plot_spatial_gene(adata, "GENE0", path=out / "i.png")
     plot_spatial_genes(adata, ["GENE0", "GENE1"], path=out / "j.png")
+    # reference array form + historical AnnData convenience form
+    yt = adata.obs["cell_type"].to_numpy(str)
+    yp = adata.obs["cell_type_pred"].to_numpy(str)
+    plot_confusion_matrix(yt, yp, save=out / "k.png")
     plot_confusion_matrix(adata, "cell_type", "cell_type_pred",
-                          path=out / "k.png")
+                          path=out / "k2.png")
+    plot_classification_report(yt, yp, save=out / "l.png")
     plot_classification_report(adata, "cell_type", "cell_type_pred",
-                               path=out / "l.png")
+                               path=out / "l2.png")
+    plot_agreement_heatmap(adata, ["cell_type", "cell_type_pred"],
+                           save=out / "m.png")
     plot_agreement_heatmap(adata, "cell_type", "cell_type_pred",
-                           path=out / "m.png")
+                           path=out / "m2.png")
     plot_silhouette_by_type(adata, path=out / "n.png")
     plot_deg_heatmap(adata, path=out / "o.png")
 
@@ -114,13 +121,15 @@ def test_palette_roundtrip_and_method_comparison(tmp_path):
     p = save_palette(pal, tmp_path / "pal.json")
     assert load_palette(p) == pal
 
-    adata, _ = _marker_adata()
-    adata.obs["m1"] = adata.obs["ct"]
-    labels = adata.obs["ct"].to_numpy(object).copy()
-    labels[labels == "C"] = "A"          # method 2 merges C into A
-    adata.obs["m2"] = labels
-    plot_method_comparison(adata, ["m1", "m2"], path=tmp_path / "mc.png")
+    import pandas as pd
+    df = pd.DataFrame({"method": ["CellTypist", "Manual"],
+                       "Accuracy": [0.85, 0.92],
+                       "Silhouette": [0.45, 0.48]})
+    plot_method_comparison(df, metrics=["Accuracy", "Silhouette"],
+                           save=tmp_path / "mc.png")
     assert (tmp_path / "mc.png").exists()
+    with pytest.raises(ValueError):
+        plot_method_comparison(df, method_column="nope")
 
 
 def test_celltype_confidence_spatial(tmp_path):

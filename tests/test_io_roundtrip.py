@@ -27,7 +27,7 @@ def test_full_analysis_roundtrip(tmp_path):
     adata = sct.spatial.make_spatial_domains(
         adata, "cell_type == 'B cell'", platform="xenium",
         min_target_cells_domain=10, domain_prefix="B")
-    adata = sct.annotation.add_ontology_ids(adata)
+    adata, _, _ = sct.annotation.add_ontology_ids(adata)
 
     path = tmp_path / "full.h5ad"
     sct.write_h5ad(adata, path)

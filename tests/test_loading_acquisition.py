@@ -90,8 +90,8 @@ def test_gated_cloud_schemes_raise_helpfully(tmp_path):
             query_cellxgene_census)
 
         with pytest.raises(ImportError, match="cellxgene"):
-            query_cellxgene_census("tissue == 'lung'",
-                                   tmp_path / "x.h5ad")
+            query_cellxgene_census(tissue="lung",
+                                   output_path=tmp_path / "x.h5ad")
 
 
 def test_discovery_and_metadata_roundtrip(tmp_path):

@@ -55,10 +55,11 @@ def test_train_and_annotate_end_to_end(tmp_path):
     assert acc > 0.9
     assert assigned.mean() > 0.8
     assert (out / "e2e_model.npz").exists()
-    assert (out / "celltype_distribution.png").exists()
-    assert (out / "confidence_histogram.png").exists()
+    assert (out / "celltyping_distribution.png").exists()
+    assert (out / "celltyping_confidence_histogram.png").exists()
     # ontology IDs mapped for predictions
-    assert query.obs["cell_type_ontology_term_id"].notna().any()
+    assert (query.obs["cell_type_ontology_term_id"].astype(str)
+            .str.startswith("CL:").any())
     ann = query.uns["spatialcore_annotation"]
     assert ann["n_types"] == 4
     assert ann["model_name"] == "e2e_model"

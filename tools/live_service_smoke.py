@@ -35,17 +35,18 @@ def smoke_cellxgene() -> str:
     from spatialcore_tpu.core.io import read_h5ad
 
     reg = list_available_datasets()
-    assert reg, "curated registry is empty"
+    assert len(reg), "curated registry is empty"
     with tempfile.TemporaryDirectory() as td:
-        out = query_cellxgene_census(
+        out_path = os.path.join(td, "census_smoke.h5ad")
+        query_cellxgene_census(
             value_filter=("tissue_general == 'lung' "
                           "and is_primary_data == True"),
-            output_path=os.path.join(td, "census_smoke.h5ad"),
+            output_path=out_path,
             organism="homo_sapiens",
             max_cells=500,
             seed=0,
         )
-        adata = read_h5ad(out)
+        adata = read_h5ad(out_path)
         assert 0 < adata.n_obs <= 500
         assert "cell_type" in adata.obs.columns
         return f"PASS ({adata.n_obs} cells x {adata.n_vars} genes)"
