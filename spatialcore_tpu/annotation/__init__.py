@@ -51,6 +51,14 @@ from .confidence import (
 )
 from .markers import (get_markers_for_type, list_available_cell_types,
                       load_canonical_markers, match_to_canonical)
+from .benchmark import (
+    benchmark_annotation,
+    compare_annotation_methods,
+    deg_log2fc,
+    gene_overlap,
+    marker_quality_metrics,
+    unassigned_rate,
+)
 from .pipeline import TrainingConfig, train_and_annotate, train_and_annotate_config
 from .loading import (
     estimate_adata_memory_gb,
