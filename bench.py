@@ -92,6 +92,23 @@ def main():
             "BENCH_GENES", 8192 if prec == "int8" else 6144))
     chunk = min(chunk, n_perms)
 
+    # Backend-init watchdog: when the axon tunnel is down, jax.devices()
+    # hangs INDEFINITELY (CLAUDE.md environment lore) — a silent driver
+    # hang is worse than a loud failure, so bound the first device probe.
+    import threading
+
+    init_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT", 900))
+    _init_done = threading.Event()
+
+    def _watchdog():
+        if not _init_done.wait(init_timeout):
+            print(f"[bench] FATAL: backend init exceeded {init_timeout:.0f}s"
+                  " — TPU tunnel down? (jax.devices() hang)", file=sys.stderr)
+            sys.stderr.flush()
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
 
@@ -114,6 +131,7 @@ def main():
         mesh = Mesh(np.array(devs).reshape(c, g), ("cells", "genes"))
 
     dev = jax.devices()[0]
+    _init_done.set()
     print(f"[bench] device={dev.platform}:{dev.device_kind} x{n_dev} "
           f"N={n_cells:,} G={n_genes} P={n_perms} k={k} mode={mode}"
           f"{' mesh=' + mesh_spec if mesh_spec else ''}", file=sys.stderr)
