@@ -1,0 +1,156 @@
+"""Celltyping benchmark vignette — the reference's benchmarks.md as code.
+
+Reproduces the reference's headline celltyping comparison
+(/root/reference/docs/celltyping/benchmarks.md): a model pre-trained on
+an atlas whose gene set barely overlaps the spatial panel, versus the
+SpatialCore approach of training directly on the panel genes. There the
+data is Xenium lung (unreachable here); here the same experiment runs
+on a synthetic atlas/panel pair with the same failure mode built in —
+the atlas model's discriminative genes are mostly absent from the
+panel — and the same seven-metric table + figures come out of the
+package's own benchmark functions (`annotation/benchmark.py`).
+
+Run: JAX_PLATFORMS=cpu python examples/celltyping_benchmark.py
+Writes docs/images/vignette_benchmark.png and prints the metric table.
+Assertions make this a docs-as-integration-test (SURVEY.md §4 item 4).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import scipy.sparse as sp
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import spatialcore_tpu as sct
+from spatialcore_tpu.annotation import (annotate_cells, ensure_normalized,
+                                        train_cell_type_model)
+from spatialcore_tpu.annotation.benchmark import (benchmark_annotation,
+                                                  gene_overlap)
+from spatialcore_tpu.plotting import (agreement_metrics,
+                                      plot_confusion_matrix,
+                                      plot_method_comparison)
+
+TYPES = ["epithelial", "fibroblast", "T cell", "B cell", "macrophage",
+         "endothelial"]
+MARKERS_PER_TYPE = 4
+PANEL_NOISE = 16
+ATLAS_ONLY_PER_TYPE = 30  # atlas-exclusive signal genes per type
+
+PANEL_GENES = [f"{t.replace(' ', '')}_M{i}" for t in TYPES
+               for i in range(MARKERS_PER_TYPE)] + \
+              [f"NOISE{i}" for i in range(PANEL_NOISE)]
+ATLAS_GENES = PANEL_GENES + [f"{t.replace(' ', '')}_ATLAS{i}" for t in TYPES
+                             for i in range(ATLAS_ONLY_PER_TYPE)]
+MARKER_DICT = {t: [f"{t.replace(' ', '')}_M{i}"
+                   for i in range(MARKERS_PER_TYPE)] for t in TYPES}
+
+
+def simulate(genes, n_per_type, seed, marker_rate=6.0, atlas_rate=5.0):
+    """Counts with type-specific signal on marker and atlas-only genes."""
+    rng = np.random.default_rng(seed)
+    n = n_per_type * len(TYPES)
+    X = rng.poisson(0.3, (n, len(genes))).astype(np.float32)
+    gpos = {g: j for j, g in enumerate(genes)}
+    for t_i, t in enumerate(TYPES):
+        rows = slice(t_i * n_per_type, (t_i + 1) * n_per_type)
+        key = t.replace(" ", "")
+        for g, rate in ((f"{key}_M{i}", marker_rate)
+                        for i in range(MARKERS_PER_TYPE)):
+            if g in gpos:
+                X[rows, gpos[g]] += rng.poisson(rate, n_per_type)
+        for i in range(ATLAS_ONLY_PER_TYPE):
+            g = f"{key}_ATLAS{i}"
+            if g in gpos:
+                X[rows, gpos[g]] += rng.poisson(atlas_rate, n_per_type)
+    obs = pd.DataFrame({"true_type": np.repeat(TYPES, n_per_type)},
+                       index=[f"c{seed}_{i}" for i in range(n)])
+    a = sct.SpatialData(X=sp.csr_matrix(X), obs=obs,
+                        var=pd.DataFrame(index=list(genes)))
+    a.layers["counts"] = sp.csr_matrix(X)
+    ensure_normalized(a)
+    return a
+
+
+def main():
+    out_png = os.path.join(os.path.dirname(__file__), "..", "docs",
+                           "images", "vignette_benchmark.png")
+
+    # --- train both models on the atlas -------------------------------
+    # Platform effect baked in (the reference's 7.1%-overlap failure
+    # mode): in the ATLAS the discriminative signal sits mostly on
+    # atlas-exclusive genes (marker_rate 1.0 vs atlas_rate 8.0), so the
+    # pretrained model's weight mass lands on genes the spatial panel
+    # will not measure. The panel assay (targeted probes) measures the
+    # canonical markers strongly (marker_rate 6.0 in the query below).
+    atlas = simulate(ATLAS_GENES, n_per_type=400, seed=0,
+                     marker_rate=1.0, atlas_rate=8.0)
+    atlas.obs["cell_type"] = atlas.obs["true_type"]
+
+    pretrained = train_cell_type_model(
+        atlas, epochs=25, seed=0, model_name="atlas_pretrained")
+
+    panel_atlas = atlas[:, PANEL_GENES]  # SpatialCore: restrict to panel
+    panel_model = train_cell_type_model(
+        panel_atlas, epochs=25, seed=0, model_name="panel_trained")
+
+    ov_pre = gene_overlap(pretrained.genes, PANEL_GENES)
+    ov_panel = gene_overlap(panel_model.genes, PANEL_GENES)
+    print(f"gene overlap: pretrained {ov_pre:.1%}, panel {ov_panel:.1%}")
+    assert ov_panel == 1.0 and ov_pre < 0.5
+
+    # --- annotate the spatial panel query with each --------------------
+    rng = np.random.default_rng(42)
+    query = simulate(PANEL_GENES, n_per_type=500, seed=42)
+    query.obsm["spatial"] = rng.uniform(0, 4000, (query.n_obs, 2))
+
+    results = {}
+    for name, model in (("standalone", pretrained),
+                        ("spatialcore", panel_model)):
+        q = annotate_cells(query.copy(), model, min_gene_overlap_pct=0.0)
+        query.obs[name] = q.obs["cell_type"].to_numpy()
+        query.obs[f"{name}_conf"] = q.obs["cell_type_confidence"].to_numpy()
+        results[name] = benchmark_annotation(
+            query, name, markers=MARKER_DICT, model_genes=model.genes,
+            confidence_column=f"{name}_conf", confidence_threshold=0.8,
+            key_added=f"annotation_benchmark_{name}")
+        acc = float((query.obs[name] == query.obs["true_type"]).mean())
+        print(f"{name}: accuracy vs truth {acc:.3f}, "
+              f"agreement {agreement_metrics(query.obs[name], query.obs['true_type'])}")
+
+    table = pd.DataFrame(results)
+    print("\n=== benchmark table (reference Results shape) ===")
+    print(table.round(3).to_string())
+
+    # --- the reference's conclusions must reproduce --------------------
+    assert table.loc["gene_overlap", "spatialcore"] == 1.0
+    assert table.loc["gene_overlap", "standalone"] < 0.5
+    assert (table.loc["unassigned_rate", "spatialcore"]
+            <= table.loc["unassigned_rate", "standalone"])
+    assert (table.loc["marker_log2fc", "spatialcore"]
+            >= table.loc["marker_log2fc", "standalone"])
+    assert (table.loc["marker_purity", "spatialcore"]
+            >= table.loc["marker_purity", "standalone"])
+    sc_acc = float((query.obs["spatialcore"] == query.obs["true_type"]).mean())
+    assert sc_acc > 0.95, sc_acc
+
+    # --- figures --------------------------------------------------------
+    import matplotlib.pyplot as plt
+
+    fig = plot_method_comparison(
+        table.T.rename_axis("method").reset_index(),
+        title="Annotation quality: pretrained-atlas vs panel-trained")
+    fig.savefig(out_png, dpi=110, bbox_inches="tight")
+    plt.close("all")
+    plot_confusion_matrix(query, "true_type", "spatialcore")
+    plt.close("all")
+    print(f"\nwrote {os.path.abspath(out_png)}")
+    print("vignette OK")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
