@@ -10,13 +10,17 @@ the atlas model's discriminative genes are mostly absent from the
 panel — and the same seven-metric table + figures come out of the
 package's own benchmark functions (`annotation/benchmark.py`).
 
-Run: JAX_PLATFORMS=cpu python examples/celltyping_benchmark.py
+Run: JAX_PLATFORM_NAME=cpu python examples/celltyping_benchmark.py
 Writes docs/images/vignette_benchmark.png and prints the metric table.
 Assertions make this a docs-as-integration-test (SURVEY.md §4 item 4).
 """
 
 import os
 import sys
+from pathlib import Path
+
+# runnable from any cwd without an installed package
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 import pandas as pd

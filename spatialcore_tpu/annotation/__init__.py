@@ -137,6 +137,9 @@ __all__ = [
     "filter_low_confidence", "filter_low_count_types",
     "filter_by_marker_validation", "ConfidenceMethod",
     "load_canonical_markers", "get_markers_for_type",
+    "benchmark_annotation", "compare_annotation_methods",
+    "marker_quality_metrics", "deg_log2fc", "gene_overlap",
+    "unassigned_rate",
 ]
 
 

@@ -55,6 +55,7 @@ from .markers import load_canonical_markers
 logger = get_logger(__name__)
 
 _EPS = 1e-9
+_CHUNK_BYTES = 512e6  # dense f32 block budget for chunked accumulation
 
 SUMMARY_METRICS = [
     "gene_overlap",
@@ -154,57 +155,93 @@ def marker_quality_metrics(
             f"No cell types with >= {min_cells} cells in "
             f"'{cell_type_column}' (excluding '{unassigned_label}')")
 
-    X = jnp.asarray(_dense_f32(adata.X))                    # [N, G]
     tindex = {t: i for i, t in enumerate(types)}
     lab_idx = np.array([tindex.get(l, -1) for l in labels], np.int32)
-    keep = lab_idx >= 0
-    onehot = jnp.asarray(
-        (lab_idx[:, None] == np.arange(len(types))[None, :])
-        .astype(np.float32))                                # [N, T]
-    M = jnp.asarray(_marker_matrix(types, adata.var_names, markers))
+    M_np = _marker_matrix(types, adata.var_names, markers)
+    M = jnp.asarray(M_np)
+    T = len(types)
+    N, G = adata.X.shape
 
-    n_t = jnp.maximum(onehot.sum(axis=0), 1.0)              # [T]
-    sums = onehot.T @ X                                     # [T, G]
+    # Chunked device accumulation: only one dense [chunk, G] block is
+    # ever materialized/shipped (≈_CHUNK_BYTES of f32), so sparse
+    # full-scale inputs never densify whole and the executable compiles
+    # once (the tail chunk is zero-padded; padded rows have all-zero
+    # one-hot and contribute nothing to any accumulator).
+    chunk = min(N, max(256, int(_CHUNK_BYTES / (4 * max(G, 1)))))
+    import jax
+
+    @jax.jit
+    def _accumulate(carry, Xc, ohc, own_rows_c):
+        sums, sq, total, pure = carry
+        sums = sums + ohc.T @ Xc
+        sq = sq + ohc.T @ (Xc * Xc)
+        total = total + Xc.sum(axis=0)
+        expressed = (Xc > 0).astype(jnp.float32)
+        frac = (expressed * own_rows_c).sum(axis=1) / jnp.maximum(
+            own_rows_c.sum(axis=1), 1.0)
+        pure = pure + ohc.T @ (frac >= purity_fraction).astype(jnp.float32)
+        return sums, sq, total, pure
+
+    carry = (jnp.zeros((T, G)), jnp.zeros((T, G)), jnp.zeros((G,)),
+             jnp.zeros((T,)))
+    eye_T = np.eye(T, dtype=np.float32)
+    for s in range(0, N, chunk):
+        e = min(s + chunk, N)
+        Xc = _dense_f32(adata.X[s:e])
+        oh_c = np.where(lab_idx[s:e, None] >= 0,
+                        eye_T[np.maximum(lab_idx[s:e], 0)], 0.0)
+        own_c = M_np[np.maximum(lab_idx[s:e], 0)]
+        if e - s < chunk:  # zero-pad the tail to keep one executable
+            pad = chunk - (e - s)
+            Xc = np.pad(Xc, ((0, pad), (0, 0)))
+            oh_c = np.pad(oh_c, ((0, pad), (0, 0)))
+            own_c = np.pad(own_c, ((0, pad), (0, 0)))
+        carry = _accumulate(carry, jnp.asarray(Xc), jnp.asarray(oh_c),
+                            jnp.asarray(own_c))
+    sums, sq, total_sum, pure_counts = carry
+
+    n_t_np = np.array([counts[t] for t in types], np.float32)
+    n_t = jnp.maximum(jnp.asarray(n_t_np), 1.0)              # [T]
     mean_t = sums / n_t[:, None]
-    sq = onehot.T @ (X * X)
     var_t = jnp.maximum(sq / n_t[:, None] - mean_t ** 2, 0.0)
     std_t = jnp.sqrt(var_t)
 
-    total_sum = X.sum(axis=0)                               # [G]
-    n_all = float(X.shape[0])
+    n_all = float(N)
     # mean over the REST (all cells not of type t, incl. unassigned)
     mean_rest = (total_sum[None, :] - sums) / jnp.maximum(
         n_all - n_t[:, None], 1.0)
 
     n_mark = jnp.maximum(M.sum(axis=1), 1.0)                # [T]
     own = M  # [T, G] own-marker mask
-    # CV over own markers where the in-type mean is nonzero
+    # CV over own markers where the in-type mean is nonzero; a type
+    # expressing NONE of its markers gets NaN (not a perfect 0 — see
+    # test_markerless_and_unexpressed_edge_cases)
     valid = own * (mean_t > _EPS)
     cv_per = jnp.where(valid > 0, std_t / jnp.maximum(mean_t, _EPS), 0.0)
-    n_valid = jnp.maximum(valid.sum(axis=1), 1.0)
-    marker_cv = cv_per.sum(axis=1) / n_valid
+    n_valid = valid.sum(axis=1)
+    marker_cv = jnp.where(n_valid > 0,
+                          cv_per.sum(axis=1) / jnp.maximum(n_valid, 1.0),
+                          jnp.nan)
 
     lfc_per = own * jnp.log2((mean_t + _EPS) / (mean_rest + _EPS))
     marker_log2fc = lfc_per.sum(axis=1) / n_mark
 
-    # purity: per-cell fraction of own-type markers detected (>0)
-    expressed = (X > 0).astype(jnp.float32)                 # [N, G]
-    own_rows = M[jnp.asarray(np.maximum(lab_idx, 0))]       # [N, G]
-    frac = (expressed * own_rows).sum(axis=1) / jnp.maximum(
-        own_rows.sum(axis=1), 1.0)
-    pure = (frac >= purity_fraction).astype(jnp.float32) * jnp.asarray(
-        keep.astype(np.float32))
-    purity = (onehot.T @ pure) / n_t
+    purity = pure_counts / n_t
 
-    # contamination: R[t, u] = mean expr of u's markers in t
+    # contamination: R[t, u] = mean expr of u's markers in t, compared
+    # to u's own expression of them; averaged ONLY over other types
+    # that actually have panel markers (a markerless type would dilute
+    # the ratio toward 0 and skew cross-method comparisons)
     Mn = M / n_mark[:, None]                                # [T, G]
     R = mean_t @ Mn.T                                       # [T, U]
     self_sig = jnp.maximum(jnp.diagonal(R), _EPS)           # [U]
     ratio = R / self_sig[None, :]
-    T = len(types)
-    off = 1.0 - jnp.eye(T)
-    contamination = ((ratio * off).sum(axis=1)
-                     / jnp.maximum(off.sum(axis=1), 1.0))
+    has_mark_u = (M.sum(axis=1) > 0).astype(jnp.float32)    # [U]
+    off = (1.0 - jnp.eye(T)) * has_mark_u[None, :]
+    n_off = off.sum(axis=1)
+    contamination = jnp.where(
+        n_off > 0, (ratio * off).sum(axis=1) / jnp.maximum(n_off, 1.0),
+        jnp.nan)
 
     has_m = np.asarray(M.sum(axis=1)) > 0
     df = pd.DataFrame(
@@ -265,12 +302,15 @@ def benchmark_annotation(
     min_cells: int = 10,
     purity_fraction: float = 0.5,
     key_added: str = "annotation_benchmark",
+    store: bool = True,
 ) -> pd.Series:
     """All seven reference benchmark metrics for one annotation column.
 
     Returns a Series over ``SUMMARY_METRICS`` (gene_overlap NaN when no
     ``model_genes`` given); the per-type table lands in
-    ``uns[key_added]`` alongside the parameters.
+    ``uns[key_added]`` alongside the parameters. ``store=False`` skips
+    the ``uns`` write and the provenance ledger entry, leaving ``adata``
+    untouched (the side-effect-free escape hatch for shared objects).
     """
     start = time.time()
     per_type = marker_quality_metrics(
@@ -305,22 +345,24 @@ def benchmark_annotation(
         name=cell_type_column,
     )[SUMMARY_METRICS]
 
-    adata.uns[key_added] = {
-        "summary": {k: float(v) for k, v in summary.items()},
-        "per_type": per_type.reset_index().to_dict(orient="list"),
-        "params": {
-            "cell_type_column": cell_type_column,
-            "confidence_column": confidence_column,
-            "confidence_threshold": confidence_threshold,
-            "n_top_degs": n_top_degs,
-            "purity_fraction": purity_fraction,
-            "min_cells": min_cells,
-        },
+    params = {
+        "cell_type_column": cell_type_column,
+        "confidence_column": confidence_column,
+        "confidence_threshold": confidence_threshold,
+        "n_top_degs": n_top_degs,
+        "purity_fraction": purity_fraction,
+        "min_cells": min_cells,
     }
-    update_metadata(
-        adata, "benchmark_annotation",
-        parameters=adata.uns[key_added]["params"],
-        outputs={"uns": key_added})
+    if store:
+        adata.uns[key_added] = {
+            "summary": {k: float(v) for k, v in summary.items()},
+            "per_type": per_type.reset_index().to_dict(orient="list"),
+            "params": params,
+        }
+        update_metadata(
+            adata, "benchmark_annotation",
+            parameters=params,
+            outputs={"uns": key_added})
     logger.info(
         f"benchmark_annotation[{cell_type_column}]: "
         + ", ".join(f"{k}={v:.3f}" for k, v in summary.items()
@@ -348,10 +390,19 @@ def compare_annotation_methods(
     """
     if len(cell_type_columns) < 2:
         raise ValueError("Need >= 2 annotation columns to compare")
+    if "key_added" in kwargs:
+        raise ValueError(
+            "key_added is derived per method as "
+            "'annotation_benchmark_<column>'; it cannot be overridden here")
     names = list(method_names or cell_type_columns)
     if len(names) != len(cell_type_columns):
         raise ValueError("method_names length mismatch")
     confs = list(confidence_columns or [None] * len(cell_type_columns))
+    if len(confs) != len(cell_type_columns):
+        raise ValueError(
+            f"confidence_columns has {len(confs)} entries for "
+            f"{len(cell_type_columns)} annotation columns — pass one per "
+            "column (None where a method has no confidence)")
     cols = {}
     for name, col, conf in zip(names, cell_type_columns, confs):
         cols[name] = benchmark_annotation(

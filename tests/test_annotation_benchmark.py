@@ -142,6 +142,64 @@ def test_case_insensitive_marker_matching(adata):
     assert (df["n_panel_markers"] == 3).all()
 
 
+def test_markerless_and_unexpressed_edge_cases():
+    """A type expressing NONE of its markers must not score a perfect
+    CV of 0, and markerless types must not dilute contamination."""
+    rng = np.random.default_rng(3)
+    genes = ["GA0", "GA1", "GB0", "GB1", "N0", "N1"]
+    n = 120
+    X = np.zeros((3 * n, len(genes)), np.float32)
+    X[:n, 0:2] = rng.poisson(5, (n, 2))          # alpha: expresses GA*
+    # beta cells express NOTHING (dead type) — its markers GB* all zero
+    X[2 * n:, 4:6] = rng.poisson(5, (n, 2))      # gamma: no marker dict
+    a = sct.SpatialData(X=sp.csr_matrix(X))
+    a.var_names = genes
+    a.obs["cell_type"] = ["alpha"] * n + ["beta"] * n + ["gamma"] * n
+    mk = {"alpha": ["GA0", "GA1"], "beta": ["GB0", "GB1"]}
+    df = marker_quality_metrics(a, "cell_type", markers=mk)
+    # beta expresses none of its markers: CV must be NaN, not 0.0
+    assert np.isnan(df.loc["beta", "marker_cv"])
+    assert np.isfinite(df.loc["alpha", "marker_cv"])
+    # gamma has no markers at all: its metrics are NaN ...
+    assert df.loc["gamma", ["marker_cv", "marker_purity"]].isna().all()
+    # ... and it is excluded from others' contamination averages: alpha's
+    # contamination is computed against beta only (whose self-signal is
+    # eps-floored), not diluted by a zero gamma column
+    assert np.isfinite(df.loc["alpha", "contamination"])
+
+
+def test_compare_validates_confidence_columns(adata):
+    with pytest.raises(ValueError, match="confidence_columns"):
+        compare_annotation_methods(
+            adata.copy(), ["cell_type", "shuffled"],
+            confidence_columns=["only_one"], markers=MARKERS)
+    with pytest.raises(ValueError, match="key_added"):
+        compare_annotation_methods(
+            adata.copy(), ["cell_type", "shuffled"], markers=MARKERS,
+            key_added="custom")
+
+
+def test_store_false_leaves_adata_untouched(adata):
+    a = adata.copy()
+    before_uns = set(a.uns)
+    from spatialcore_tpu.core.metadata import get_operations
+    n_ops = len(get_operations(a))
+    benchmark_annotation(a, "cell_type", markers=MARKERS, store=False)
+    assert set(a.uns) == before_uns
+    assert len(get_operations(a)) == n_ops
+
+
+def test_chunked_accumulation_matches_single_chunk(adata, monkeypatch):
+    """Metric values must be identical regardless of chunk size."""
+    import spatialcore_tpu.annotation.benchmark as B
+    ref = marker_quality_metrics(adata, "cell_type", markers=MARKERS)
+    # force 256-row chunks (the fixture has 360 cells -> 2 chunks,
+    # exercising the zero-padded tail path)
+    monkeypatch.setattr(B, "_CHUNK_BYTES", 1.0)
+    small = marker_quality_metrics(adata, "cell_type", markers=MARKERS)
+    pd.testing.assert_frame_equal(ref, small, rtol=1e-5, atol=1e-6)
+
+
 def test_errors(adata):
     with pytest.raises(ValueError, match="not found"):
         marker_quality_metrics(adata, "nope")
