@@ -51,6 +51,7 @@ class TrainingConfig:
     output_dir: Optional[str] = None
     seed: int = 0
     make_plots: bool = True
+    compute_benchmark: bool = False  # 7-metric quality table in uns
 
     def validate(self) -> None:
         if not self.references:
@@ -192,6 +193,21 @@ def train_and_annotate(
     logger.info("Stage 9: confidence thresholding")
     adata = filter_low_confidence(
         adata, threshold=config.confidence_threshold)
+
+    # S10 (optional): the seven-metric quality table over the final
+    # labels (annotation/benchmark.py — the reference computes these
+    # only in its private benchmark notebooks)
+    if config.compute_benchmark:
+        logger.info("Stage 10: annotation quality benchmark")
+        try:
+            from .benchmark import benchmark_annotation
+
+            benchmark_annotation(
+                adata, "cell_type", model_genes=model.genes,
+                confidence_column="cell_type_confidence",
+                confidence_threshold=config.confidence_threshold)
+        except Exception as e:  # metrics must never kill the pipeline
+            logger.warning(f"quality benchmark failed: {e}")
 
     n_unassigned = int((adata.obs["cell_type"] == "Unassigned").sum())
     adata.uns["spatialcore_annotation"] = {

@@ -47,7 +47,7 @@ def test_train_and_annotate_end_to_end(tmp_path):
         config=TrainingConfig(
             references=[], epochs=15, max_cells_per_type=400,
             output_dir=str(out), confidence_threshold=0.5,
-            model_name="e2e_model", seed=0))
+            model_name="e2e_model", seed=0, compute_benchmark=True))
 
     labeled = query.obs["cell_type"].astype(str).to_numpy()
     assigned = labeled != "Unassigned"
@@ -63,6 +63,10 @@ def test_train_and_annotate_end_to_end(tmp_path):
     ann = query.uns["spatialcore_annotation"]
     assert ann["n_types"] == 4
     assert ann["model_name"] == "e2e_model"
+    # stage 10: the 7-metric quality table landed in uns
+    bench = query.uns["annotation_benchmark"]["summary"]
+    assert bench["gene_overlap"] == 1.0
+    assert 0.0 <= bench["unassigned_rate"] <= 0.2
 
 
 def test_training_config_yaml_roundtrip(tmp_path):
