@@ -438,3 +438,28 @@ def test_quantize_z_properties():
     Zq2, s2 = _quantize_z(Zo)
     assert float(s2[0]) <= 8.0 / 127.0 + 1e-6
     assert int(Zq2[0, 0]) == 127
+
+
+def test_int8_degenerate_genes_no_nans():
+    """Constant and all-zero genes must produce I=0, p=1 — never NaN —
+    through the public int8 null path (quantizer scale would be 0)."""
+    import scipy.sparse as sp
+
+    import spatialcore_tpu as sct
+
+    rng = np.random.default_rng(0)
+    n = 2000
+    X = rng.poisson(2.0, (n, 6)).astype(np.float32)
+    X[:, 2] = 5.0   # constant
+    X[:, 4] = 0.0   # all-zero
+    a = sct.SpatialData(X=sp.csr_matrix(X))
+    a.var_names = [f"G{i}" for i in range(6)]
+    a.obsm["spatial"] = rng.uniform(0, 2000, (n, 2)).astype(np.float32)
+    sct.spatial.build_spatial_weights(a, n_neighbors=6)
+    r = sct.spatial.morans_i(a, n_permutations=19,
+                             null_method="banded_int8")
+    df = r.uns["morans_i"].set_index("gene")
+    assert np.isfinite(df[["I", "z_score", "p_value"]].to_numpy()).all()
+    for g in ("G2", "G4"):
+        assert df.loc[g, "I"] == 0.0
+        assert df.loc[g, "p_value"] == 1.0
