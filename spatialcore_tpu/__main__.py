@@ -58,6 +58,19 @@ def cmd_moran(args):
         _save(adata, args.out)
 
 
+def cmd_benchmark(args):
+    from .annotation.benchmark import benchmark_annotation, compare_annotation_methods
+
+    adata = _load(args.adata)
+    cols = args.columns.split(",")
+    if len(cols) == 1:
+        s = benchmark_annotation(adata, cols[0], store=False)
+        print(s.round(4).to_string())
+    else:
+        t = compare_annotation_methods(adata, cols)
+        print(t.round(4).to_string())
+
+
 def cmd_domains(args):
     from .spatial import get_domain_summary, make_spatial_domains
 
@@ -92,6 +105,13 @@ def main(argv=None):
     pm.add_argument("--top", type=int, default=20)
     pm.add_argument("--out", default=None)
 
+    pb = sub.add_parser("benchmark",
+                        help="annotation quality metrics (7-metric table)")
+    pb.add_argument("adata")
+    pb.add_argument("--columns", default="cell_type",
+                    help="obs annotation column(s), comma-separated; two "
+                         "or more produces the method-comparison table")
+
     pd_ = sub.add_parser("domains", help="spatial domains")
     pd_.add_argument("adata")
     pd_.add_argument("filter", help="filter expression (e.g. CL:0000236)")
@@ -101,7 +121,7 @@ def main(argv=None):
 
     args = p.parse_args(argv)
     {"info": cmd_info, "pipeline": cmd_pipeline, "moran": cmd_moran,
-     "domains": cmd_domains}[args.command](args)
+     "domains": cmd_domains, "benchmark": cmd_benchmark}[args.command](args)
 
 
 if __name__ == "__main__":

@@ -90,3 +90,17 @@ def test_cli_pipeline(tmp_path):
     back = sct.read_h5ad(tmp_path / "annotated.h5ad")
     assert back.obs["cell_type"].notna().all()
     assert back.uns["spatialcore_annotation"]["n_types"] == 3
+
+
+def test_cli_benchmark(tmp_path):
+    rng = np.random.default_rng(1)
+    n = 400
+    adata = make_adata(n_obs=n, n_vars=8, sparse=True)
+    adata.obs["cell_type"] = rng.choice(["A", "B", "C"], n)
+    path = tmp_path / "b.h5ad"
+    sct.write_h5ad(adata, path)
+
+    r = _cli("benchmark", str(path), "--columns", "cell_type")
+    assert r.returncode == 0, r.stderr[-500:]
+    for metric in ("unassigned_rate", "deg_log2fc", "marker_purity"):
+        assert metric in r.stdout
