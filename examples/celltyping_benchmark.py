@@ -33,8 +33,7 @@ matplotlib.use("Agg")
 import spatialcore_tpu as sct
 from spatialcore_tpu.annotation import (annotate_cells, ensure_normalized,
                                         train_cell_type_model)
-from spatialcore_tpu.annotation.benchmark import (benchmark_annotation,
-                                                  gene_overlap)
+from spatialcore_tpu.annotation.benchmark import gene_overlap
 from spatialcore_tpu.plotting import (agreement_metrics,
                                       plot_confusion_matrix,
                                       plot_method_comparison)
@@ -112,21 +111,22 @@ def main():
     query = simulate(PANEL_GENES, n_per_type=500, seed=42)
     query.obsm["spatial"] = rng.uniform(0, 4000, (query.n_obs, 2))
 
-    results = {}
+    from spatialcore_tpu.annotation.benchmark import compare_annotation_methods
+
     for name, model in (("standalone", pretrained),
                         ("spatialcore", panel_model)):
         q = annotate_cells(query.copy(), model, min_gene_overlap_pct=0.0)
         query.obs[name] = q.obs["cell_type"].to_numpy()
         query.obs[f"{name}_conf"] = q.obs["cell_type_confidence"].to_numpy()
-        results[name] = benchmark_annotation(
-            query, name, markers=MARKER_DICT, model_genes=model.genes,
-            confidence_column=f"{name}_conf", confidence_threshold=0.8,
-            key_added=f"annotation_benchmark_{name}")
         acc = float((query.obs[name] == query.obs["true_type"]).mean())
         print(f"{name}: accuracy vs truth {acc:.3f}, "
               f"agreement {agreement_metrics(query.obs[name], query.obs['true_type'])}")
 
-    table = pd.DataFrame(results)
+    table = compare_annotation_methods(
+        query, ["standalone", "spatialcore"], markers=MARKER_DICT,
+        confidence_columns=["standalone_conf", "spatialcore_conf"],
+        model_genes_per_method=[pretrained.genes, panel_model.genes],
+        confidence_threshold=0.8)
     print("\n=== benchmark table (reference Results shape) ===")
     print(table.round(3).to_string())
 

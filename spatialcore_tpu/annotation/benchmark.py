@@ -376,6 +376,7 @@ def compare_annotation_methods(
     cell_type_columns: Sequence[str],
     method_names: Optional[Sequence[str]] = None,
     confidence_columns: Optional[Sequence[Optional[str]]] = None,
+    model_genes_per_method: Optional[Sequence[Optional[Sequence[str]]]] = None,
     **kwargs,
 ) -> pd.DataFrame:
     """The reference's Results table: metrics × methods.
@@ -394,6 +395,10 @@ def compare_annotation_methods(
         raise ValueError(
             "key_added is derived per method as "
             "'annotation_benchmark_<column>'; it cannot be overridden here")
+    if "model_genes" in kwargs:
+        raise ValueError(
+            "pass model_genes_per_method (one entry per column) instead "
+            "of model_genes")
     names = list(method_names or cell_type_columns)
     if len(names) != len(cell_type_columns):
         raise ValueError("method_names length mismatch")
@@ -403,10 +408,16 @@ def compare_annotation_methods(
             f"confidence_columns has {len(confs)} entries for "
             f"{len(cell_type_columns)} annotation columns — pass one per "
             "column (None where a method has no confidence)")
+    mgenes = list(model_genes_per_method
+                  or [None] * len(cell_type_columns))
+    if len(mgenes) != len(cell_type_columns):
+        raise ValueError(
+            "model_genes_per_method length must match cell_type_columns")
     cols = {}
-    for name, col, conf in zip(names, cell_type_columns, confs):
+    for name, col, conf, mg in zip(names, cell_type_columns, confs,
+                                   mgenes):
         cols[name] = benchmark_annotation(
-            adata, col, confidence_column=conf,
+            adata, col, confidence_column=conf, model_genes=mg,
             key_added=f"annotation_benchmark_{col}", **kwargs)
     table = pd.DataFrame(cols)
     table.index.name = "metric"
