@@ -167,23 +167,11 @@ def main():
 
     # batch schedule: full tiles + tail rounded up to tile or tile/2 so at
     # most two executable widths exist (a 904-wide tail would recompile the
-    # hot kernel inside the timed region — remote TPU compiles take minutes)
-    widths = []
-    rem = n_genes
-    while rem > 0:
-        if rem >= tile:
-            widths.append(tile)
-            rem -= tile
-        elif widths:
-            # tail next to full tiles: round UP to the full tile — the
-            # issue-bound row gather costs the same at any width, so this
-            # is free wall-clock-wise and avoids a second executable
-            widths.append(tile)
-            rem = 0
-        else:
-            w = tile // 2 if rem <= tile // 2 else tile
-            widths.append(w)
-            rem = 0
+    # hot kernel inside the timed region — remote TPU compiles take
+    # minutes); ONE shared implementation with the streaming driver
+    from spatialcore_tpu.ops.streaming import tile_widths
+
+    widths = tile_widths(n_genes, tile)
     done_genes = sum(widths)
 
     # prep in gene chunks: a single f32 [N, G] standardize needs two
@@ -234,23 +222,35 @@ def main():
         plan = NullPlan(*(jax.device_put(f, rep) if isinstance(f, jax.Array)
                           else f for f in plan))
 
-        def run_chunk(Zb, den, obs, szv, seed, pc):
-            Zb = jax.device_put(Zb, gs2)
-            den = jax.device_put(den, gs1)
-            obs = jax.device_put(obs, gs1)
-            szv = jax.device_put(szv, gs1)
+        def shard_batch(batch):
+            # reshard ONCE per gene batch — resharding the 4 GB tile per
+            # draw chunk would pay the transfer chunk-count times inside
+            # the timed region
+            Zb, den, obs, szv = batch
+            return (jax.device_put(Zb, gs2), jax.device_put(den, gs1),
+                    jax.device_put(obs, gs1), jax.device_put(szv, gs1))
+
+        def run_chunk(Zb, den, obs, szv, seed, pc, off=0):
             with mesh:
                 return banded_permutation_test(
                     plan, Zb, S0, obs, seed=seed, n_permutations=pc,
                     den=den, band_impl=impl, precision=prec,
-                    sz=szv if prec == "int8" else None)[0]
+                    sz=szv if prec == "int8" else None, draw_offset=off)[0]
 
         # mesh mode: warm-up executions instead of AOT (sharding-aware
-        # lowering; hardware meshes compile once per (width, pc))
+        # lowering; hardware meshes compile once per (width, pc)) — warm
+        # EVERY (width, pc) incl. the tail chunk so nothing compiles
+        # inside the timed region
+        pcs = sorted({chunk, n_perms % chunk or chunk})
         for w in sorted(set(widths)):
-            Zb, den, obs, szv = prep_width(jax.random.key(99), w)
-            jax.block_until_ready(run_chunk(Zb, den, obs, szv, 10_000,
-                                            chunk))
+            Zb, den, obs, szv = shard_batch(prep_width(jax.random.key(99),
+                                                       w))
+            for pc in pcs:
+                jax.block_until_ready(run_chunk(Zb, den, obs, szv, 10_000,
+                                                pc))
+            jax.block_until_ready(
+                to_counts(jnp.zeros((w,), jnp.float32),
+                          jnp.zeros((w,), jnp.float32), float(chunk)))
             del Zb, den, obs, szv
     else:
         from spatialcore_tpu.ops.banded import _banded_test
@@ -304,6 +304,7 @@ def main():
                         plan.order, plan.local_idx, plan.w_local,
                         plan.far_src, plan.far_dst, plan.far_w, plan.rc_sum,
                         Zb, S0, obs, jnp.uint32(0), den, szv,
+                        jnp.uint32(0),
                         block=plan.block, n=plan.n, n_permutations=pc,
                         stat="moran", alternative="greater", precision=prec,
                         perm_method="feistel", band_impl=band_for[w],
@@ -312,25 +313,38 @@ def main():
 
                 compiled[(w, pc)] = compile_with_retry(
                     build, f"scan w={w} pc={pc}")
+            # warm to_counts too — its first call must not compile inside
+            # the timed region (every compile is a remote round trip)
+            compile_with_retry(
+                lambda w=w: jax.block_until_ready(
+                    to_counts(jnp.zeros((w,), jnp.float32),
+                              jnp.zeros((w,), jnp.float32), float(chunk))),
+                f"to_counts w={w}")
             del Zb, den, obs, szv
         print(f"[bench] AOT compile ({len(compiled)} executables): "
               f"{time.time()-t0:.1f}s", file=sys.stderr)
 
-        def run_chunk(Zb, den, obs, szv, seed, pc):
+        def run_chunk(Zb, den, obs, szv, seed, pc, off=0):
             return compiled[(Zb.shape[1], pc)](
                 plan.order, plan.local_idx, plan.w_local, plan.far_src,
                 plan.far_dst, plan.far_w, plan.rc_sum, Zb, S0, obs,
-                jnp.uint32(seed), den, szv)[0]
+                jnp.uint32(seed), den, szv, jnp.uint32(off))[0]
 
     # ---- timed region: the whole workload enqueues asynchronously -------
     counts = []
     t_start = time.time()
     for bi, w in enumerate(widths):
         Zb, den, obs, szv = prep_width(jax.random.fold_in(kx, bi), w)
+        if mesh is not None:
+            Zb, den, obs, szv = shard_batch((Zb, den, obs, szv))
         acc = jnp.zeros((w,), jnp.float32)
         for ci in range(0, n_perms, chunk):
             pc = min(chunk, n_perms - ci)
-            p = run_chunk(Zb, den, obs, szv, bi * 1000 + ci // chunk, pc)
+            # one seed for the whole run; draws keyed by the GLOBAL draw
+            # index ci — every gene batch sees the same permutation for
+            # draw d, exactly like one unbatched call (streaming.py
+            # semantics); chunk split changes nothing bitwise
+            p = run_chunk(Zb, den, obs, szv, 0, pc, ci)
             acc = to_counts(acc, p, float(pc))
         counts.append(acc)
         del Zb, den, obs, szv   # refcount drop: frees right after the last

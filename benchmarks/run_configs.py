@@ -223,12 +223,13 @@ def config4(scale):
         # compiles and a single end-of-run block)
         count_dev = jnp.zeros((g,), jnp.float32)
         t0 = time.time()
-        for ci, start_p in enumerate(range(0, n_perms, chunk)):
+        for start_p in range(0, n_perms, chunk):
             pc = min(chunk, n_perms - start_p)
+            # global-draw-index keying: bitwise chunk-split-independent
             p, _, _ = banded_permutation_test(
-                plan, Zb, S0, obs, seed=batch_i * 1000 + ci,
+                plan, Zb, S0, obs, seed=1,
                 n_permutations=pc, den=den, precision=prec,
-                sz=szv if prec == "int8" else None)
+                sz=szv if prec == "int8" else None, draw_offset=start_p)
             count_dev = count_dev + jnp.round(p * (pc + 1.0) - 1.0)
         count = np.asarray(count_dev)             # the batch's one readback
         total += time.time() - t0

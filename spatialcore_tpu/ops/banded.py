@@ -855,10 +855,24 @@ def _banded_stat_i8(A8, sw, far_src, far_dst, far_w, rc_sum, Zq, sz2, den,
     else:
         cross_q = _band_cross_pallas_i8(A8, sw, Zp, interpret=interpret)
     flat = Zp.reshape(-1, G)
-    fs = flat[far_src].astype(jnp.float32)
-    ft = flat[far_dst].astype(jnp.float32)
-    cross_q = cross_q + jnp.einsum("f,fg,fg->g", far_w, fs, ft,
-                                   preferred_element_type=jnp.float32)
+    # cap the far-edge f32 temps at ~1.5 GB per gather: beyond the
+    # measured headline regime (G=4096, F≈2.5% of N·k → 2.4 GB single-
+    # shot, fine on a v5e) a high far fraction (graph_order fallback,
+    # small blocks) would materialize multi-GB casts next to the
+    # resident Zq tile; chunk + barrier caps the peak without changing
+    # the gathered row count (the stage is issue-bound per row)
+    F = int(far_src.shape[0])
+    fbytes = F * G * 4
+    n_fc = 1 if fbytes <= (3 << 30) else -(-fbytes // (3 << 29))
+    fc = -(-F // n_fc)
+    for i in range(n_fc):
+        sl = slice(i * fc, min((i + 1) * fc, F))
+        fs = flat[far_src[sl]].astype(jnp.float32)
+        ft = flat[far_dst[sl]].astype(jnp.float32)
+        cross_q = cross_q + jnp.einsum("f,fg,fg->g", far_w[sl], fs, ft,
+                                       preferred_element_type=jnp.float32)
+        if n_fc > 1:
+            cross_q = jax.lax.optimization_barrier(cross_q)
     cross = cross_q * sz2
     if stat == "moran":
         return (n / S0) * cross / den
@@ -923,12 +937,19 @@ def _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab, den, S0, perm,
     "block", "n", "stat", "alternative", "n_permutations", "precision",
     "perm_method", "band_impl", "interpret"))
 def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
-                 Z, S0, observed, seed, den, sz=None, *, block: int, n: int,
+                 Z, S0, observed, seed, den, sz=None,
+                 draw0=jnp.uint32(0), *, block: int, n: int,
                  n_permutations: int, stat: str, alternative: str,
                  precision: str, perm_method: str, band_impl: str = "xla",
                  interpret: bool = False):
     if den is None:
         den = jnp.sum(Z.astype(jnp.float32) ** 2, axis=0)
+        if precision == "int8" and Z.dtype == jnp.int8:
+            # Z holds quantized CODES: Σ code² is den/s_g² — rescale to
+            # z units so the returned null mean/std keep statistic units
+            if sz is None:
+                raise ValueError("int8 Z requires its per-gene scale `sz`")
+            den = den * sz * sz
         den = jnp.where(den > 0, den, 1.0)
     G = Z.shape[1]
     if precision == "int8":
@@ -970,7 +991,11 @@ def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
 
     def body(carry, step):
         count, s1, s2 = carry
-        key = jax.random.fold_in(base, step)
+        # draw0 is TRACED: chunked callers pass their absolute draw
+        # offset so the stream is keyed by global draw index — results
+        # are bitwise independent of the chunk split (CLAUDE.md hard
+        # rule) and chunks reuse one compiled executable
+        key = jax.random.fold_in(base, step + draw0)
         if perm_method == "sort":
             raw = jax.random.permutation(key, n)
         else:
@@ -997,7 +1022,8 @@ def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
     # Zp temp alive; dropping it frees the headroom the streaming driver
     # needs next to a resident gene tile
     (count, s1, s2), _ = jax.lax.scan(body, init,
-                                      jnp.arange(n_permutations),
+                                      jnp.arange(n_permutations,
+                                                 dtype=jnp.uint32),
                                       unroll=1)
     P = n_permutations
     p = (count + 1.0) / (P + 1.0)
@@ -1020,8 +1046,15 @@ def banded_permutation_test(
     band_impl: str = "auto",
     den: Optional[jax.Array] = None,
     sz: Optional[jax.Array] = None,
+    draw_offset: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Drop-in replacement for ``permutation_test_global`` using a NullPlan.
+
+    ``draw_offset`` keys this call's draws at global indices
+    ``[draw_offset, draw_offset + n_permutations)`` of the seed's stream:
+    chunked callers (bench.py, ops/streaming.py) split a P-draw run into
+    chunks that reproduce the unchunked run bitwise (the offset is a
+    traced scalar — no recompile per chunk).
 
     ``perm_method="feistel"`` (default) draws permutations from the sort-free
     Feistel stream — its own seeded, device-independent sequence.
@@ -1091,7 +1124,7 @@ def banded_permutation_test(
     p, mean, std = _banded_test(
         plan.order, plan.local_idx, plan.w_local, plan.far_src, plan.far_dst,
         plan.far_w, plan.rc_sum, Z, S0, observed, jnp.uint32(seed), den, sz,
-        block=plan.block, n=plan.n,
+        jnp.uint32(draw_offset), block=plan.block, n=plan.n,
         n_permutations=n_permutations, stat=stat, alternative=alternative,
         precision=precision, perm_method=perm_method, band_impl=band_impl,
         interpret=interpret)

@@ -18,9 +18,12 @@ a documented streaming loop:
 * every (tile-width, chunk) combination reuses one compiled executable —
   the tail tile pads to tile/2 or tile so at most two widths compile.
 
-Each tile's draws use seeds ``seed + tile_index * 1000 + chunk_index`` —
-deterministic and independent of the tile split, matching bench.py and
-benchmarks/run_configs.py config 4.
+Draw d of every tile uses the permutation keyed by ``(seed, d)``
+(``draw_offset`` plumbs the global draw index through the chunked
+calls), so the output is BITWISE identical to an unstreamed
+``banded_permutation_test`` run at any tile/chunk split — the CLAUDE.md
+counter-based-randomness rule, pinned by
+tests/test_streaming.py::test_chunk_and_tile_split_invariance.
 """
 
 from __future__ import annotations
@@ -38,6 +41,31 @@ from .graph import SpatialGraph
 from .moran import standardize
 
 logger = get_logger(__name__)
+
+
+def tile_widths(n_genes: int, tile: int) -> list:
+    """Tile-quantized gene schedule shared by this driver and bench.py.
+
+    Full ``tile``-wide tiles; a tail NEXT TO full tiles rounds UP to the
+    full tile (the per-draw row gather is issue-bound — same wall-clock
+    at any width — so a zero-padded full tile costs what a half tile
+    would and reuses the one compiled executable instead of compiling a
+    second width; remote compiles run ~1 min). A lone tail uses tile/2
+    when it fits (small single-tile runs shouldn't pay double).
+    """
+    widths = []
+    rem = n_genes
+    while rem > 0:
+        if rem >= tile:
+            widths.append(tile)
+            rem -= tile
+        elif widths:
+            widths.append(tile)
+            rem = 0
+        else:
+            widths.append(tile // 2 if rem <= tile // 2 else tile)
+            rem = 0
+    return widths
 
 
 def streaming_moran_null(
@@ -76,23 +104,7 @@ def streaming_moran_null(
     matrix + one prep chunk's f32 intermediates, independent of
     ``n_genes``.
     """
-    widths = []
-    rem = n_genes
-    while rem > 0:
-        if rem >= tile:
-            widths.append(tile)
-            rem -= tile
-        elif widths:
-            # tail next to full tiles: round UP to the full tile. The
-            # per-draw row gather is issue-bound (same wall-clock at any
-            # width), so a zero-padded full tile costs what a half tile
-            # would — and reuses the one compiled executable instead of
-            # compiling a second width (remote compiles run ~1 min).
-            widths.append(tile)
-            rem = 0
-        else:
-            widths.append(tile // 2 if rem <= tile // 2 else tile)
-            rem = 0
+    widths = tile_widths(n_genes, tile)
     padded = sum(widths)
 
     # donate X (the tile buffer is consumed) AND fuse the observed-I slot
@@ -109,13 +121,21 @@ def streaming_moran_null(
         num = jnp.zeros((g,), jnp.float32)
         for j in range(graph.neighbor_idx.shape[1]):
             w = graph.neighbor_w[:, j:j + 1]
-            num = num + jnp.sum(w * Z * Z[graph.neighbor_idx[:, j]], axis=0)
+            if stat == "moran":
+                num = num + jnp.sum(w * Z * Z[graph.neighbor_idx[:, j]],
+                                    axis=0)
+            else:  # geary: Σ w (z_i − z_nbr)² (ops/moran.py geary_observed)
+                diff = Z - Z[graph.neighbor_idx[:, j]]
+                num = num + jnp.sum(w * diff * diff, axis=0)
             # barrier THREADS Z: a barrier on num alone leaves XLA free to
             # hoist all k [N, g] gather temps to coexist (compile-time HBM
             # check: 26.7 G at 1M x 1024; the CLAUDE.md gather-batching
             # pathology in its compile-time form)
             Z, num = jax.lax.optimization_barrier((Z, num))
-        obs = (n / S0) * num / den
+        if stat == "moran":
+            obs = (n / S0) * num / den
+        else:
+            obs = (n - 1) * num / (2.0 * S0 * den)
         if precision == "int8":
             from .banded import _quantize_z
             Zq, s_z = _quantize_z(Z)
@@ -170,12 +190,17 @@ def streaming_moran_null(
         m2_acc = jnp.zeros((w,), jnp.float32)
         for ci, s in enumerate(range(0, n_permutations, chunk)):
             pc = min(chunk, n_permutations - s)
+            # draws keyed by GLOBAL draw index (draw_offset=s), one seed:
+            # results are bitwise independent of the chunk split AND of
+            # the tile split — every tile sees the same permutation for
+            # draw d, exactly like an unstreamed run (CLAUDE.md hard rule)
             p, m, sd = banded_permutation_test(
-                plan, Zb, S0, obs, seed=seed + bi * 1000 + ci,
+                plan, Zb, S0, obs, seed=seed,
                 n_permutations=pc, den=den, stat=stat,
                 alternative=alternative, band_impl=band_impl,
                 precision=precision,
-                sz=szv if precision == "int8" else None)
+                sz=szv if precision == "int8" else None,
+                draw_offset=s)
             count = count + jnp.round(p * (pc + 1.0) - 1.0)
             mean_acc = mean_acc + m * pc
             m2_acc = m2_acc + (sd * sd + m * m) * pc

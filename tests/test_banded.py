@@ -463,3 +463,52 @@ def test_int8_degenerate_genes_no_nans():
     for g in ("G2", "G4"):
         assert df.loc[g, "I"] == 0.0
         assert df.loc[g, "p_value"] == 1.0
+
+
+def test_int8_prequantized_den_none_mean_std_units(setup):
+    """den=None with a pre-quantized int8 table must rescale Σcode² by
+    s_g² so null mean/std come back in statistic units (not s_g²-inflated)."""
+    from spatialcore_tpu.ops.banded import _quantize_z, banded_permutation_test
+
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, block=64)
+    S0 = float(Z.shape[0])
+    obs = moran_observed(graph, Z, S0)
+    Zq, s_z = _quantize_z(Z)
+    den = jnp.sum(Z * Z, axis=0)
+    p_ref, m_ref, s_ref = banded_permutation_test(
+        plan, Zq, S0, obs, seed=3, n_permutations=40, precision="int8",
+        sz=s_z, den=den, band_impl="xla")
+    p, m, s = banded_permutation_test(
+        plan, Zq, S0, obs, seed=3, n_permutations=40, precision="int8",
+        sz=s_z, den=None, band_impl="xla")
+    np.testing.assert_array_equal(np.asarray(p_ref), np.asarray(p))
+    # same units: den from codes is rescaled by s², so the only delta is
+    # int8 rounding of Σz² (≤ quantizer step); demand tight agreement
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref),
+                               rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                               rtol=5e-2, atol=5e-3)
+
+
+def test_draw_offset_matches_unchunked(setup):
+    """Two chunked calls with draw_offset reproduce one unchunked run's
+    integer extreme counts bitwise."""
+    from spatialcore_tpu.ops.banded import banded_permutation_test
+
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, block=64)
+    S0 = float(Z.shape[0])
+    obs = moran_observed(graph, Z, S0)
+    P = 40
+    p_full, _, _ = banded_permutation_test(
+        plan, Z, S0, obs, seed=6, n_permutations=P, band_impl="xla")
+    c_full = np.round(np.asarray(p_full) * (P + 1) - 1)
+    c_sum = 0
+    for off in (0, 15, 30):
+        pc = min(15, P - off)
+        p_c, _, _ = banded_permutation_test(
+            plan, Z, S0, obs, seed=6, n_permutations=pc,
+            band_impl="xla", draw_offset=off)
+        c_sum = c_sum + np.round(np.asarray(p_c) * (pc + 1) - 1)
+    np.testing.assert_array_equal(c_full, c_sum)

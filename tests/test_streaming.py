@@ -93,3 +93,54 @@ def test_streaming_int8_matches_bf16_decisions():
     np.testing.assert_allclose(p8, p32, atol=0.05)
     assert ((p8 < 0.05) == (p32 < 0.05)).all()
     np.testing.assert_allclose(m8, m32, atol=5e-3)
+
+
+def test_chunk_and_tile_split_invariance():
+    """CLAUDE.md hard rule: p-values are bitwise identical across chunk
+    sizes AND tile splits (draws keyed by global draw index; every tile
+    sees the same permutation for draw d)."""
+    coords, X = _world(n=400, g=48, seed=7)
+    n, g = X.shape
+    graph = build_graph(coords, n_neighbors=6)
+    plan = build_null_plan(graph, block=64)
+    S0 = float(n)
+
+    def run(tile, chunk):
+        return streaming_moran_null(
+            graph, plan, lambda st, w, ci: jnp.asarray(X[:, st:st + w]),
+            n_genes=g, S0=S0, seed=11, n_permutations=24, tile=tile,
+            prep_chunk=16, chunk=chunk, band_impl="xla")
+
+    I0, p0, m0, s0 = run(tile=48, chunk=24)     # one tile, one chunk
+    for tile, chunk in ((48, 8), (16, 24), (16, 8)):
+        I1, p1, m1, s1 = run(tile, chunk)
+        np.testing.assert_array_equal(p0, p1)   # exact: integer counts
+        np.testing.assert_allclose(m0, m1, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(s0, s1, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(I0, I1, rtol=1e-6)
+
+
+def test_streaming_geary_observed_is_geary():
+    """stat="geary" must return Geary C as the observed statistic and
+    count extremes against it (was: Moran observed vs Geary draws)."""
+    from spatialcore_tpu.ops.moran import geary_observed
+
+    coords, X = _world(n=400, g=24, seed=9)
+    n, g = X.shape
+    graph = build_graph(coords, n_neighbors=6)
+    plan = build_null_plan(graph, block=64)
+    S0 = float(n)
+
+    C, p, m, s = streaming_moran_null(
+        graph, plan, lambda st, w, ci: jnp.asarray(X[:, st:st + w]),
+        n_genes=g, S0=S0, seed=2, n_permutations=30, tile=32,
+        prep_chunk=16, chunk=15, stat="geary", alternative="less",
+        band_impl="xla")
+    Z, _ = standardize(jnp.asarray(np.pad(X, ((0, 0), (0, 32 - g)))))
+    C_ref = np.asarray(geary_observed(graph, Z, S0))[:g]
+    np.testing.assert_allclose(C, C_ref, rtol=1e-4, atol=1e-6)
+    # gene 0 is spatially structured: C < 1 and the less-tail p is small
+    assert C[0] < 0.9
+    assert p[0] <= 2.0 / 31.0
+    # null centered near E[C] = 1
+    assert abs(m[1:].mean() - 1.0) < 0.05
