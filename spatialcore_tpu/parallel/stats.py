@@ -87,6 +87,7 @@ def sharded_banded_permutation_test(
     band_impl: str = "auto",
     precision: str = "bf16",
     sz: jax.Array | None = None,
+    draw_offset: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Banded permutation null (ops.banded), gene-sharded over the mesh.
 
@@ -117,7 +118,7 @@ def sharded_banded_permutation_test(
             plan, Z, S0, observed, seed=seed,
             n_permutations=n_permutations, stat=stat,
             alternative=alternative, band_impl=band_impl, den=den,
-            precision=precision, sz=sz)
+            precision=precision, sz=sz, draw_offset=draw_offset)
 
 
 def sharded_lees_l(
