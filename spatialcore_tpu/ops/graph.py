@@ -76,6 +76,18 @@ def _pad_to(x: jax.Array, multiple: int, value) -> jax.Array:
     return jnp.concatenate([x, pad_block], axis=0)
 
 
+def _pad_to_np(x: np.ndarray, multiple: int, value) -> np.ndarray:
+    """Host-side _pad_to for numpy inputs: eager jnp pads on a remote
+    backend cost one tunnel round-trip PER OP (the expansion-round
+    comment below depends on this staying on host)."""
+    n = x.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x
+    return np.concatenate(
+        [x, np.full((pad,) + x.shape[1:], value, dtype=x.dtype)], axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "include_self", "tile_q", "tile_c"))
 def knn_exact(
     coords: jax.Array,
@@ -343,10 +355,10 @@ def knn_grid(
         t = min(tile, 1 << max(int(np.ceil(np.log2(max(nq, 1)))), 6))
         # host-side padding: eager device pads cost one tunnel round-trip
         # per op on remote backends and regress the warm path ~50%
-        q_pad = _pad_to(coords_host[unresolved], t, np.float32(1e18))
-        id_pad = _pad_to(unresolved.astype(np.int32), t, np.int32(-2))
-        bx_pad = _pad_to(bx32[unresolved], t, np.int32(-10))
-        by_pad = _pad_to(by32[unresolved], t, np.int32(-10))
+        q_pad = _pad_to_np(coords_host[unresolved], t, np.float32(1e18))
+        id_pad = _pad_to_np(unresolved.astype(np.int32), t, np.int32(-2))
+        bx_pad = _pad_to_np(bx32[unresolved], t, np.int32(-10))
+        by_pad = _pad_to_np(by32[unresolved], t, np.int32(-10))
         n_tiles = q_pad.shape[0] // t
         bd, bi = _bucket_knn_round(
             jnp.asarray(q_pad).reshape(n_tiles, t, 2),
@@ -417,27 +429,29 @@ def radius_neighbors(
         coords = np.asarray(coords, dtype=np.float32)
     n = coords.shape[0]
     # the cap is a capacity, not a requirement: small datasets simply can't
-    # have k_max neighbors, so clamp (validity masking handles the rest)
-    k_eff = min(k_max, n - 1)
-    if k_eff < 1:
+    # have k_max neighbors, so clamp (validity masking handles the rest).
+    # Search ONE extra neighbor so "exactly k_max in radius" (a valid,
+    # complete result) is distinguishable from a true overflow — checking
+    # the k_max-th neighbor itself false-positived on exact-k_max cells.
+    if min(k_max, n - 1) < 1:
         raise ValueError(f"radius_neighbors needs >= 2 cells, got {n}")
+    k_search = min(k_max + 1, n - 1)
     if n > grid_threshold and coords.shape[1] == 2:
-        idx, dist = knn_grid(coords, k_eff, include_self=include_self)
+        idx, dist = knn_grid(coords, k_search, include_self=include_self)
         idx, dist = jnp.asarray(idx), jnp.asarray(dist)
     else:
-        idx, dist = knn_exact(jnp.asarray(coords), k_eff,
+        idx, dist = knn_exact(jnp.asarray(coords), k_search,
                               include_self=include_self)
+    if k_search > min(k_max, n - 1):
+        overflow = np.asarray(dist[:, k_max] <= radius)
+        if overflow.any():
+            n_over = int(overflow.sum())
+            raise ValueError(
+                f"{n_over} cells have more than k_max={k_max} neighbors "
+                f"within radius={radius}. Increase k_max (or reduce "
+                f"radius).")
+        idx, dist = idx[:, :k_max], dist[:, :k_max]
     valid = dist <= radius
-    # overflow check: if the k_max-th neighbor is still within radius, the
-    # true in-radius count may exceed the cap. Only meaningful when the cap
-    # actually binds (k_eff == k_max < n-1).
-    overflow = (np.asarray(dist[:, -1] <= radius)
-                if k_eff == k_max and k_eff < n - 1 else np.zeros(n, bool))
-    if overflow.any():
-        n_over = int(overflow.sum())
-        raise ValueError(
-            f"{n_over} cells have more than k_max={k_max} neighbors within "
-            f"radius={radius}. Increase k_max (or reduce radius).")
     idx = jnp.where(valid, idx, -1)
     dist = jnp.where(valid, dist, jnp.inf)
     return idx, dist, valid

@@ -44,10 +44,15 @@ def standardize(X: jax.Array) -> Tuple[jax.Array, jax.Array]:
     if X.dtype not in (jnp.float32, jnp.float64):
         X = X.astype(jnp.float32)
     mean = jnp.mean(X, axis=0, keepdims=True)
-    var = jnp.mean(X * X, axis=0, keepdims=True) - mean ** 2
+    # shifted two-pass variance: the one-pass E[X²]−mean² form cancels
+    # catastrophically in f32 for high-mean low-variance genes (mean/std
+    # beyond ~3e3 lost ALL significant bits and misflagged zero-variance);
+    # Xc is needed for Z anyway, so this costs nothing extra
+    Xc = X - mean
+    var = jnp.mean(Xc * Xc, axis=0, keepdims=True)
     zero = var[0] <= 0
     std = jnp.sqrt(jnp.where(var > 0, var, 1.0))
-    return (X - mean) / std, zero
+    return Xc / std, zero
 
 
 # ---------------------------------------------------------------------------
@@ -236,8 +241,12 @@ def permutation_test_global(
                 s1 + vals.sum(axis=0),
                 s2 + (vals * vals).sum(axis=0)), None
 
-    init = (jnp.zeros((G,), jnp.int32), jnp.zeros((G,), jnp.float32),
-            jnp.zeros((G,), jnp.float32))
+    # accumulate in Z's float dtype: hard-coded f32 crashed the scan
+    # ("carry input/output must have equal types") in the documented f64
+    # validation mode (x64 + float64 X)
+    acc_dt = jnp.result_type(Z.dtype, jnp.float32)
+    init = (jnp.zeros((G,), jnp.int32), jnp.zeros((G,), acc_dt),
+            jnp.zeros((G,), acc_dt))
     (count, s1, s2), _ = jax.lax.scan(body, init,
                                       jnp.arange(n_permutations // c))
     P = n_permutations
@@ -250,6 +259,25 @@ def permutation_test_global(
 # ---------------------------------------------------------------------------
 # Local Moran (LISA)
 # ---------------------------------------------------------------------------
+
+
+def _conditional_draw_indices(key, n: int, k: int):
+    """Per-slot GeoDa conditional-permutation draw indices (one draw).
+
+    ``out[j][i]`` is the cell whose value fills neighbor slot ``j`` of
+    cell ``i``: a shared global permutation with cell i's own position
+    excluded via the ``+1+u_j`` offset in permuted space (``u`` drawn
+    without replacement from ``[0, n-1)``) — uniform over OTHER cells'
+    values, conditional on i's own. Single implementation shared by
+    local Moran / local Geary / local join counts / multivariate Geary
+    (the draw-key scheme must stay in lock-step across them).
+    """
+    perm = jax.random.permutation(key, n)
+    inv = jnp.argsort(perm)
+    u = jax.random.choice(jax.random.fold_in(key, 1), n - 1, (k,),
+                          replace=False)
+    return [perm[(inv + 1 + u[j]) % n] for j in range(k)]
+
 
 
 class LocalMoranResult(NamedTuple):
@@ -306,14 +334,11 @@ def local_moran(
             Zp = Z[perm]
             Ip = Zp * spatial_lag(graph, Zp)
         else:
-            inv = jnp.argsort(perm)
-            u = jax.random.choice(jax.random.fold_in(key, 1),
-                                  n - 1, (k,), replace=False)
+            draws = _conditional_draw_indices(key, n, k)
             lag_p = jnp.zeros_like(Z)
             sequence = n * G > 50_000_000
             for j in range(k):
-                draw_idx = perm[(inv + 1 + u[j]) % n]
-                lag_p = lag_p + graph.neighbor_w[:, j:j + 1] * Z[draw_idx]
+                lag_p = lag_p + graph.neighbor_w[:, j:j + 1] * Z[draws[j]]
                 if sequence:
                     # stop XLA batching the k gathers into one [N, k, G]
                     # temp (OOMs at scale; same guard as spatial_lag)
@@ -393,14 +418,11 @@ def local_geary(
         if null == "total":
             cp = local_c(Z, perm=perm)
         else:
-            inv = jnp.argsort(perm)
-            u = jax.random.choice(jax.random.fold_in(key, 1),
-                                  n - 1, (k,), replace=False)
+            draws = _conditional_draw_indices(key, n, k)
             cp = jnp.zeros_like(Z)
             sequence = Z.shape[0] * Z.shape[1] > 50_000_000
             for j in range(k):
-                draw_idx = perm[(inv + 1 + u[j]) % n]
-                d = Z - Z[draw_idx]
+                d = Z - Z[draws[j]]
                 cp = cp + graph.neighbor_w[:, j:j + 1] * d * d
                 if sequence:
                     # same [N, k, G]-temp guard as spatial_lag
@@ -545,11 +567,8 @@ def local_join_counts(
 
     def body(count, p):
         key = jax.random.fold_in(base, p)
-        perm = jax.random.permutation(key, n)
-        inv = jnp.argsort(perm)
-        u = jax.random.choice(jax.random.fold_in(key, 1), n - 1, (k,),
-                              replace=False)
-        vals = [x[perm[(inv + 1 + u[j]) % n]] for j in range(k)]
+        draws = _conditional_draw_indices(key, n, k)
+        vals = [x[draws[j]] for j in range(k)]
         bp = bb(vals)
         return count + (bp >= obs).astype(jnp.int32), None
 
@@ -591,11 +610,8 @@ def local_geary_multivariate(
 
     def body(count, p):
         key = jax.random.fold_in(base, p)
-        perm = jax.random.permutation(key, n)
-        inv = jnp.argsort(perm)
-        u = jax.random.choice(jax.random.fold_in(key, 1), n - 1, (k,),
-                              replace=False)
-        neigh = [Z[perm[(inv + 1 + u[j]) % n]] for j in range(k)]
+        draws = _conditional_draw_indices(key, n, k)
+        neigh = [Z[draws[j]] for j in range(k)]
         cp = cstat(neigh)
         return count + (cp <= obs).astype(jnp.int32), None
 
@@ -687,16 +703,19 @@ def correlogram_kernel(
 
     def band_num(Zrow, Znbr_of_idx):
         """num[b, g] = Σ_i w(i,k∈b) z_i z_nbr for each band."""
+        # carry dtype follows Z: a hard-coded f32 carry crashed the
+        # fori_loop under x64 + float64 Z (f64 validation mode)
+        acc_dt = jnp.result_type(Zrow.dtype, jnp.float32)
 
         def slot(k, num):
             cross = (Zrow * Znbr_of_idx(_col(idx, k))
-                     * _col(wt, k)[:, None])                     # [N, G]
+                     * _col(wt, k).astype(Zrow.dtype)[:, None])  # [N, G]
             sel = jax.nn.one_hot(_col(bid, k), B + 1,
                                  dtype=cross.dtype)[:, :B]       # [N, B]
             return num + jnp.einsum("nb,ng->bg", sel, cross)
 
         return jax.lax.fori_loop(0, K, slot,
-                                 jnp.zeros((B, G), jnp.float32))
+                                 jnp.zeros((B, G), acc_dt))
 
     num_obs = band_num(Z, lambda ik: Z[ik])
     S0_safe = jnp.where(S0 > 0, S0, 1.0)

@@ -115,9 +115,15 @@ def _get_graph(adata, n_neighbors, spatial_key, use_existing_graph) -> SpatialGr
         if g is not None:
             params = (adata.uns.get(GRAPH_UNS_KEY) or {}).get("params") or {}
             is_radius = params.get("radius") is not None
-            mismatch = bool(params) and not is_radius and (
+            # a stored radius graph is allowed to differ in degree (the
+            # caller opted into it), but coordinates and self-loop
+            # convention must STILL match — both silently change every
+            # statistic if reused across them
+            mismatch = bool(params) and (
                 params.get("spatial_key", spatial_key) != spatial_key
-                or (params.get("n_neighbors") is not None
+                or params.get("include_self", False)
+                or (not is_radius
+                    and params.get("n_neighbors") is not None
                     and params["n_neighbors"] != n_neighbors))
             if mismatch:
                 # a cached graph built with different parameters would
@@ -155,7 +161,16 @@ def _resolve_genes(adata, genes) -> List[str]:
 
 
 def _dense_expression(adata, gene_names: List[str], layer: Optional[str]) -> np.ndarray:
-    X = adata.get_matrix(layer) if hasattr(adata, "get_matrix") else adata.X
+    if hasattr(adata, "get_matrix"):
+        X = adata.get_matrix(layer)
+    elif layer is None:
+        X = adata.X
+    else:
+        # plain anndata fallback: silently computing on X instead of the
+        # requested layer would change every statistic — validate loudly
+        if layer not in getattr(adata, "layers", {}):
+            raise ValueError(f"Layer '{layer}' not found in adata.layers")
+        X = adata.layers[layer]
     idx = adata.var_names.get_indexer(gene_names)
     sub = X[:, idx]
     if sp.issparse(sub):
@@ -699,14 +714,17 @@ def lees_l_local(
             jnp.asarray(Zx_np[:, i]), jnp.asarray(lag_np[:, i]),
             jnp.asarray(pv) if (significance_filter and pv is not None) else None,
             alpha))
-        labels = [QUADRANT_LABELS[int(c)] for c in q]
+        # vectorized label/count construction: per-cell Python loops cost
+        # seconds of host time per pair at 1M cells (cat order == the
+        # QUADRANT_LABELS code order)
+        q_codes = q.astype(np.int64)
         adata.obs[f"{key}_lees_l"] = L_local[:, i].astype(np.float32)
-        adata.obs[f"{key}_quadrant"] = pd.Categorical(labels, categories=cat)
+        adata.obs[f"{key}_quadrant"] = pd.Categorical.from_codes(
+            q_codes, categories=cat)
         if compute_cell_pvalues:
             adata.obs[f"{key}_pvalue"] = p_local[:, i].astype(np.float32)
-        counts = {c: 0 for c in cat}
-        for lbl in labels:
-            counts[lbl] += 1
+        bc = np.bincount(q_codes, minlength=len(cat))
+        counts = {c: int(bc[j]) for j, c in enumerate(cat)}
         adata.uns[f"{key}_lees_l_params"] = {
             "gene_x": gx, "gene_y": gy,
             "global_L": float(L_global[i]), "global_pvalue": float(p_global[i]),
@@ -736,6 +754,27 @@ def lees_l_local(
 # Join counts
 # ---------------------------------------------------------------------------
 
+
+def _binarize_obs_column(adata, column: str, category=None) -> np.ndarray:
+    """Shared 0/1 encoding for join-count statistics (global AND local —
+    one contract: bool dtype, {True, False} values, numeric >0, or an
+    explicit ``category=`` label)."""
+    if column not in adata.obs.columns:
+        raise ValueError(f"adata.obs['{column}'] not found")
+    series = adata.obs[column]
+    if category is not None:
+        return (series.astype(str) == str(category)).to_numpy()
+    uniq = set(series.dropna().unique())
+    if series.dtype == bool or uniq.issubset({True, False}):
+        return series.fillna(False).astype(bool).to_numpy()
+    try:
+        return (series.astype(float) > 0).to_numpy()
+    except (ValueError, TypeError):
+        raise ValueError(
+            f"Column '{column}' is not boolean or numeric; pass "
+            "category=<label> to binarize.") from None
+
+
 def join_count_statistics(
     adata,
     column: str,
@@ -758,19 +797,7 @@ def join_count_statistics(
     start = time.time()
     if copy:
         adata = adata.copy()
-    if column not in adata.obs.columns:
-        raise ValueError(f"adata.obs['{column}'] not found")
-    series = adata.obs[column]
-    if category is not None:
-        x = (series.astype(str) == str(category)).to_numpy()
-    else:
-        uniq = set(series.dropna().unique())
-        if series.dtype == bool or uniq.issubset({True, False}):
-            x = series.fillna(False).astype(bool).to_numpy()
-        else:
-            raise ValueError(
-                f"Column '{column}' is not boolean; pass category=<label> "
-                "to binarize.")
+    x = _binarize_obs_column(adata, column, category)
     frac = float(x.mean())
     if frac in (0.0, 1.0):
         raise ValueError(
@@ -902,22 +929,7 @@ def local_join_counts(
     start = time.time()
     if copy:
         adata = adata.copy()
-    if column not in adata.obs.columns:
-        raise ValueError(f"adata.obs['{column}'] not found")
-    series = adata.obs[column]
-    if category is not None:
-        x = (series.astype(str) == str(category)).to_numpy().astype(np.float32)
-    else:
-        uniq = set(series.dropna().unique())
-        if series.dtype == bool or uniq.issubset({True, False}):
-            x = series.fillna(False).astype(bool).to_numpy().astype(np.float32)
-        else:
-            try:
-                x = (series.astype(float) > 0).to_numpy().astype(np.float32)
-            except (ValueError, TypeError):
-                raise ValueError(
-                    f"Column '{column}' is not boolean or numeric; pass "
-                    "category=<label> to binarize.") from None
+    x = _binarize_obs_column(adata, column, category).astype(np.float32)
     if x.sum() == 0 or x.sum() == len(x):
         raise ValueError(
             f"obs['{column}'] must contain both 0/False and 1/True values")

@@ -181,3 +181,72 @@ def test_graph_moments():
     row = np.asarray(W.sum(axis=1)).ravel()
     col = np.asarray(W.sum(axis=0)).ravel()
     assert abs(m["S2"] - ((row + col) ** 2).sum()) < 1e-4
+
+
+def test_radius_exactly_kmax_neighbors_is_valid():
+    """A cell with EXACTLY k_max in-radius neighbors is a complete,
+    valid result — the overflow check must not false-positive on it."""
+    from spatialcore_tpu.ops.graph import radius_neighbors
+
+    # 1 center + k_max points on a circle of radius 1, all within
+    # radius=1.5 of the center; points on the circle are ~1.56+ apart
+    # for k_max=4 (square: side sqrt(2)≈1.41 < 1.5 — use k_max=4 with
+    # neighbors among themselves too). Simpler: center + 4 points at
+    # distance 1; radius 1.2 → center has exactly 4 in-radius.
+    k_max = 4
+    ang = np.linspace(0, 2 * np.pi, k_max, endpoint=False)
+    pts = np.concatenate([[[0.0, 0.0]],
+                          np.stack([np.cos(ang), np.sin(ang)], 1)])
+    idx, dist, valid = radius_neighbors(
+        pts.astype(np.float32), radius=1.2, k_max=k_max)
+    # center: exactly k_max neighbors in radius, no error raised
+    assert int(np.asarray(valid)[0].sum()) == k_max
+    # a genuinely overflowing cap still raises
+    with pytest.raises(ValueError, match="more than k_max"):
+        radius_neighbors(pts.astype(np.float32), radius=1.2, k_max=3)
+
+
+def test_stored_graph_mismatch_guards():
+    """Cached graphs from different coordinates or self-loop conventions
+    must be rebuilt, not silently reused (radius graphs included)."""
+    import spatialcore_tpu as sct
+    from spatialcore_tpu.spatial.autocorrelation import _get_graph
+
+    rng = np.random.default_rng(0)
+    n = 300
+    a = sct.SpatialData(X=sp.csr_matrix(
+        rng.poisson(1, (n, 4)).astype(np.float32)))
+    a.obsm["spatial"] = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+    a.obsm["spatial_alt"] = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+
+    # radius graph stored under spatial_alt: requesting 'spatial' rebuilds
+    sct.spatial.build_spatial_weights(a, radius=15.0, k_max=64,
+                                      spatial_key="spatial_alt")
+    g = _get_graph(a, n_neighbors=6, spatial_key="spatial",
+                   use_existing_graph=True)
+    assert g.neighbor_idx.shape[1] == 6  # rebuilt as kNN-6, not reused
+
+    # include_self=True stored graph: default request rebuilds
+    sct.spatial.build_spatial_weights(a, n_neighbors=6, include_self=True)
+    g2 = _get_graph(a, n_neighbors=6, spatial_key="spatial",
+                    use_existing_graph=True)
+    own = np.asarray(g2.neighbor_idx) == np.arange(n)[:, None]
+    assert not own.any()  # no self-loops in the graph actually used
+
+
+def test_dense_expression_layer_fallback_raises():
+    """Plain-anndata fallback must not silently drop the layer arg."""
+    from spatialcore_tpu.spatial.autocorrelation import _dense_expression
+
+    class FakeAnnData:  # no get_matrix, like anndata.AnnData
+        pass
+
+    import pandas as pd
+    fa = FakeAnnData()
+    fa.X = np.ones((5, 2), np.float32)
+    fa.layers = {"lognorm": np.full((5, 2), 2.0, np.float32)}
+    fa.var_names = pd.Index(["A", "B"])
+    out = _dense_expression(fa, ["A"], layer="lognorm")
+    assert (out == 2.0).all()  # the LAYER, not X
+    with pytest.raises(ValueError, match="Layer 'nope' not found"):
+        _dense_expression(fa, ["A"], layer="nope")
