@@ -156,9 +156,12 @@ def evaluate_ontology_expression(
             uniq = set(col.dropna().unique())
             if col.dtype == bool or uniq.issubset(
                     {True, False, "True", "False"}):
-                if col.dtype == object:
-                    col = col.map({"True": True, "False": False,
-                                   True: True, False: False})
+                if uniq & {"True", "False"}:
+                    # object AND categorical dtypes (numpy string
+                    # truthiness turns 'False' into True otherwise)
+                    col = col.astype(object).map(
+                        {"True": True, "False": False,
+                         True: True, False: False})
                 return col.fillna(False).astype(bool).to_numpy()
             raise ValueError(
                 f"Column '{tok}' exists but is not boolean; use equality "

@@ -49,10 +49,17 @@ def dilate(mask: jax.Array, radius_px: int) -> jax.Array:
 
 
 def erode(mask: jax.Array, radius_px: int) -> jax.Array:
-    """Binary erosion by a disk (dual of dilation)."""
+    """Binary erosion by a disk: keep pixels whose whole disk is foreground.
+
+    Outside-the-image counts as BACKGROUND (the complement-dilation dual
+    with zero padding silently treated it as foreground, so border-touching
+    masks never eroded at the border).
+    """
     if radius_px <= 0:
         return mask
-    return ~dilate(~mask.astype(bool), radius_px)
+    k = jnp.asarray(disk_kernel(radius_px))
+    ksum = jnp.sum(k)
+    return _conv2d_same(mask.astype(jnp.float32), k) > ksum - 0.5
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
@@ -190,35 +197,53 @@ def extract_boundary_polygons(labels_np: np.ndarray, origin,
     orientation. Returns {component_id: [loop [M, 2] float32, ...]} in data
     units; vertices are raster-corner positions (fidelity = pixel size).
     """
+    from collections import defaultdict
+
     bg = int(_BG)
     out = {}
     H, W = labels_np.shape
-    for lab in np.unique(labels_np):
-        if lab == bg:
-            continue
-        fg = labels_np == lab
-        up = np.zeros_like(fg)
-        up[1:, :] = fg[:-1, :]
-        down = np.zeros_like(fg)
-        down[:-1, :] = fg[1:, :]
-        left = np.zeros_like(fg)
-        left[:, 1:] = fg[:, :-1]
-        right = np.zeros_like(fg)
-        right[:, :-1] = fg[:, 1:]
-        edges = []
-        # corner coordinates: (x=c, y=r); component kept on the left
-        r, c = np.nonzero(fg & ~up)       # bg above: (c, r) -> (c+1, r)
-        edges.append(np.stack([c, r, c + 1, r], 1))
-        r, c = np.nonzero(fg & ~right)    # bg right: (c+1, r) -> (c+1, r+1)
-        edges.append(np.stack([c + 1, r, c + 1, r + 1], 1))
-        r, c = np.nonzero(fg & ~down)     # bg below: (c+1, r+1) -> (c, r+1)
-        edges.append(np.stack([c + 1, r + 1, c, r + 1], 1))
-        r, c = np.nonzero(fg & ~left)     # bg left: (c, r+1) -> (c, r)
-        edges.append(np.stack([c, r + 1, c, r], 1))
-        E = np.concatenate(edges, 0)
-        # chain directed edges into loops
-        from collections import defaultdict
+    fg_all = labels_np != bg
+    # ONE pass over the image per direction (the per-label version
+    # rescanned the full [H, W] grid once per component — O(L·H·W) host
+    # work and tens of GB of traffic at a few hundred domains); a
+    # boundary edge exists wherever the neighbor pixel carries a
+    # DIFFERENT label (background or another component)
+    diff = {}
+    for name, (dr, dc) in (("up", (-1, 0)), ("down", (1, 0)),
+                           ("left", (0, -1)), ("right", (0, 1))):
+        nb = np.full_like(labels_np, bg)
+        rs = slice(max(dr, 0), H + min(dr, 0))
+        rd = slice(max(-dr, 0), H + min(-dr, 0))
+        cs = slice(max(dc, 0), W + min(dc, 0))
+        cd = slice(max(-dc, 0), W + min(-dc, 0))
+        nb[rd, cd] = labels_np[rs, cs]
+        diff[name] = fg_all & (nb != labels_np)
+    # corner coordinates: (x=c, y=r); component kept on the left
+    edge_parts, lab_parts = [], []
+    r, c = np.nonzero(diff["up"])         # bg above: (c, r) -> (c+1, r)
+    edge_parts.append(np.stack([c, r, c + 1, r], 1))
+    lab_parts.append(labels_np[r, c])
+    r, c = np.nonzero(diff["right"])      # bg right: (c+1, r) -> (c+1, r+1)
+    edge_parts.append(np.stack([c + 1, r, c + 1, r + 1], 1))
+    lab_parts.append(labels_np[r, c])
+    r, c = np.nonzero(diff["down"])       # bg below: (c+1, r+1) -> (c, r+1)
+    edge_parts.append(np.stack([c + 1, r + 1, c, r + 1], 1))
+    lab_parts.append(labels_np[r, c])
+    r, c = np.nonzero(diff["left"])       # bg left: (c, r+1) -> (c, r)
+    edge_parts.append(np.stack([c, r + 1, c, r], 1))
+    lab_parts.append(labels_np[r, c])
+    E_all = np.concatenate(edge_parts, 0)
+    lab_all = np.concatenate(lab_parts, 0)
+    order = np.argsort(lab_all, kind="stable")
+    E_sorted, lab_sorted = E_all[order], lab_all[order]
+    starts = np.searchsorted(lab_sorted,
+                             np.unique(lab_sorted))
 
+    for li, lab in enumerate(np.unique(lab_sorted)):
+        stop = (starts[li + 1] if li + 1 < len(starts)
+                else len(lab_sorted))
+        E = E_sorted[starts[li]:stop]
+        # chain directed edges into loops
         by_start = defaultdict(list)
         for i, (x0, y0, x1, y1) in enumerate(E):
             by_start[(int(x0), int(y0))].append(i)

@@ -70,13 +70,20 @@ def make_grid_spec(coords_np: np.ndarray, r_max: float,
     edge = r_max / max(target_window, 1)
     nbx = int(max(1, min(span[0] / edge, 4096)))
     nby = int(max(1, min(span[1] / edge, 4096)))
-    h = span / np.array([nbx, nby])
+    h = (span / np.array([nbx, nby], np.float32)).astype(np.float32)
     window = int(np.ceil(r_max / min(h[0], h[1]) - 1e-6))
-    # observed max bucket occupancy (host side, one-time)
-    bx = np.clip((coords_np[:, 0] - mins[0]) // h[0], 0, nbx - 1).astype(np.int64)
-    by = np.clip((coords_np[:, 1] - mins[1]) // h[1], 0, nby - 1).astype(np.int64)
+    # observed max bucket occupancy — in the SAME float32 arithmetic the
+    # device binning uses (_bin_points): f64 host floor disagreed with
+    # f32 device floor on bucket-edge points, and with slack=1.0 and a
+    # power-of-two max_count that one-point shift tripped the capacity
+    # overflow error on data that fits
+    bx = np.clip(np.floor((coords_np[:, 0] - mins[0]) / h[0]),
+                 0, nbx - 1).astype(np.int64)
+    by = np.clip(np.floor((coords_np[:, 1] - mins[1]) / h[1]),
+                 0, nby - 1).astype(np.int64)
     max_count = int(np.bincount(bx * nby + by, minlength=nbx * nby).max())
-    C = 1 << int(np.ceil(np.log2(max(max_count, 1) * max(capacity_slack, 1.0))))
+    C = 1 << int(np.ceil(np.log2(
+        max(max_count, 1) * max(capacity_slack, 1.0) + 1.0)))
     return GridSpec(mins=mins, span=span, nbx=nbx, nby=nby, window=window,
                     capacity=int(C))
 
@@ -165,7 +172,10 @@ def _pair_counts(coords, table, bx, by, radii_sq, type_codes,
             bad = (~ok[:, None]) | (cand == qid[:, None]) | (cand < 0)
             d2 = jnp.where(bad, jnp.inf, d2)
             within = (d2[None, :, :] <= radii_sq[:, None, None])  # [R,T,C]
-            counts = counts + jnp.sum(within, axis=(1, 2))
+            # int32 carry: f32 accumulation went inexact past 2^24 pairs
+            # (large radii at N>=500k reach ~4e8 pairs per tile)
+            counts = counts + jnp.sum(within, axis=(1, 2),
+                                      dtype=jnp.int32)
             if n_types > 1:
                 # pair_sum[r,a,b] = Σ_t Σ_c within[r,t,c]·1[q_t=a]·1[c_tc=b]
                 oh_c = jax.nn.one_hot(ttypes[b], n_types, dtype=jnp.float32)
@@ -174,7 +184,9 @@ def _pair_counts(coords, table, bx, by, radii_sq, type_codes,
                 counts_t = counts_t + jnp.einsum("ta,rtb->rab", oh_q, m)
             return (counts, counts_t), None
 
-        init = (jnp.zeros((n_radii,), jnp.float32),
+        # counts_t stays f32 (the one-hot einsums ride the MXU); its
+        # per-step partials are exact well past realistic per-pair counts
+        init = (jnp.zeros((n_radii,), jnp.int32),
                 jnp.zeros((n_radii, n_types, n_types), jnp.float32))
         (counts, counts_t), _ = jax.lax.scan(off_step, init, offsets)
         return counts, counts_t
@@ -184,7 +196,12 @@ def _pair_counts(coords, table, bx, by, radii_sq, type_codes,
                                    qbx.reshape(n_tiles, tile),
                                    qby.reshape(n_tiles, tile),
                                    qt.reshape(n_tiles, tile)))
-    return c.sum(axis=0), ct.sum(axis=0)
+    # exact cross-tile total without int64 (x64 off on TPU): split each
+    # per-tile int32 into hi/lo halves, sum exactly, recombine with ONE
+    # f32 rounding (vs per-step rounding error before)
+    hi = jnp.sum(c // 65536, axis=0).astype(jnp.float32)
+    lo = jnp.sum(c % 65536, axis=0).astype(jnp.float32)
+    return hi * 65536.0 + lo, ct.sum(axis=0)
 
 
 class BucketGrid(NamedTuple):
@@ -301,6 +318,9 @@ def ripley_k(
     binning, pair counting) runs on device.
     """
     coords = np.asarray(coords, np.float32)
+    if coords.shape[0] < 2:
+        raise ValueError(
+            f"Ripley's K needs >= 2 points, got {coords.shape[0]}")
     n = coords.shape[0]
     radii = np.asarray(radii, np.float32)
     r_max = float(radii.max())

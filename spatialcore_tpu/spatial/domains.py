@@ -54,12 +54,15 @@ def _evaluate_filter_expression(filter_expression: str, adata) -> pd.Series:
     expressions → column equality → boolean column → pandas ``obs.eval``.
     """
     expr = filter_expression.strip()
-    if re.search(r"[A-Z]+:[0-9A-Z]+", expr):
+    # column equality FIRST: "term_id_col == 'CL:0000084'" contains a
+    # CURIE but is documented equality syntax — routing it to the
+    # ontology parser crashed on the '=' token
+    m = re.match(r"^(\w+)\s*==\s*['\"]?(.+?)['\"]?$", expr)
+    if not m and re.search(r"[A-Z]+:[0-9A-Z]+", expr):
         from ..annotation.expression import evaluate_ontology_expression
 
         return evaluate_ontology_expression(expr, adata)
 
-    m = re.match(r"^(\w+)\s*==\s*['\"]?(.+?)['\"]?$", expr)
     if m:
         col, value = m.group(1), m.group(2)
         if col not in adata.obs.columns:
@@ -74,9 +77,12 @@ def _evaluate_filter_expression(filter_expression: str, adata) -> pd.Series:
         col = adata.obs[expr]
         uniq = set(col.dropna().unique())
         if col.dtype == bool or uniq.issubset({True, False, "True", "False"}):
-            if col.dtype == object:
-                col = col.map({"True": True, "False": False,
-                               True: True, False: False})
+            if uniq & {"True", "False"}:
+                # map string spellings for object AND categorical dtypes:
+                # numpy string truthiness turns 'False' into True, which
+                # silently selected EVERY cell for categorical columns
+                col = col.astype(object).map(
+                    {"True": True, "False": False, True: True, False: False})
             return col.fillna(False).astype(bool)
         raise ValueError(
             f"Column '{expr}' exists but is not boolean. Use equality "
@@ -168,8 +174,13 @@ def make_spatial_domains(
     extent = hi - lo
     pixel = cell_dist_um / pixels_per_dist
     pixel = max(pixel, float(extent.max()) / grid_max_dim)
-    W = int(np.ceil(extent[0] / pixel)) + 1
-    H = int(np.ceil(extent[1] / pixel)) + 1
+    # snap grid dims UP to multiples of 128: H/W are static jit args of
+    # buffer_union_shrink, so raw data-dependent extents recompiled the
+    # conv+CC pipeline for EVERY dataset (remote compiles run minutes —
+    # CLAUDE.md static-shape rule); the extra rows/cols hold no points
+    # and are background throughout
+    W = -(-(int(np.ceil(extent[0] / pixel)) + 1) // 128) * 128
+    H = -(-(int(np.ceil(extent[1] / pixel)) + 1) // 128) * 128
     r_buffer = max(int(round(cell_dist_um / pixel)), 1)
     r_shrink = max(int(round((cell_dist_um - shrink_margin_um) / pixel)), 0)
     logger.info(f"Raster grid {H}x{W}, pixel={pixel:.2f}, "
@@ -228,10 +239,15 @@ def make_spatial_domains(
                  and int(total_counts.get(d, 0)) <= min_total_cells_domain)]
     n_merged = n_dropped = 0
     for d in small:
-        cands = [resolve(x) for x in neighbors.get(d, ())]
+        # sorted: neighbors is a set, and set iteration order made the
+        # merge target (hence final domain names/sizes) vary across
+        # Python builds; merge into the largest surviving neighbor,
+        # ties by id (deterministic and matches the "absorb into the
+        # dominant adjacent domain" intent)
+        cands = sorted({resolve(x) for x in neighbors.get(d, ())})
         cands = [x for x in cands if x in alive and x != d and x not in small]
         if cands:
-            tgt = cands[0]
+            tgt = max(cands, key=lambda x: (int(target_counts.get(x, 0)), -x))
             remap[d] = tgt
             alive.discard(d)
             n_merged += 1
@@ -243,8 +259,12 @@ def make_spatial_domains(
         logger.info(f"Reduced {len(small)} small domains: "
                     f"{n_merged} merged, {n_dropped} dropped")
 
-    resolved = np.array([resolve(int(l)) if l != bg else bg
-                         for l in full_label], np.int64)
+    # vectorized id remap: a per-cell Python resolve() loop cost seconds
+    # at 1M cells for a mapping with only len(raw_ids) distinct keys
+    uniq_ids, inverse = np.unique(full_label, return_inverse=True)
+    lut = np.array([resolve(int(u)) if u != bg else bg for u in uniq_ids],
+                   np.int64)
+    resolved = lut[inverse]
     assigned = resolved != bg
 
     if not assigned.any():
@@ -255,8 +275,9 @@ def make_spatial_domains(
     final_counts = pd.Series(resolved[assigned]).value_counts()
     order = final_counts.index.to_list()  # value_counts sorts desc
     id_to_name = {int(d): f"{prefix}_{i + 1}" for i, d in enumerate(order)}
-    names = np.array([id_to_name.get(int(l), None) if l != bg else None
-                      for l in resolved], object)
+    name_lut = np.array([id_to_name.get(int(u), None)
+                         if u != bg else None for u in lut], object)
+    names = name_lut[inverse]
     categories = [f"{prefix}_{i + 1}" for i in range(len(order))]
     adata.obs[output_column] = pd.Categorical(names, categories=categories)
 

@@ -296,3 +296,58 @@ def test_domain_polygon_chains():
             & (pts[:, 1] >= main[:, 1].min())
             & (pts[:, 1] <= main[:, 1].max())).mean()
     assert frac > 0.9
+
+
+def test_categorical_true_false_filter_not_all_true():
+    """h5ad loads string obs as Categorical: 'False' cells must NOT be
+    selected (numpy string truthiness made the filter all-True)."""
+    import pandas as pd
+
+    import scipy.sparse as sp
+
+    import spatialcore_tpu as sct
+    from spatialcore_tpu.spatial.domains import _evaluate_filter_expression
+
+    rng = np.random.default_rng(0)
+    n = 500
+    a = sct.SpatialData(X=sp.csr_matrix(
+        rng.poisson(1, (n, 3)).astype(np.float32)))
+    a.obsm["spatial"] = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+    truth = rng.uniform(size=n) < 0.3
+    a.obs["flag"] = pd.Categorical(np.where(truth, "True", "False"))
+    m = _evaluate_filter_expression("flag", a)
+    assert (m.to_numpy() == truth).all()
+
+
+def test_curie_equality_expression_routes_to_equality():
+    """\"col == 'CL:...'\" is documented equality syntax — must not be
+    hijacked by the ontology-expression route (crashed on '=')."""
+    import scipy.sparse as sp
+
+    import spatialcore_tpu as sct
+    from spatialcore_tpu.spatial.domains import _evaluate_filter_expression
+
+    rng = np.random.default_rng(1)
+    n = 300
+    a = sct.SpatialData(X=sp.csr_matrix(
+        rng.poisson(1, (n, 3)).astype(np.float32)))
+    a.obsm["spatial"] = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+    ids = np.where(rng.uniform(size=n) < 0.5, "CL:0000084", "CL:0000236")
+    a.obs["cell_type_ontology_term_id"] = ids
+    m = _evaluate_filter_expression(
+        "cell_type_ontology_term_id == 'CL:0000084'", a)
+    assert (m.to_numpy() == (ids == "CL:0000084")).all()
+
+
+def test_erode_border_is_background():
+    """Erosion must shrink masks at the image border (outside counts as
+    background, not foreground)."""
+    import jax.numpy as jnp
+
+    from spatialcore_tpu.ops.geometry import erode
+
+    m = jnp.ones((10, 10), bool)
+    e = np.asarray(erode(m, 2))
+    assert e[2:-2, 2:-2].all()
+    assert not e[0].any() and not e[:, 0].any()
+    assert not e[-1].any() and not e[:, -1].any()
