@@ -80,7 +80,7 @@ def _resolve_index(idx, names: pd.Index) -> np.ndarray:
     n = len(names)
     if isinstance(idx, slice):
         return np.arange(n)[idx]
-    idx = np.asarray(idx)
+    idx = np.atleast_1d(np.asarray(idx))  # adata[5] / adata[:, 'GENE']
     if idx.dtype == bool:
         if idx.shape[0] != n:
             raise IndexError(f"Boolean mask length {idx.shape[0]} != axis length {n}")
@@ -117,6 +117,21 @@ class AlignedDict(dict):
                 )
         super().__setitem__(key, value)
 
+    # dict.update / setdefault / |= do NOT call __setitem__ — route them
+    # through it so misaligned arrays can't bypass validation
+    def update(self, *args, **kwargs):
+        for k, v in dict(*args, **kwargs).items():
+            self[k] = v
+
+    def __ior__(self, other):
+        self.update(other)
+        return self
+
+    def setdefault(self, key, default=None):
+        if key not in self:
+            self[key] = default
+        return self[key]
+
 
 class SpatialData:
     """AnnData-compatible annotated data matrix: obs (cells) × var (genes)."""
@@ -135,17 +150,19 @@ class SpatialData:
     ):
         if X is None and obs is None:
             raise ValueError("Provide at least X or obs")
+        # convert BEFORE reading shapes: a dict obs with X=None crashed on
+        # obs.shape
+        if obs is not None and not isinstance(obs, pd.DataFrame):
+            obs = pd.DataFrame(obs)
+        if var is not None and not isinstance(var, pd.DataFrame):
+            var = pd.DataFrame(var)
         n_obs = _n_rows(X) if X is not None else obs.shape[0]
         n_vars = X.shape[1] if X is not None else (var.shape[0] if var is not None else 0)
 
         if obs is None:
             obs = pd.DataFrame(index=pd.Index([str(i) for i in range(n_obs)], name=None))
-        elif not isinstance(obs, pd.DataFrame):
-            obs = pd.DataFrame(obs)
         if var is None:
             var = pd.DataFrame(index=pd.Index([str(i) for i in range(n_vars)], name=None))
-        elif not isinstance(var, pd.DataFrame):
-            var = pd.DataFrame(var)
 
         if obs.shape[0] != n_obs:
             raise ValueError(f"obs has {obs.shape[0]} rows but X has {n_obs}")
@@ -239,9 +256,9 @@ class SpatialData:
             raw=self.raw[oi] if self.raw is not None else None,
         )
         for k, v in self.obsm.items():
-            new.obsm[k] = v[oi].copy() if not sp.issparse(v) else v[oi].copy()
+            new.obsm[k] = v[oi].copy()
         for k, v in self.varm.items():
-            new.varm[k] = v[vi].copy() if not sp.issparse(v) else v[vi].copy()
+            new.varm[k] = v[vi].copy()
         for k, v in self.obsp.items():
             new.obsp[k] = v[oi][:, oi].copy() if sp.issparse(v) else v[np.ix_(oi, oi)].copy()
         for k, v in self.layers.items():
@@ -330,7 +347,7 @@ def concat(
     for i, o in enumerate(objs):
         idx = o.var_names.get_indexer(all_vars)
         if join == "inner":
-            Xi = o.X[:, idx] if sp.issparse(o.X) else o.X[:, idx]
+            Xi = o.X[:, idx]
         else:
             if sp.issparse(o.X):
                 Xi = sp.lil_matrix((o.n_obs, len(all_vars)), dtype=o.X.dtype)

@@ -28,11 +28,15 @@ logger = get_logger("stats.deg")
 
 
 @functools.partial(jax.jit, static_argnames=("tie_correct",))
-def _ranksum_z(X, in_group, tie_correct: bool = False):
-    """Wilcoxon rank-sum z per gene (columns of X) for in-group vs rest."""
+def _rank_stats(X, masks, tie_correct: bool = False):
+    """Wilcoxon rank-sum z [G, K] for K groups vs rest, ranks shared.
+
+    Ranks (and the tie-correction term) depend only on X, never on the
+    group — so they are computed ONCE and every group's rank sum is one
+    column of a single [G, N] @ [N, K] matmul (the per-group recompute
+    paid the dominant O(G·N log N) sort K times).
+    """
     n, g = X.shape
-    n1 = jnp.sum(in_group.astype(jnp.float32))
-    n2 = n - n1
 
     def one_gene(x):
         order = jnp.argsort(x)
@@ -43,18 +47,21 @@ def _ranksum_z(X, in_group, tie_correct: bool = False):
         sum_pos = jax.ops.segment_sum(pos, run_id, num_segments=n)
         cnt = jax.ops.segment_sum(jnp.ones_like(pos), run_id, num_segments=n)
         avg = sum_pos / jnp.maximum(cnt, 1.0)
-        ranks_sorted = avg[run_id]
-        rank_sum_in = jnp.sum(
-            jnp.where(in_group[order], ranks_sorted, 0.0))
-        expected = n1 * (n + 1) / 2.0
-        if tie_correct:
-            tie_term = jnp.sum(cnt ** 3 - cnt) / (n * (n - 1.0))
-            var = n1 * n2 / 12.0 * ((n + 1.0) - tie_term)
-        else:
-            var = n1 * n2 * (n + 1.0) / 12.0
-        return (rank_sum_in - expected) / jnp.sqrt(jnp.maximum(var, 1e-9))
+        ranks = jnp.zeros((n,), jnp.float32).at[order].set(avg[run_id])
+        tie_term = jnp.sum(cnt ** 3 - cnt) / (n * (n - 1.0))
+        return ranks, tie_term
 
-    return jax.lax.map(one_gene, X.T)
+    ranks, tie = jax.lax.map(one_gene, X.T)       # [G, N], [G]
+    n1 = jnp.sum(masks, axis=0)                    # [K]
+    n2 = n - n1
+    R1 = ranks @ masks                             # [G, K]
+    expected = n1 * (n + 1) / 2.0
+    if tie_correct:
+        var = (n1 * n2 / 12.0)[None, :] * ((n + 1.0) - tie[:, None])
+    else:
+        var = jnp.broadcast_to((n1 * n2 * (n + 1.0) / 12.0)[None, :],
+                               R1.shape)
+    return (R1 - expected[None, :]) / jnp.sqrt(jnp.maximum(var, 1e-9))
 
 
 def rank_genes_groups(
@@ -86,14 +93,27 @@ def rank_genes_groups(
     if reference != "rest":
         raise ValueError("Only reference='rest' is implemented")
 
-    labels = adata.obs[groupby].astype(str)
+    raw = adata.obs[groupby]
+    na = raw.isna().to_numpy()
+    if na.any():
+        # scanpy semantics: null-labeled cells take no part in the test
+        # (they silently contaminated every group's "rest" before)
+        logger.info(f"rank_genes_groups: excluding {int(na.sum()):,} "
+                    f"cells with null '{groupby}'")
+    labels = raw[~na].astype(str)
     all_groups = [g for g, c in labels.value_counts().items()
                   if c >= min_cells]
     if groups is not None:
         missing = [g for g in groups if g not in set(labels.unique())]
         if missing:
             raise ValueError(f"Groups not present: {missing}")
-        use_groups = [g for g in groups if g in all_groups]
+        too_small = [g for g in groups if g not in all_groups
+                     and g not in missing]
+        if too_small:
+            raise ValueError(
+                f"Requested groups below min_cells={min_cells}: "
+                f"{too_small}")
+        use_groups = list(groups)
     else:
         use_groups = sorted(all_groups)
     if len(use_groups) < 1 or labels.nunique() < 2:
@@ -102,7 +122,7 @@ def rank_genes_groups(
     X = adata.X
     if sp.issparse(X):
         X = np.asarray(X.todense())
-    X = np.asarray(X, np.float32)
+    X = np.asarray(X, np.float32)[~na]
     Xj = jnp.asarray(X)
     var_names = np.asarray(adata.var_names, object)
     n_top = n_genes or X.shape[1]
@@ -113,14 +133,20 @@ def rank_genes_groups(
                          "method": method, "tie_correct": tie_correct},
               "names": {}, "scores": {}, "pvals": {}, "pvals_adj": {},
               "logfoldchanges": {}}
-    for grp in use_groups:
-        mask = (labels == grp).to_numpy()
-        z = np.asarray(_ranksum_z(Xj, jnp.asarray(mask),
-                                  tie_correct=tie_correct))
+    masks_np = np.stack([(labels == grp).to_numpy()
+                         for grp in use_groups], axis=1).astype(np.float32)
+    z_all = np.asarray(_rank_stats(Xj, jnp.asarray(masks_np),
+                                   tie_correct=tie_correct))   # [G, K]
+    total = X.sum(axis=0)
+    n_kept = X.shape[0]
+    for ki, grp in enumerate(use_groups):
+        mask = masks_np[:, ki].astype(bool)
+        z = z_all[:, ki]
         pvals = 2.0 * scipy_norm.sf(np.abs(z))
         padj = np.asarray(apply_fdr(jnp.asarray(pvals), method="bh"))
+        n1 = int(mask.sum())
         mean_in = X[mask].mean(axis=0)
-        mean_out = X[~mask].mean(axis=0)
+        mean_out = (total - mean_in * n1) / max(n_kept - n1, 1)
         lfc = np.log2((np.expm1(mean_in) + 1e-9)
                       / (np.expm1(mean_out) + 1e-9))
         order = np.argsort(-z)[:n_top]

@@ -59,7 +59,8 @@ def compute_metagene_score(
         return jnp.median(X, axis=1)
     if method == "minimum":
         return jnp.min(X, axis=1)
-    raise ValueError(f"Unknown metagene method '{method}'")
+    raise ValueError(f"Unknown metagene method '{method}'. "
+                     f"Choose one of {MetageneMethod}.")
 
 
 # ---------------------------------------------------------------------------

@@ -6,6 +6,7 @@ import pytest
 import scipy.sparse as sp
 
 from conftest import make_adata
+from spatialcore_tpu import SpatialData
 
 
 def test_container_basic(adata):
@@ -240,3 +241,34 @@ def test_copy_does_not_share_uns_lists():
         o["function"] if "function" in o else o.get("function_name")
         for o in ops_b]
     assert len(ops_a) == 1 and len(ops_b) == 2
+
+
+def test_ctor_obs_only_and_dict_obs():
+    """X=None constructors: plain DataFrame and dict obs (the dict path
+    crashed on obs.shape before conversion)."""
+    a = SpatialData(obs=pd.DataFrame({"ct": ["x", "y", "z"]}))
+    assert a.n_obs == 3
+    b = SpatialData(obs={"ct": ["x", "y"]})
+    assert b.n_obs == 2
+
+
+def test_aligned_dict_update_validates():
+    """update()/setdefault()/|= must validate like item assignment."""
+    a = SpatialData(X=np.ones((3, 2), np.float32))
+    with pytest.raises(ValueError, match="shape"):
+        a.obsm.update({"emb": np.zeros((99, 2))})
+    with pytest.raises(ValueError, match="shape"):
+        a.obsm.setdefault("emb", np.zeros((99, 2)))
+    with pytest.raises(ValueError, match="shape"):
+        a.obsm |= {"emb": np.zeros((99, 2))}
+    a.obsm.update({"ok": np.zeros((3, 2))})
+    assert "ok" in a.obsm
+
+
+def test_scalar_indexers():
+    """adata[5] and adata[:, 'GENE'] — everyday AnnData idioms."""
+    a = SpatialData(X=np.arange(6, dtype=np.float32).reshape(3, 2))
+    a.var_names = ["g0", "g1"]
+    assert a[:, "g1"].shape == (3, 1)
+    assert a[1].shape == (1, 2)
+    assert float(a[1, "g1"].X[0, 0]) == 3.0

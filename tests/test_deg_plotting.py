@@ -142,3 +142,36 @@ def test_celltype_confidence_spatial(tmp_path):
         0.4, 1.0, adata.n_obs)
     plot_celltype_confidence_spatial(adata, path=tmp_path / "ccs.png")
     assert (tmp_path / "ccs.png").exists()
+
+
+def test_deg_nan_labels_excluded():
+    """Null-labeled cells must not contaminate the 'rest' population."""
+    rng = np.random.default_rng(5)
+    n = 90
+    X = rng.poisson(2.0, (n, 6)).astype(np.float32)
+    a = sct.SpatialData(X=sp.csr_matrix(X))
+    a.var_names = [f"G{i}" for i in range(6)]
+    lab = np.array(["A"] * 40 + [None] * 10 + ["B"] * 40, object)
+    a.obs["grp"] = lab
+    res = rank_genes_groups(a.copy(), "grp", copy=True)
+    rg = res.uns["rank_genes_groups"]
+    assert set(rg["names"]) == {"A", "B"}
+
+    # oracle: scipy ranksums on ONLY the non-null cells
+    from scipy.stats import ranksums
+    keep = lab != None  # noqa: E711
+    zs = np.array([ranksums(X[keep][:40, j], X[keep][40:, j]).statistic
+                   for j in range(6)])
+    got = {g: dict(zip(rg["names"][g], rg["scores"][g])) for g in ("A",)}
+    for j in range(6):
+        assert abs(got["A"][f"G{j}"] - zs[j]) < 1e-3, (j, zs[j])
+
+
+def test_deg_requested_small_group_raises():
+    rng = np.random.default_rng(6)
+    X = rng.poisson(2.0, (50, 4)).astype(np.float32)
+    a = sct.SpatialData(X=sp.csr_matrix(X))
+    a.var_names = [f"G{i}" for i in range(4)]
+    a.obs["grp"] = ["A"] * 25 + ["B"] * 24 + ["C"]
+    with pytest.raises(ValueError, match="below min_cells"):
+        rank_genes_groups(a.copy(), "grp", groups=["A", "C"], copy=True)
