@@ -83,4 +83,7 @@ r16 = run(jnp.int16)
 rbf = run(jnp.bfloat16)
 assert np.array_equal(r32, r16), (r32, r16)
 assert np.array_equal(r32, rbf), (r32, rbf)
+if P <= 127:  # int8 counters are exact only for <=127 draws per chunk
+    r8 = run(jnp.int8)
+    assert np.array_equal(r32, r8), (r32, r8)
 print("counts identical across dtypes", flush=True)

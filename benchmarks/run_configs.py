@@ -388,10 +388,32 @@ def config7(scale):
     scores = model.decision_scores(Xd)
     t_score = time.time() - t0
     rate = n_infer / t_score
+
+    # device-resident variant: scores stay on device (what a LOCAL chip
+    # sees — decision_scores copies each [batch, C] block back to host,
+    # which on the remote tunnel is bandwidth-bound at ~14 MB/s and
+    # dominates the measured time)
+    from spatialcore_tpu.annotation.model import _score_batch
+
+    W = jnp.asarray(model.W)
+    b = jnp.asarray(model.b)
+    mu = jnp.asarray(model.scaler_mean)
+    sd = jnp.asarray(model.scaler_std)
+    bs = 65536
+    t0 = time.time()
+    parts = [_score_batch(Xd[s:s + bs], W, b, mu, sd)
+             for s in range(0, n_infer, bs)]
+    for p in parts:
+        jax.block_until_ready(p)
+    t_dev = time.time() - t0
+    rate_dev = n_infer / t_dev
+
     _emit(7, "annotation_train_s_plus_score_cells_per_s", rate, "cells/s",
           n_train=n_train, n_genes=g, n_types=c, epochs=epochs,
           train_s=round(t_train, 1), holdout_acc=round(float(acc), 4),
-          n_infer=n_infer, score_s=round(t_score, 2))
+          n_infer=n_infer, score_s=round(t_score, 2),
+          device_resident_cells_per_s=round(rate_dev, 1),
+          device_score_s=round(t_dev, 3))
 
 
 def main():
