@@ -1161,6 +1161,76 @@ def _banded_lag(A, Zp, far_src, far_dst, far_w, *, block: int):
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "block", "n", "n_permutations", "perm_method"))
+def _banded_local_moran_p_i8(order, rank, local_idx, w_local, far_src,
+                             far_dst, far_w, Z, seed, *, block: int, n: int,
+                             n_permutations: int, perm_method: str):
+    """LISA permutation p via the int8 null system.
+
+    Quantized-operator convention (same as the global int8 mode): z
+    quantizes per gene (:func:`_quantize_z`), band weights per row
+    (:func:`_build_band_i8`); each draw's local statistic is
+    ``z_q · (sw·(A8 @ z_q) + far)`` with exact int8×int8→int32 band dots,
+    and the observed value comes from the SAME operator at the identity
+    placement — counting compares like with like, and the per-gene scale
+    s_g² (and per-row sw, which multiplies both sides of every row's
+    comparison) cancels inside ``|I_perm| ≥ |I_obs|``.
+
+    Why int8 for LOCAL statistics: the [N, G] elementwise traffic (count
+    read+write, lag, Ip, observed) dominates local nulls — not the
+    gathers (docs/performance.md). int8 halves the gather/band bytes and
+    the counters run int16 (exact for P ≤ 32767), halving the count
+    update too.
+    """
+    B = block
+    n_padded = local_idx.shape[0]
+    nb = n_padded // B
+    G = Z.shape[1]
+    Zq, _ = _quantize_z(Z) if Z.dtype != jnp.int8 else (Z, None)
+    A8, sw = _build_band_i8(local_idx, w_local, B)
+    swr = sw.reshape(n_padded, 1)
+    gidx0 = jnp.clip(jnp.arange((nb + 2) * B, dtype=jnp.int32) - B, 0, n - 1)
+
+    def abs_ip(perm):
+        Zp = Zq[perm[gidx0]].reshape(nb + 2, B, G)   # ONE int8 row gather
+        lag = jnp.zeros((nb, B, G), jnp.int32)
+        for s in range(3):
+            lag = lag + jnp.einsum(
+                "nbw,nwg->nbg", A8[:, :, s * B:(s + 1) * B].astype(jnp.int32),
+                Zp[s:s + nb].astype(jnp.int32))
+            lag = jax.lax.optimization_barrier(lag)
+        lagf = swr * lag.reshape(n_padded, G).astype(jnp.float32)
+        # far edges keep their exact f32 weights (few %, scatter-add);
+        # padded far entries carry far_w == 0 so they contribute nothing
+        vals = Zp.reshape(-1, G)[far_dst].astype(jnp.float32) * far_w[:, None]
+        lagf = lagf.at[far_src - B].add(vals, mode="drop")
+        z1 = Zp.reshape(-1, G)[B:B + n_padded].astype(jnp.float32)
+        return jnp.abs(z1 * lagf)
+
+    abs_obs = abs_ip(order)      # observed via the SAME quantized operator
+
+    if perm_method == "sort":
+        base = key_for(seed, "perm_local", 0)   # legacy local draw stream
+    else:
+        base = key_for(seed, "perm_feistel_local", 0)
+    cdt = jnp.int16 if n_permutations <= 32767 else jnp.int32
+
+    def body(count, step):
+        key = jax.random.fold_in(base, step)
+        if perm_method == "sort":
+            raw = jax.random.permutation(key, n)
+        else:
+            raw = feistel_permutation(key, n)
+        perm = raw[order]
+        return count + (abs_ip(perm) >= abs_obs).astype(cdt), None
+
+    count, _ = jax.lax.scan(body, jnp.zeros((n_padded, G), cdt),
+                            jnp.arange(n_permutations))
+    p_new = (count.astype(jnp.float32) + 1.0) / (n_permutations + 1.0)
+    return p_new[rank]      # original order (new position rank[i] = cell i)
+
+
+@functools.partial(jax.jit, static_argnames=(
     "block", "n", "n_permutations", "precision", "perm_method"))
 def _banded_local_moran_p(order, rank, local_idx, w_local, far_src, far_dst,
                           far_w, Z, abs_obs_new, seed, *, block: int, n: int,
@@ -1200,9 +1270,12 @@ def _banded_local_moran_p(order, rank, local_idx, w_local, far_src, far_dst,
         Zp = Ztab[perm[gidx0]].reshape(nb + 2, B, G)
         lag_p = _banded_lag(A, Zp, far_src, far_dst, far_w, block=B)
         Ip = Zp.reshape(-1, G)[B:B + n_padded].astype(jnp.float32) * lag_p
-        return count + (jnp.abs(Ip) >= abs_obs_new).astype(jnp.int32), None
+        return count + (jnp.abs(Ip) >= abs_obs_new).astype(count.dtype), None
 
-    count, _ = jax.lax.scan(body, jnp.zeros((n_padded, G), jnp.int32),
+    # int16 counters (exact for P <= 32767): the [N, G] count update is
+    # the measured wall of local statistics — halve its bytes
+    cdt = jnp.int16 if n_permutations <= 32767 else jnp.int32
+    count, _ = jax.lax.scan(body, jnp.zeros((n_padded, G), cdt),
                             jnp.arange(n_permutations))
     p_new = (count + 1.0) / (n_permutations + 1.0)
     return p_new[rank]      # original order (new position rank[i] = cell i)
@@ -1224,12 +1297,25 @@ def banded_local_moran(
     machinery. Returns ``LocalMoranResult`` in the ORIGINAL cell order.
     With ``precision="f32"`` and ``perm_method="sort"`` the draws match
     the direct kernel (float summation order differs in the lag).
+
+    ``precision="int8"`` runs the whole null system in the per-gene
+    quantized operator (draws AND the observed comparison value — the
+    same convention as the global int8 mode): exact int8 MXU band dots,
+    int8 row gathers, int16 counters. The returned ``local_I/z/lag`` stay
+    exact f32; only ``p_value`` uses the quantized operator.
     """
     from .moran import LocalMoranResult, local_moran
 
     obs = local_moran(graph, Z, seed, 0)
     if n_permutations == 0:
         return obs
+    if precision == "int8":
+        p = _banded_local_moran_p_i8(
+            plan.order, plan.rank, plan.local_idx, plan.w_local,
+            plan.far_src, plan.far_dst, plan.far_w, Z, jnp.uint32(seed),
+            block=plan.block, n=plan.n, n_permutations=n_permutations,
+            perm_method=perm_method)
+        return LocalMoranResult(obs.local_I, obs.z, obs.lag, p)
     n_padded = plan.local_idx.shape[0]
     abs_obs_new = jnp.abs(obs.local_I)[plan.order]
     if n_padded > plan.n:

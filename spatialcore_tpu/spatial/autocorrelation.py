@@ -441,11 +441,17 @@ def local_morans_i(
     are int8 0=NS,1=HH,2=LL,3=HL,4=LH.
 
     ``null_method``: "banded" evaluates the permutation nulls through the
-    banded kernel (ops/banded.py). Measured at 1M cells it only ties the
-    direct kernel at the default 100-gene batches (the [N, G] elementwise
-    count update dominates, not the gathers) and needs more memory, so
-    "auto" keeps the direct path; "banded" is opt-in. The observed
-    I/z/lag always come from the exact direct kernel.
+    banded kernel (ops/banded.py). In bf16/f32 it only ties the direct
+    kernel at the default 100-gene batches (the [N, G] elementwise count
+    update dominates, not the gathers) and needs more memory, so "auto"
+    keeps the direct path; "banded" is opt-in. "banded_int8" runs the
+    null system in the per-gene-quantized int8 operator (exact integer
+    MXU band dots, int8 gathers, int16 counters — draws compare against
+    the observed value of the SAME quantized operator; decision-level
+    agreement with the f32 path is pinned by tests/test_banded.py) —
+    built for wide gene batches at large N, pair it with a bigger
+    ``batch_size``. The observed I/z/lag always come from the exact
+    direct kernel.
     """
     start = time.time()
     if copy:
@@ -462,6 +468,9 @@ def local_morans_i(
 
     if null_method == "auto":
         null_method = "slots"
+    null_precision = "bf16"
+    if null_method == "banded_int8":
+        null_method, null_precision = "banded", "int8"
     if null not in ("total", "conditional"):
         raise ValueError(f"null must be 'total' or 'conditional', got {null!r}")
     plan = None
@@ -469,7 +478,7 @@ def local_morans_i(
         if null == "conditional":
             logger.warning("null='conditional' is not supported by the "
                            "banded path; using the direct kernel")
-            null_method = "slots"
+            null_method, null_precision = "slots", "bf16"
         else:
             from ..ops.banded import banded_local_moran, build_null_plan
 
@@ -490,7 +499,8 @@ def local_morans_i(
             # exact observed statistics from the direct kernel; banded
             # machinery only evaluates the permutation nulls
             res = banded_local_moran(plan, graph, Z, seed=seed,
-                                     n_permutations=n_permutations)
+                                     n_permutations=n_permutations,
+                                     precision=null_precision)
         else:
             res = local_moran(graph, Z, seed, n_permutations, null=null)
         sl = slice(bs, bs + len(batch))
@@ -535,6 +545,8 @@ def local_morans_i(
         "alpha": alpha,
         "seed": seed,
         "null": null,
+        "null_method": ("banded_int8" if null_precision == "int8"
+                        else null_method),
         "quadrant_labels": dict(QUADRANT_LABELS),
         "computation_time_seconds": elapsed,
     }

@@ -542,6 +542,28 @@ def test_morans_i_banded_int8_null_method(spatial_adata):
     assert ops[-1]["parameters"]["null_method"] == "banded_int8"
 
 
+def test_local_morans_i_banded_int8_null_method(spatial_adata):
+    """local_morans_i(null_method='banded_int8'): exact observed obsm
+    outputs, quantized-null p at decision-level agreement, params record
+    the mode."""
+    import spatialcore_tpu as sct
+
+    a1 = spatial_adata.copy()
+    a2 = spatial_adata.copy()
+    a1 = sct.spatial.local_morans_i(a1, n_permutations=99, seed=0,
+                                    null_method="banded_int8")
+    a2 = sct.spatial.local_morans_i(a2, n_permutations=99, seed=0)
+    np.testing.assert_allclose(a1.obsm["local_morans_I"],
+                               a2.obsm["local_morans_I"], rtol=1e-6)
+    np.testing.assert_allclose(a1.obsm["local_morans_z"],
+                               a2.obsm["local_morans_z"], rtol=1e-6)
+    sig1 = a1.obsm["local_morans_p"] < 0.05
+    sig2 = a2.obsm["local_morans_p"] < 0.05
+    assert (sig1 == sig2).mean() > 0.95   # different draw streams
+    assert a1.uns["local_morans_params"]["null_method"] == "banded_int8"
+    assert a2.uns["local_morans_params"]["null_method"] == "slots"
+
+
 def test_local_join_counts(spatial_adata):
     """Clustered binary condition: positives in the hotspot get small p."""
     import spatialcore_tpu as sct

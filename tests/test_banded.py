@@ -312,6 +312,38 @@ def test_banded_local_moran_matches_direct(setup):
     assert (sig_a == sig_b).mean() > 0.9
 
 
+def test_banded_local_moran_int8(setup):
+    """int8 banded LISA: exact observed outputs, quantization-tolerance p.
+
+    Same draws as the direct kernel (sort stream); the statistic operator
+    is the per-gene-quantized int8 system applied to BOTH draws and the
+    observed comparison value, so decisions flip only where |I_perm| and
+    |I_obs| sit within one quantization step of each other.
+    """
+    from spatialcore_tpu.ops.banded import banded_local_moran
+    from spatialcore_tpu.ops.moran import local_moran
+
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    ref = local_moran(graph, Z, seed=4, n_permutations=199)
+    got = banded_local_moran(plan, graph, Z, seed=4, n_permutations=199,
+                             precision="int8", perm_method="sort")
+    # observed statistics stay exact f32 (direct kernel)
+    np.testing.assert_array_equal(np.asarray(got.local_I),
+                                  np.asarray(ref.local_I))
+    np.testing.assert_array_equal(np.asarray(got.lag), np.asarray(ref.lag))
+    p8 = np.asarray(got.p_value)
+    p32 = np.asarray(ref.p_value)
+    assert np.abs(p8 - p32).mean() < 0.02
+    assert ((p8 < 0.05) == (p32 < 0.05)).mean() > 0.97
+    # feistel stream (default) reaches the same inference
+    got_f = banded_local_moran(plan, graph, Z, seed=4, n_permutations=199,
+                               precision="int8")
+    sig_a = np.asarray(got_f.p_value)[:, 0] < 0.05
+    sig_b = p32[:, 0] < 0.05
+    assert (sig_a == sig_b).mean() > 0.9
+
+
 def test_halo_gene_tiling_matches_single_tile():
     """The g-tiled halo grid (round 3: lifts the G<=2048 VMEM ceiling)
     must reproduce the single-tile kernel exactly."""
