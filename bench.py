@@ -274,12 +274,14 @@ def main():
         compiled = {}
         t0 = time.time()
 
-        def compile_with_retry(build, what, tries=4, wait=45.0):
+        def compile_with_retry(build, what,
+                               waits=(45.0, 90.0, 180.0, 420.0)):
             # the remote compile service intermittently fails NEW shapes
             # with RESOURCE_EXHAUSTED / INTERNAL while cached executables
             # keep working (CLAUDE.md environment quirks) — ride it out
-            # rather than record a failed driver run
-            for attempt in range(tries):
+            # rather than record a failed driver run; waits escalate
+            # because degradation phases can outlive a fixed short wait
+            for attempt in range(len(waits) + 1):
                 try:
                     return build()
                 except Exception as e:  # noqa: BLE001
@@ -287,12 +289,12 @@ def main():
                     transient = ("RESOURCE_EXHAUSTED" in msg
                                  or "INTERNAL" in msg
                                  or "UNAVAILABLE" in msg)
-                    if not transient or attempt == tries - 1:
+                    if not transient or attempt == len(waits):
                         raise
                     print(f"[bench] transient backend fault compiling "
-                          f"{what}; retry {attempt + 1}/{tries - 1} in "
-                          f"{wait:.0f}s", file=sys.stderr)
-                    time.sleep(wait)
+                          f"{what}; retry {attempt + 1}/{len(waits)} in "
+                          f"{waits[attempt]:.0f}s", file=sys.stderr)
+                    time.sleep(waits[attempt])
 
         for w in sorted(set(widths)):
             Zb, den, obs, szv = compile_with_retry(
@@ -360,8 +362,12 @@ def main():
     # RESOURCE_EXHAUSTED mid-run on a degraded tunnel while the same
     # executables ran clean minutes later) — every executable is already
     # compiled/cached above, so a retry costs only the run itself, and the
-    # workload is deterministic (seed 0), so a rerun computes the same thing
-    for attempt in range(3):
+    # workload is deterministic (seed 0), so a rerun computes the same thing.
+    # Waits escalate to ~25 min total: a 2026-08-18 degradation phase
+    # outlived two 75 s waits (even a 4-byte fold_in dispatch faulted) but
+    # such phases have always cleared within tens of minutes.
+    waits = [75.0, 180.0, 420.0, 900.0]
+    for attempt in range(len(waits) + 1):
         try:
             elapsed = timed_run()
             break
@@ -369,11 +375,12 @@ def main():
             msg = str(e)
             transient = ("RESOURCE_EXHAUSTED" in msg or "INTERNAL" in msg
                          or "UNAVAILABLE" in msg)
-            if not transient or attempt == 2:
+            if not transient or attempt == len(waits):
                 raise
             print(f"[bench] transient backend fault in timed region; "
-                  f"retry {attempt + 1}/2 in 75s", file=sys.stderr)
-            time.sleep(75.0)
+                  f"retry {attempt + 1}/{len(waits)} in "
+                  f"{waits[attempt]:.0f}s", file=sys.stderr)
+            time.sleep(waits[attempt])
 
     rate = done_genes * n_perms / elapsed
     target = PER_CHIP_TARGET * n_dev
