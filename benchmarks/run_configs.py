@@ -8,6 +8,7 @@ Configs (BASELINE.json .configs, sizes scaled by --scale):
   5. full niche/domain pipeline (profiles → niches → domains → distances)
   6. streaming >HBM gene axis: 1M cells × 18,432 genes (ops/streaming.py)
   7. annotation throughput: LR train + device-resident scoring
+  8. LISA throughput: 1M-cell local Moran permutation nulls (int8 banded)
 
 Usage: python benchmarks/run_configs.py [--configs 1,2,3,4,5] [--scale 1.0]
 """
@@ -416,6 +417,97 @@ def config7(scale):
           device_score_s=round(t_dev, 3))
 
 
+def config8(scale):
+    """LISA (local Moran) permutation throughput at 1M cells — the
+    reference's worst-scaling workload (its per-cell p-values are a
+    nested Python loop over cells x genes,
+    /root/reference/src/spatialcore/spatial/autocorrelation.py:888-896).
+
+    Runs the int8 banded null (ops/banded.py `_banded_local_moran_p_i8`):
+    one int8 row gather + exact integer MXU band dots + int16 counters
+    per draw. The [N, G] p-matrix stays device-resident (reading 2 GB
+    back over the remote tunnel measures the tunnel, not the kernel);
+    one scalar readback validates the result. BENCH8_GENES / BENCH8_PERMS
+    / BENCH8_VARIANT=int8|bf16|direct override."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from spatialcore_tpu.ops.banded import build_null_plan
+    from spatialcore_tpu.ops.graph import build_graph
+    from spatialcore_tpu.ops.moran import standardize
+
+    n = int(1_000_000 * scale) or 512
+    g = int(os.environ.get("BENCH8_GENES", 512))
+    perms = int(os.environ.get("BENCH8_PERMS", 100))
+    variant = os.environ.get("BENCH8_VARIANT", "int8")
+
+    kc, kx = jax.random.split(jax.random.key(0))
+    coords = jax.random.uniform(kc, (n, 2), jnp.float32, 0.0, 6000.0)
+    jax.block_until_ready(coords)
+    t0 = time.time()
+    graph = build_graph(coords, n_neighbors=6)
+    jax.block_until_ready(graph.neighbor_w)
+    t_graph = time.time() - t0
+
+    Z = _retry_compile(
+        lambda: jax.block_until_ready(jax.jit(
+            lambda k: standardize(jax.random.normal(
+                k, (n, g), jnp.float32))[0])(kx)), "config8 prep")
+
+    if variant == "direct":
+        from spatialcore_tpu.ops.moran import local_moran
+
+        def run():
+            return local_moran(graph, Z, 0, perms).p_value
+    else:
+        from spatialcore_tpu.ops.banded import (
+            _banded_local_moran_p, _banded_local_moran_p_i8)
+
+        t0 = time.time()
+        plan = build_null_plan(graph, coords, block=256)
+        jax.block_until_ready(plan.w_local)
+        t_plan = time.time() - t0
+        if variant == "int8":
+            def run():
+                return _banded_local_moran_p_i8(
+                    plan.order, plan.rank, plan.local_idx, plan.w_local,
+                    plan.far_src, plan.far_dst, plan.far_w, Z,
+                    jnp.uint32(0), block=plan.block, n=plan.n,
+                    n_permutations=perms, perm_method="feistel")
+        else:
+            from spatialcore_tpu.ops.graph import spatial_lag
+
+            obs = jax.jit(lambda z: jnp.abs(z * spatial_lag(graph, z)))(Z)
+            abs_obs = obs[plan.order]
+            n_padded = plan.local_idx.shape[0]
+            if n_padded > plan.n:
+                abs_obs = jnp.pad(
+                    abs_obs, ((0, n_padded - plan.n), (0, 0)),
+                    constant_values=jnp.inf)
+
+            def run():
+                return _banded_local_moran_p(
+                    plan.order, plan.rank, plan.local_idx, plan.w_local,
+                    plan.far_src, plan.far_dst, plan.far_w, Z, abs_obs,
+                    jnp.uint32(0), block=plan.block, n=plan.n,
+                    n_permutations=perms, precision="bf16",
+                    perm_method="feistel")
+
+    p = _retry_compile(lambda: jax.block_until_ready(run()),
+                       "config8 warm")
+    t0 = time.time()
+    p = jax.block_until_ready(run())
+    dt = time.time() - t0
+    pmin = float(p.min())          # scalar readback validates the result
+    assert 0.0 < pmin <= 1.0
+    _emit(8, "lisa_genes_perms_per_s_1M_cells", g * perms / dt,
+          "genes*perms/s", n_cells=n, n_genes=g, n_perms=perms,
+          variant=variant, warm_s=round(dt, 2), graph_s=round(t_graph, 1),
+          p_min=round(pmin, 5))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="1,2,3,4,5")
@@ -429,7 +521,7 @@ def main():
     print(f"[configs] first-readback warmup: {time.time()-t0:.1f}s",
           file=sys.stderr)
     fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
-           6: config6, 7: config7}
+           6: config6, 7: config7, 8: config8}
     for c in [int(x) for x in args.configs.split(",")]:
         t0 = time.time()
         try:
