@@ -9,6 +9,8 @@ Configs (BASELINE.json .configs, sizes scaled by --scale):
   6. streaming >HBM gene axis: 1M cells × 18,432 genes (ops/streaming.py)
   7. annotation throughput: LR train + device-resident scoring
   8. LISA throughput: 1M-cell local Moran permutation nulls (int8 banded)
+  9. reference demo parity: the CosMx vignette workload (366,938 cells,
+     k=50, 99 perms, 4 public calls) on a device-resident X
 
 Usage: python benchmarks/run_configs.py [--configs 1,2,3,4,5] [--scale 1.0]
 """
@@ -508,6 +510,88 @@ def config8(scale):
           p_min=round(pmin, 5))
 
 
+def config9(scale):
+    """The reference's own documented demo workload at its published scale:
+    CosMx colon, 366,938 cells, k=50 neighbors, 99 permutations
+    (/root/reference/docs/spatial/spatial_stats.md: Data admonition +
+    every code block passes n_neighbors=50, n_permutations=99). Runs the
+    exact four public calls the reference's vignette runs — global
+    Moran's I over the full 960-gene CosMx-like panel, local Moran's I on
+    a 100-gene HVG batch (the docs' ``batch_size=100`` demo), global
+    Lee's L on 10 pairs, local Lee's L on one pair with cell p-values —
+    through the PUBLIC AnnData-style API. X is generated and kept
+    device-resident (jax array in ``adata.X``): zero host->device upload
+    rides the tunnel. BENCH9_CELLS / BENCH9_GENES / BENCH9_PERMS override.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    import spatialcore_tpu as sct
+
+    n = int(os.environ.get("BENCH9_CELLS", int(366_938 * scale) or 1024))
+    g = int(os.environ.get("BENCH9_GENES", 960))
+    perms = int(os.environ.get("BENCH9_PERMS", 99))
+    k = 50
+
+    kc, kx = jax.random.split(jax.random.key(0))
+    coords = jax.random.uniform(kc, (n, 2), jnp.float32, 0.0, 8000.0)
+
+    @jax.jit
+    def make_x(key, c):
+        X = jax.random.normal(key, (n, g), jnp.float32)
+        # first 8 genes carry smooth spatial structure (so Moran/LISA
+        # have real signal); the rest are iid noise
+        field = jnp.sin(c[:, :1] / 400.0) + jnp.cos(c[:, 1:2] / 300.0)
+        return X.at[:, :8].add(field * 2.0)
+
+    X = jax.block_until_ready(make_x(kx, coords))
+    adata = sct.SpatialData(X=X)
+    adata.obsm["spatial"] = np.asarray(coords)
+
+    t0 = time.time()
+    sct.spatial.build_spatial_weights(adata, n_neighbors=k)
+    t_graph = time.time() - t0
+
+    t0 = time.time()
+    _retry_compile(lambda: sct.spatial.morans_i(
+        adata, n_permutations=perms, seed=0, use_existing_graph=True,
+        null_method="banded_int8"), "config9 global moran")
+    t_moran = time.time() - t0
+
+    hvg = list(adata.var_names[:100])
+    t0 = time.time()
+    _retry_compile(lambda: sct.spatial.local_morans_i(
+        adata, genes=hvg, n_permutations=perms, seed=0, batch_size=100,
+        use_existing_graph=True, null_method="banded_int8"),
+        "config9 lisa")
+    t_lisa = time.time() - t0
+
+    pairs = [(str(i), str(i + 1)) for i in range(0, 20, 2)]
+    t0 = time.time()
+    _retry_compile(lambda: sct.spatial.lees_l(
+        adata, gene_pairs=pairs, n_permutations=perms, seed=0,
+        use_existing_graph=True), "config9 lees_l")
+    t_lee = time.time() - t0
+
+    t0 = time.time()
+    _retry_compile(lambda: sct.spatial.lees_l_local(
+        adata, gene_pairs=("0", "1"), n_permutations=perms, seed=0,
+        compute_cell_pvalues=True, use_existing_graph=True),
+        "config9 lees_l_local")
+    t_lee_local = time.time() - t0
+
+    total = t_graph + t_moran + t_lisa + t_lee + t_lee_local
+    # (extreme+1)/(P+1) bottoms out at exactly 1/(P+1) = 0.01 for 99 draws
+    sig = int((adata.uns["morans_i"]["p_value"] <= 0.01).sum())
+    _emit(9, "reference_demo_workload_total_s", total, "s", n_cells=n,
+          n_genes=g, n_perms=perms, k=k, graph_s=round(t_graph, 1),
+          moran_s=round(t_moran, 1), lisa_s=round(t_lisa, 1),
+          lees_s=round(t_lee, 1), lees_local_s=round(t_lee_local, 1),
+          n_significant=sig)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="1,2,3,4,5")
@@ -521,7 +605,7 @@ def main():
     print(f"[configs] first-readback warmup: {time.time()-t0:.1f}s",
           file=sys.stderr)
     fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
-           6: config6, 7: config7, 8: config8}
+           6: config6, 7: config7, 8: config8, 9: config9}
     for c in [int(x) for x in args.configs.split(",")]:
         t0 = time.time()
         try:

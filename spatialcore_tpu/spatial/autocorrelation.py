@@ -172,6 +172,16 @@ def _dense_expression(adata, gene_names: List[str], layer: Optional[str]) -> np.
             raise ValueError(f"Layer '{layer}' not found in adata.layers")
         X = adata.layers[layer]
     idx = adata.var_names.get_indexer(gene_names)
+    if isinstance(X, jax.Array):
+        # device-resident X: slice on device and return the jax array —
+        # every caller immediately jnp.asarray()s the result, so nothing
+        # round-trips the (slow, tunnel-backed) host<->device link. This
+        # is how >GB expression matrices generated on device (jax.random,
+        # a previous pipeline stage) feed the stats layer at zero copy.
+        sub = jnp.take(X, jnp.asarray(idx, dtype=jnp.int32), axis=1)
+        if sub.dtype == jnp.float64 and jax.config.jax_enable_x64:
+            return sub
+        return sub.astype(jnp.float32)
     sub = X[:, idx]
     if sp.issparse(sub):
         sub = sub.toarray()

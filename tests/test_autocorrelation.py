@@ -7,6 +7,7 @@ import pandas as pd
 import pytest
 import scipy.sparse as sp
 
+import jax
 import jax.numpy as jnp
 
 from conftest import make_adata
@@ -652,3 +653,37 @@ def test_correlogram_kernel_matches_per_band_oracle():
         z_ref = (I_ref - mu) / np.sqrt(np.maximum(np.asarray(var), 1e-30))
         np.testing.assert_allclose(np.asarray(z_k)[b], z_ref,
                                    rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Device-resident X (zero host round-trip)
+# ---------------------------------------------------------------------------
+
+def test_device_resident_x_matches_numpy(spatial_adata):
+    """A jax-array X must produce identical statistics to numpy X without
+    being pulled back to host (the tunnel-backed transfer is the cost at
+    scale — docs/performance.md). Exercises the jax branch of
+    _dense_expression through global Moran, LISA, and Lee's L."""
+    from spatialcore_tpu.spatial import lees_l, local_morans_i, morans_i
+
+    a_np = spatial_adata.copy()
+    a_dev = spatial_adata.copy()
+    a_dev.X = jnp.asarray(np.asarray(spatial_adata.X, dtype=np.float32))
+
+    results = {}
+    for name, a in (("np", a_np), ("dev", a_dev)):
+        morans_i(a, n_neighbors=6, n_permutations=19, seed=3)
+        local_morans_i(a, genes=["GENE0", "GENE1"], n_neighbors=6,
+                       n_permutations=19, seed=3, use_existing_graph=True)
+        results[name] = lees_l(a, gene_pairs=("GENE0", "GENE1"),
+                               n_permutations=19, seed=3,
+                               use_existing_graph=True)
+
+    pd.testing.assert_frame_equal(a_np.uns["morans_i"], a_dev.uns["morans_i"])
+    np.testing.assert_array_equal(np.asarray(a_np.obsm["local_morans_I"]),
+                                  np.asarray(a_dev.obsm["local_morans_I"]))
+    np.testing.assert_array_equal(np.asarray(a_np.obsm["local_morans_p"]),
+                                  np.asarray(a_dev.obsm["local_morans_p"]))
+    assert results["np"]["L"] == results["dev"]["L"]
+    assert results["np"]["p_value"] == results["dev"]["p_value"]
+    assert isinstance(a_dev.X, jax.Array)  # stayed on device
