@@ -710,20 +710,27 @@ def _quantize_z(Z, clip: float = 8.0):
     return Zq, s
 
 
-def _build_band_i8(local_idx, w_local, block: int):
+def _build_band_i8(local_idx, w_local, block: int, row_scale=None):
     """Band tensor in int8 with a PER-ROW weight scale.
 
     sw[n, b] = rowmax/127, A8 = round(w/sw): for the common row-normalized
     kNN case (k equal weights) every entry quantizes to exactly 127 —
     the band weights are then EXACT. int32 accumulation is overflow-safe:
     K=3B=768 terms × 127³ ≈ 1.57e9 < 2³¹.
+
+    ``row_scale`` ([nb, B, 1], optional) overrides the band-local rowmax
+    scale — the fully-integer LISA kernel passes the FULL-row max
+    (including far edges) so far weights quantize without clipping.
     """
     nb = local_idx.shape[0] // block
     k = local_idx.shape[1]
     li3 = local_idx.reshape(nb, block, k)
     lw3 = w_local.reshape(nb, block, k).astype(jnp.float32)
-    rowmax = jnp.max(lw3, axis=2, keepdims=True)            # [nb, B, 1]
-    sw = jnp.where(rowmax > 0, rowmax / 127.0, 1.0)
+    if row_scale is None:
+        rowmax = jnp.max(lw3, axis=2, keepdims=True)        # [nb, B, 1]
+        sw = jnp.where(rowmax > 0, rowmax / 127.0, 1.0)
+    else:
+        sw = row_scale
     wq = jnp.clip(jnp.round(lw3 / sw), 0, 127).astype(jnp.int8)
     iota = jnp.arange(3 * block, dtype=jnp.int32)[None, None, :]
     A = jnp.zeros((nb, block, 3 * block), jnp.int8)
@@ -1178,17 +1185,38 @@ def _banded_local_moran_p_i8(order, rank, local_idx, w_local, far_src,
 
     Why int8 for LOCAL statistics: the [N, G] elementwise traffic (count
     read+write, lag, Ip, observed) dominates local nulls — not the
-    gathers (docs/performance.md). int8 halves the gather/band bytes and
-    the counters run int16 (exact for P ≤ 32767), halving the count
-    update too.
+    gathers (docs/performance.md). This kernel is FULLY INTEGER: far
+    weights quantize with the same per-row scale as the band (computed
+    over the FULL row incl. far edges so nothing clips), the per-draw
+    statistic is the exact int32 ``|z_code · Σ w_code z_code|`` (bounded
+    by k·127³ < 2³¹ for k ≤ 1000), the observed side comes from the SAME
+    operator, and the counters run int8 for P ≤ 127 (int16 ≤ 32767) —
+    no f32 [N, G] array is ever materialized in the draw loop. Per row
+    the shared (s_g²·sw) factor multiplies both sides of every
+    comparison, so decisions equal those of the quantized-weights
+    f32 operator exactly.
     """
     B = block
     n_padded = local_idx.shape[0]
     nb = n_padded // B
     G = Z.shape[1]
+    k_total = local_idx.shape[1]
+    if k_total > 1000:
+        raise ValueError(
+            f"int8 LISA null supports k <= 1000 (int32 bound k*127^3), "
+            f"got k={k_total}; use precision='bf16'")
     Zq, _ = _quantize_z(Z) if Z.dtype != jnp.int8 else (Z, None)
-    A8, sw = _build_band_i8(local_idx, w_local, B)
-    swr = sw.reshape(n_padded, 1)
+    # full-row weight scale: a far edge can carry the row's max weight,
+    # so the band-local rowmax would clip it at 127
+    local_max = jnp.max(w_local.astype(jnp.float32), axis=1)   # [n_padded]
+    far_max = jnp.zeros((n_padded,), jnp.float32).at[far_src - B].max(
+        far_w.astype(jnp.float32), mode="drop")
+    rowmax = jnp.maximum(local_max, far_max)
+    sw_row = jnp.where(rowmax > 0, rowmax / 127.0, 1.0)
+    A8, _ = _build_band_i8(local_idx, w_local, B,
+                           row_scale=sw_row.reshape(nb, B, 1))
+    far_q = jnp.clip(jnp.round(far_w / sw_row[far_src - B]), 0,
+                     127).astype(jnp.int32)
     gidx0 = jnp.clip(jnp.arange((nb + 2) * B, dtype=jnp.int32) - B, 0, n - 1)
 
     def abs_ip(perm):
@@ -1199,13 +1227,13 @@ def _banded_local_moran_p_i8(order, rank, local_idx, w_local, far_src,
                 "nbw,nwg->nbg", A8[:, :, s * B:(s + 1) * B].astype(jnp.int32),
                 Zp[s:s + nb].astype(jnp.int32))
             lag = jax.lax.optimization_barrier(lag)
-        lagf = swr * lag.reshape(n_padded, G).astype(jnp.float32)
-        # far edges keep their exact f32 weights (few %, scatter-add);
-        # padded far entries carry far_w == 0 so they contribute nothing
-        vals = Zp.reshape(-1, G)[far_dst].astype(jnp.float32) * far_w[:, None]
-        lagf = lagf.at[far_src - B].add(vals, mode="drop")
-        z1 = Zp.reshape(-1, G)[B:B + n_padded].astype(jnp.float32)
-        return jnp.abs(z1 * lagf)
+        lag = lag.reshape(n_padded, G)
+        # far edges in the same integer domain (padded entries: far_q
+        # rounds 0-weight to 0, contributing nothing)
+        vals = Zp.reshape(-1, G)[far_dst].astype(jnp.int32) * far_q[:, None]
+        lag = lag.at[far_src - B].add(vals, mode="drop")
+        z1 = Zp.reshape(-1, G)[B:B + n_padded].astype(jnp.int32)
+        return jnp.abs(z1 * lag)                      # exact int32
 
     abs_obs = abs_ip(order)      # observed via the SAME quantized operator
 
@@ -1213,7 +1241,8 @@ def _banded_local_moran_p_i8(order, rank, local_idx, w_local, far_src,
         base = key_for(seed, "perm_local", 0)   # legacy local draw stream
     else:
         base = key_for(seed, "perm_feistel_local", 0)
-    cdt = jnp.int16 if n_permutations <= 32767 else jnp.int32
+    cdt = (jnp.int8 if n_permutations <= 127
+           else jnp.int16 if n_permutations <= 32767 else jnp.int32)
 
     def body(count, step):
         key = jax.random.fold_in(base, step)
