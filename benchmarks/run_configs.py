@@ -554,41 +554,48 @@ def config9(scale):
     sct.spatial.build_spatial_weights(adata, n_neighbors=k)
     t_graph = time.time() - t0
 
-    t0 = time.time()
-    _retry_compile(lambda: sct.spatial.morans_i(
-        adata, n_permutations=perms, seed=0, use_existing_graph=True,
-        null_method="banded_int8"), "config9 global moran")
-    t_moran = time.time() - t0
-
     hvg = list(adata.var_names[:100])
-    t0 = time.time()
-    _retry_compile(lambda: sct.spatial.local_morans_i(
-        adata, genes=hvg, n_permutations=perms, seed=0, batch_size=100,
-        use_existing_graph=True, null_method="banded_int8"),
-        "config9 lisa")
-    t_lisa = time.time() - t0
-
     pairs = [(str(i), str(i + 1)) for i in range(0, 20, 2)]
-    t0 = time.time()
-    _retry_compile(lambda: sct.spatial.lees_l(
-        adata, gene_pairs=pairs, n_permutations=perms, seed=0,
-        use_existing_graph=True), "config9 lees_l")
-    t_lee = time.time() - t0
 
-    t0 = time.time()
-    _retry_compile(lambda: sct.spatial.lees_l_local(
-        adata, gene_pairs=("0", "1"), n_permutations=perms, seed=0,
-        compute_cell_pvalues=True, use_existing_graph=True),
-        "config9 lees_l_local")
-    t_lee_local = time.time() - t0
+    def run_stats():
+        stage = {}
+        t0 = time.time()
+        # one gene batch = one executable (the default 512 would split
+        # 960 into two differently-shaped compiles)
+        _retry_compile(lambda: sct.spatial.morans_i(
+            adata, n_neighbors=k, n_permutations=perms, seed=0,
+            use_existing_graph=True, gene_batch_size=g,
+            null_method="banded_int8"), "config9 global moran")
+        stage["moran"] = time.time() - t0
+        t0 = time.time()
+        _retry_compile(lambda: sct.spatial.local_morans_i(
+            adata, genes=hvg, n_neighbors=k, n_permutations=perms, seed=0,
+            batch_size=100, use_existing_graph=True,
+            null_method="banded_int8"), "config9 lisa")
+        stage["lisa"] = time.time() - t0
+        t0 = time.time()
+        _retry_compile(lambda: sct.spatial.lees_l(
+            adata, gene_pairs=pairs, n_neighbors=k, n_permutations=perms,
+            seed=0, use_existing_graph=True), "config9 lees_l")
+        stage["lees"] = time.time() - t0
+        t0 = time.time()
+        _retry_compile(lambda: sct.spatial.lees_l_local(
+            adata, gene_pairs=("0", "1"), n_neighbors=k,
+            n_permutations=perms, seed=0, compute_cell_pvalues=True,
+            use_existing_graph=True), "config9 lees_l_local")
+        stage["lees_local"] = time.time() - t0
+        return stage
 
-    total = t_graph + t_moran + t_lisa + t_lee + t_lee_local
+    cold = run_stats()     # first pass pays every compile
+    warm = run_stats()     # second pass = cached executables only
+    total = t_graph + sum(cold.values())
     # (extreme+1)/(P+1) bottoms out at exactly 1/(P+1) = 0.01 for 99 draws
     sig = int((adata.uns["morans_i"]["p_value"] <= 0.01).sum())
     _emit(9, "reference_demo_workload_total_s", total, "s", n_cells=n,
           n_genes=g, n_perms=perms, k=k, graph_s=round(t_graph, 1),
-          moran_s=round(t_moran, 1), lisa_s=round(t_lisa, 1),
-          lees_s=round(t_lee, 1), lees_local_s=round(t_lee_local, 1),
+          warm_total_s=round(sum(warm.values()), 1),
+          **{f"{s}_s": round(v, 1) for s, v in cold.items()},
+          **{f"{s}_warm_s": round(v, 1) for s, v in warm.items()},
           n_significant=sig)
 
 

@@ -1330,7 +1330,8 @@ def banded_local_moran(
     ``precision="int8"`` runs the whole null system in the per-gene
     quantized operator (draws AND the observed comparison value — the
     same convention as the global int8 mode): exact int8 MXU band dots,
-    int8 row gathers, int16 counters. The returned ``local_I/z/lag`` stay
+    int8 row gathers, fully-integer int32 comparisons with int8 counters
+    for P <= 127 (int16 up to 32767). The returned ``local_I/z/lag`` stay
     exact f32; only ``p_value`` uses the quantized operator.
     """
     from .moran import LocalMoranResult, local_moran

@@ -456,7 +456,8 @@ def local_morans_i(
     update dominates, not the gathers) and needs more memory, so "auto"
     keeps the direct path; "banded" is opt-in. "banded_int8" runs the
     null system in the per-gene-quantized int8 operator (exact integer
-    MXU band dots, int8 gathers, int16 counters — draws compare against
+    MXU band dots, int8 gathers, fully-integer int32 comparisons, int8
+    counters for P <= 127 — draws compare against
     the observed value of the SAME quantized operator; decision-level
     agreement with the f32 path is pinned by tests/test_banded.py) —
     built for wide gene batches at large N, pair it with a bigger
