@@ -121,6 +121,40 @@ def sharded_banded_permutation_test(
             precision=precision, sz=sz, draw_offset=draw_offset)
 
 
+def sharded_banded_local_moran(
+    plan,
+    graph: SpatialGraph,
+    Z: jax.Array,
+    seed: int,
+    n_permutations: int,
+    mesh: Mesh,
+    precision: str = "int8",
+    perm_method: str = "feistel",
+):
+    """Banded LISA nulls (default fully-integer int8), gene-sharded.
+
+    The NullPlan and graph are replicated; ``Z`` and all four [N, G]
+    outputs shard on the gene axis. Every op in the int8 draw loop — the
+    shared Feistel permutation, the int8 row gather, the band einsum, the
+    far-edge scatter-add, the counter update — acts columnwise on genes,
+    so the scan partitions with ZERO collectives (HLO-inspected in
+    tests/test_parallel.py) and LISA-null throughput scales linearly in
+    the gene-shard count. Results are bitwise identical to the
+    single-device kernel.
+    """
+    from ..ops.banded import NullPlan, banded_local_moran
+
+    rep = replicated(mesh)
+    plan = NullPlan(*(jax.device_put(f, rep) if isinstance(f, jax.Array)
+                      else f for f in plan))
+    graph, Z = _place(graph, Z, mesh)
+    with mesh:
+        return banded_local_moran(plan, graph, Z, seed=seed,
+                                  n_permutations=n_permutations,
+                                  precision=precision,
+                                  perm_method=perm_method)
+
+
 def sharded_lees_l(
     graph: SpatialGraph,
     Zx: jax.Array,

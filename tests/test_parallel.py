@@ -309,3 +309,47 @@ def test_banded_sharded_int8_matches_and_collective_free(world):
                    "all-to-all", "reduce-scatter", "collective-broadcast"]
     found = [c for c in collectives if c in hlo]
     assert not found, f"collectives in gene-sharded int8 banded HLO: {found}"
+
+
+def test_sharded_banded_local_moran_int8(world):
+    """Gene-sharded fully-integer int8 LISA nulls: bitwise-equal p to the
+    single-device kernel AND zero collectives in the compiled draw loop
+    (the gather/einsum/scatter/counter ops all act columnwise on genes)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spatialcore_tpu.ops.banded import (
+        NullPlan, _banded_local_moran_p_i8, _quantize_z, banded_local_moran,
+        build_null_plan)
+    from spatialcore_tpu.parallel import sharded_banded_local_moran
+
+    graph, X = world
+    Z, _ = standardize(jnp.asarray(X))
+    plan = build_null_plan(graph, block=64)
+
+    r1 = banded_local_moran(plan, graph, Z, seed=7, n_permutations=20,
+                            precision="int8")
+    mesh = auto_mesh()
+    r8 = sharded_banded_local_moran(plan, graph, Z, seed=7,
+                                    n_permutations=20, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(r8.p_value),
+                                  np.asarray(r1.p_value))
+    np.testing.assert_array_equal(np.asarray(r8.local_I),
+                                  np.asarray(r1.local_I))
+
+    # HLO proof: lower the int8 LISA kernel with gene-sharded inputs
+    rep = NamedSharding(mesh, P())
+    plan_r = NullPlan(*(jax.device_put(f, rep) if isinstance(f, jax.Array)
+                        else f for f in plan))
+    Zq, _ = _quantize_z(Z)
+    Zs = jax.device_put(Zq, NamedSharding(mesh, P(None, "genes")))
+    with mesh:
+        lowered = _banded_local_moran_p_i8.lower(
+            plan_r.order, plan_r.rank, plan_r.local_idx, plan_r.w_local,
+            plan_r.far_src, plan_r.far_dst, plan_r.far_w, Zs,
+            jnp.uint32(7), block=plan.block, n=plan.n, n_permutations=20,
+            perm_method="feistel")
+        hlo = lowered.compile().as_text()
+    collectives = ["all-gather", "all-reduce", "collective-permute",
+                   "all-to-all", "reduce-scatter", "collective-broadcast"]
+    found = [c for c in collectives if c in hlo]
+    assert not found, f"collectives in gene-sharded int8 LISA HLO: {found}"
