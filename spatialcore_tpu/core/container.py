@@ -107,8 +107,20 @@ class AlignedDict(dict):
                 self[k] = v
 
     def __setitem__(self, key: str, value):
-        value = value if sp.issparse(value) else np.asarray(value)
+        # array-likes that already carry shape+dtype (numpy, jax, …) are
+        # stored AS-IS: np.asarray on a device-resident jax array would
+        # force a full device->host readback (this dict is the bus for
+        # [N, G]-scale statistic outputs). Everything else (lists,
+        # DataFrames) normalizes to numpy as before.
+        if not (sp.issparse(value)
+                or (hasattr(value, "shape") and hasattr(value, "dtype")
+                    and not isinstance(value, (pd.Series, pd.Index)))):
+            value = np.asarray(value)
         expected = [self._parent.shape[ax] for ax in self._axes]
+        if len(value.shape) < len(expected):
+            raise ValueError(
+                f"Value for key '{key}' has shape {value.shape}; "
+                f"expected at least {len(expected)} dims aligned to {expected}")
         for dim, exp in enumerate(expected):
             if value.shape[dim] != exp:
                 raise ValueError(

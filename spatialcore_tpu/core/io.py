@@ -145,7 +145,11 @@ def _write_any(group: h5py.Group, name: str, value: Any) -> None:
         _write_mapping(group, name, value)
     elif sp.issparse(value):
         _write_sparse(group, name, value)
-    elif isinstance(value, (np.ndarray, list, tuple, pd.Index, pd.Series)):
+    elif isinstance(value, (np.ndarray, list, tuple, pd.Index, pd.Series)) \
+            or (hasattr(value, "shape") and hasattr(value, "dtype")):
+        # the shape+dtype duck-type covers device-resident jax arrays:
+        # h5ad is a host format, so the device->host readback happens
+        # exactly here, at the IO boundary
         if isinstance(value, (pd.Index, pd.Series)):
             value = value.to_numpy()
         _write_array(group, name, np.asarray(value))

@@ -448,7 +448,9 @@ def local_morans_i(
     Writes six obsm matrices + params, matching the reference's keys
     (autocorrelation.py:929-950): ``{key}_I, {key}_z, {key}_lag, {key}_p,
     {key}_p_adj, {key}_quadrant`` and ``uns[f"{key}_params"]``. Quadrant codes
-    are int8 0=NS,1=HH,2=LL,3=HL,4=LH.
+    are int8 0=NS,1=HH,2=LL,3=HL,4=LH. When ``adata.X`` (or the requested
+    layer) is a jax array, the six outputs are stored as device-resident
+    jax arrays too — no [N, G] readback; ``np.asarray`` them on demand.
 
     ``null_method``: "banded" evaluates the permutation nulls through the
     banded kernel (ops/banded.py). In bf16/f32 it only ties the direct
@@ -496,15 +498,26 @@ def local_morans_i(
             plan = build_null_plan(
                 graph, jnp.asarray(adata.obsm[spatial_key], jnp.float32))
 
-    I_all = np.zeros((n_cells, n_genes), np.float32)
-    z_all = np.zeros_like(I_all)
-    lag_all = np.zeros_like(I_all)
-    p_all = np.ones_like(I_all)
+    # device mode: when X is a jax array (device-resident input), the six
+    # [N, G] outputs stay device-resident jax arrays in obsm too — at 1M
+    # cells the readback of ~GBs of obsm matrices costs more than the
+    # statistic itself on a tunnel-backed remote device, and downstream
+    # on-device consumers (classification, plotting subsets) don't need it
+    device_mode = False
+    batches = []    # device mode: per-batch (I, z, lag, p, zero_var)
+    I_all = z_all = lag_all = p_all = None
     zero_var_all = np.zeros(n_genes, bool)
 
     for bs in range(0, n_genes, batch_size):
         batch = gene_names[bs:bs + batch_size]
         Xb = _dense_expression(adata, batch, layer)
+        if bs == 0:
+            device_mode = isinstance(Xb, jax.Array)
+            if not device_mode:
+                I_all = np.zeros((n_cells, n_genes), np.float32)
+                z_all = np.zeros_like(I_all)
+                lag_all = np.zeros_like(I_all)
+                p_all = np.ones_like(I_all)
         Z, zero_var = standardize(jnp.asarray(Xb))
         if plan is not None:
             # exact observed statistics from the direct kernel; banded
@@ -514,30 +527,46 @@ def local_morans_i(
                                      precision=null_precision)
         else:
             res = local_moran(graph, Z, seed, n_permutations, null=null)
-        sl = slice(bs, bs + len(batch))
-        I_all[:, sl] = np.asarray(res.local_I)
-        z_all[:, sl] = np.asarray(res.z)
-        lag_all[:, sl] = np.asarray(res.lag)
-        p_all[:, sl] = np.asarray(res.p_value)
-        zero_var_all[sl] = np.asarray(zero_var)
+        if device_mode:
+            batches.append((res.local_I, res.z, res.lag, res.p_value,
+                            zero_var))
+        else:
+            sl = slice(bs, bs + len(batch))
+            I_all[:, sl] = np.asarray(res.local_I)
+            z_all[:, sl] = np.asarray(res.z)
+            lag_all[:, sl] = np.asarray(res.lag)
+            p_all[:, sl] = np.asarray(res.p_value)
+            zero_var_all[sl] = np.asarray(zero_var)
 
+    if device_mode:
+        cat = (lambda i: batches[0][i]) if len(batches) == 1 else \
+            (lambda i: jnp.concatenate([b[i] for b in batches], axis=1))
+        zv = batches[0][4] if len(batches) == 1 else \
+            jnp.concatenate([b[4] for b in batches], axis=0)
+        I_all = jnp.where(zv[None, :], 0.0, cat(0))
+        z_all = jnp.where(zv[None, :], 0.0, cat(1))
+        lag_all = jnp.where(zv[None, :], 0.0, cat(2))
+        p_all = jnp.where(zv[None, :], 1.0, cat(3))
+        zero_var_all = np.asarray(zv)   # [G] scalar-scale readback
     if zero_var_all.any():
         logger.warning(f"{int(zero_var_all.sum())} zero-variance genes set to 0/NS")
-        I_all[:, zero_var_all] = 0.0
-        z_all[:, zero_var_all] = 0.0
-        lag_all[:, zero_var_all] = 0.0
-        p_all[:, zero_var_all] = 1.0
+        if not device_mode:
+            I_all[:, zero_var_all] = 0.0
+            z_all[:, zero_var_all] = 0.0
+            lag_all[:, zero_var_all] = 0.0
+            p_all[:, zero_var_all] = 1.0
 
+    out = (lambda a: a) if device_mode else np.asarray
     if n_permutations > 0:
-        p_adj = np.asarray(apply_fdr(jnp.asarray(p_all), fdr_correction, axis=0))
-        quadrants = np.asarray(classify_quadrants(
+        p_adj = out(apply_fdr(jnp.asarray(p_all), fdr_correction, axis=0))
+        quadrants = out(classify_quadrants(
             jnp.asarray(z_all), jnp.asarray(lag_all), jnp.asarray(p_adj), alpha))
     else:
         logger.warning(
             "n_permutations=0: quadrants classified by z/lag signs only, "
             "without significance filtering.")
         p_adj = p_all
-        quadrants = np.asarray(classify_quadrants(
+        quadrants = out(classify_quadrants(
             jnp.asarray(z_all), jnp.asarray(lag_all), None, alpha))
 
     adata.obsm[f"{key_added}_I"] = I_all

@@ -673,8 +673,11 @@ def test_device_resident_x_matches_numpy(spatial_adata):
     results = {}
     for name, a in (("np", a_np), ("dev", a_dev)):
         morans_i(a, n_neighbors=6, n_permutations=19, seed=3)
-        local_morans_i(a, genes=["GENE0", "GENE1"], n_neighbors=6,
-                       n_permutations=19, seed=3, use_existing_graph=True)
+        # batch_size=2 on 3 genes exercises the multi-batch concat in
+        # device-output mode
+        local_morans_i(a, genes=["GENE0", "GENE1", "GENE2"], n_neighbors=6,
+                       n_permutations=19, seed=3, batch_size=2,
+                       use_existing_graph=True)
         results[name] = lees_l(a, gene_pairs=("GENE0", "GENE1"),
                                n_permutations=19, seed=3,
                                use_existing_graph=True)
@@ -687,3 +690,7 @@ def test_device_resident_x_matches_numpy(spatial_adata):
     assert results["np"]["L"] == results["dev"]["L"]
     assert results["np"]["p_value"] == results["dev"]["p_value"]
     assert isinstance(a_dev.X, jax.Array)  # stayed on device
+    # device-resident input => device-resident [N, G] LISA outputs (no
+    # GB-scale readback over the tunnel); numpy input => numpy outputs
+    assert isinstance(a_dev.obsm["local_morans_p_adj"], jax.Array)
+    assert isinstance(a_np.obsm["local_morans_p_adj"], np.ndarray)
