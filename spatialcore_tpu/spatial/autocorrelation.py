@@ -914,14 +914,25 @@ def local_gearys_c(
     n_cells, n_genes = adata.n_obs, len(gene_names)
     graph = _get_graph(adata, n_neighbors, spatial_key, use_existing_graph)
 
-    C_all = np.zeros((n_cells, n_genes), np.float32)
-    p_all = np.ones_like(C_all)
+    device_mode = False
+    batches = []
+    C_all = p_all = None
     for bs in range(0, n_genes, batch_size):
         batch = gene_names[bs:bs + batch_size]
         Xb = _dense_expression(adata, batch, layer)
+        if bs == 0:
+            device_mode = isinstance(Xb, jax.Array)
+            if not device_mode:
+                C_all = np.zeros((n_cells, n_genes), np.float32)
+                p_all = np.ones_like(C_all)
         Z, zero_var = standardize(jnp.asarray(Xb))
         res = _local_geary_kernel(graph, Z, seed=seed,
                                   n_permutations=n_permutations, null=null)
+        if device_mode:
+            # outputs stay device-resident (see local_morans_i)
+            batches.append((jnp.where(zero_var[None, :], 0.0, res.local_C),
+                            jnp.where(zero_var[None, :], 1.0, res.p_value)))
+            continue
         sl = slice(bs, bs + len(batch))
         C_all[:, sl] = np.asarray(res.local_C)
         p_all[:, sl] = np.asarray(res.p_value)
@@ -930,7 +941,12 @@ def local_gearys_c(
             C_all[:, sl][:, zv] = 0.0
             p_all[:, sl][:, zv] = 1.0
 
-    p_adj = np.asarray(apply_fdr(jnp.asarray(p_all), fdr_correction, axis=0)) \
+    if device_mode:
+        C_all, p_all = (batches[0] if len(batches) == 1 else
+                        tuple(jnp.concatenate([b[i] for b in batches], axis=1)
+                              for i in range(2)))
+    out = (lambda a: a) if device_mode else np.asarray
+    p_adj = out(apply_fdr(jnp.asarray(p_all), fdr_correction, axis=0)) \
         if n_permutations > 0 else p_all
     adata.obsm[f"{key_added}_C"] = C_all
     adata.obsm[f"{key_added}_p"] = p_all
@@ -1092,27 +1108,49 @@ def getis_ord_gi(
                 f"{n_genes} genes, k={n_neighbors}, P={n_permutations}")
     graph = _get_graph(adata, n_neighbors, spatial_key, use_existing_graph)
 
-    G_all = np.zeros((n_cells, n_genes), np.float32)
-    z_all = np.zeros_like(G_all)
-    p_all = np.ones_like(G_all)
-    psim_all = np.ones_like(G_all)
+    device_mode = False
+    batches = []
+    G_all = z_all = p_all = psim_all = None
     for bs in range(0, n_genes, batch_size):
         batch = gene_names[bs:bs + batch_size]
         Xb = _dense_expression(adata, batch, layer)
+        if bs == 0:
+            device_mode = isinstance(Xb, jax.Array)
+            if not device_mode:
+                G_all = np.zeros((n_cells, n_genes), np.float32)
+                z_all = np.zeros_like(G_all)
+                p_all = np.ones_like(G_all)
+                psim_all = np.ones_like(G_all)
         res = _getis_kernel(graph, jnp.asarray(Xb), star=star,
                             alternative=alternative, seed=seed,
                             n_permutations=n_permutations)
+        if device_mode:
+            # outputs stay device-resident (see local_morans_i)
+            batches.append((res.G, res.z_score, res.p_value, res.p_sim))
+            continue
         sl = slice(bs, bs + len(batch))
         G_all[:, sl] = np.asarray(res.G)
         z_all[:, sl] = np.asarray(res.z_score)
         p_all[:, sl] = np.asarray(res.p_value)
         psim_all[:, sl] = np.asarray(res.p_sim)
 
+    if device_mode:
+        G_all, z_all, p_all, psim_all = (
+            batches[0] if len(batches) == 1 else
+            tuple(jnp.concatenate([b[i] for b in batches], axis=1)
+                  for i in range(4)))
+    out = (lambda a: a) if device_mode else np.asarray
     p_used = psim_all if n_permutations > 0 else p_all
-    p_adj = np.asarray(apply_fdr(jnp.asarray(p_used), fdr_correction, axis=0))
-    hotspot = np.zeros_like(z_all, np.int8)
-    hotspot[(z_all > 0) & (p_adj < alpha)] = 1
-    hotspot[(z_all < 0) & (p_adj < alpha)] = -1
+    p_adj = out(apply_fdr(jnp.asarray(p_used), fdr_correction, axis=0))
+    if device_mode:
+        hotspot = jnp.where(
+            jnp.asarray(p_adj) < alpha,
+            jnp.sign(jnp.asarray(z_all)).astype(jnp.int8),
+            jnp.int8(0))
+    else:
+        hotspot = np.zeros_like(z_all, np.int8)
+        hotspot[(z_all > 0) & (p_adj < alpha)] = 1
+        hotspot[(z_all < 0) & (p_adj < alpha)] = -1
 
     adata.obsm[f"{key_added}_G"] = G_all
     adata.obsm[f"{key_added}_z"] = z_all

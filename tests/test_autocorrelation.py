@@ -694,3 +694,22 @@ def test_device_resident_x_matches_numpy(spatial_adata):
     # GB-scale readback over the tunnel); numpy input => numpy outputs
     assert isinstance(a_dev.obsm["local_morans_p_adj"], jax.Array)
     assert isinstance(a_np.obsm["local_morans_p_adj"], np.ndarray)
+
+    # same contract for the other [N, G]-output statistics
+    from spatialcore_tpu.spatial import getis_ord_gi, local_gearys_c
+
+    for a in (a_np, a_dev):
+        getis_ord_gi(a, genes=["GENE0", "GENE1", "GENE2"], n_neighbors=6,
+                     n_permutations=19, seed=3, batch_size=2,
+                     use_existing_graph=True)
+        local_gearys_c(a, genes=["GENE0", "GENE1", "GENE2"], n_neighbors=6,
+                       n_permutations=19, seed=3, batch_size=2,
+                       use_existing_graph=True)
+    for k in ("getis_ord_z", "getis_ord_hotspot", "local_geary_C",
+              "local_geary_p_adj"):
+        key = k if k in a_dev.obsm else None
+        assert key is not None, (k, list(a_dev.obsm))
+        np.testing.assert_array_equal(np.asarray(a_np.obsm[k]),
+                                      np.asarray(a_dev.obsm[k]))
+        assert isinstance(a_dev.obsm[k], jax.Array), k
+        assert isinstance(a_np.obsm[k], np.ndarray), k
