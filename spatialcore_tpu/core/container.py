@@ -72,6 +72,12 @@ def _copy_matrix(X):
         return None
     if sp.issparse(X):
         return X.copy()
+    if hasattr(X, "shape") and hasattr(X, "dtype") \
+            and not isinstance(X, np.ndarray):
+        # device-resident (jax) arrays are immutable — sharing the buffer
+        # IS a safe copy, and np.array(X) would force a full device->host
+        # readback (review finding: copy=True hostified device pipelines)
+        return X
     return np.array(X, copy=True)
 
 

@@ -194,6 +194,25 @@ def _dense_expression(adata, gene_names: List[str], layer: Optional[str]) -> np.
     return sub.astype(np.float32, copy=False)
 
 
+def _concat_device_batches(batches: list) -> tuple:
+    """Concatenate per-batch output tuples along the gene axis (axis 0 for
+    1-D fields), freeing each field's sources as it is consumed so peak
+    HBM stays near the final output set rather than 2x it (review
+    finding: holding every batch through all concatenations doubled the
+    [N, G] footprint at 1M cells)."""
+    cols = [list(t) for t in zip(*batches)]
+    batches.clear()
+    outs = []
+    for i, col in enumerate(cols):
+        if len(col) == 1:
+            outs.append(col[0])
+        else:
+            outs.append(jnp.concatenate(col, axis=1 if col[0].ndim > 1
+                                        else 0))
+        cols[i] = None
+    return tuple(outs)
+
+
 # ---------------------------------------------------------------------------
 # Global Moran's I / Geary's C
 # ---------------------------------------------------------------------------
@@ -280,7 +299,9 @@ def _global_autocorr(
         def place_Z(Xb):
             pad = (-Xb.shape[1]) % n_shards
             if pad:
-                Xb = np.pad(Xb, ((0, 0), (0, pad)))
+                # jnp.pad: np.pad on a device-resident Xb would silently
+                # read the whole batch back to host (review finding)
+                Xb = jnp.pad(jnp.asarray(Xb), ((0, 0), (0, pad)))
             return _jax.device_put(jnp.asarray(Xb), gs), pad
 
     rows = []
@@ -539,15 +560,19 @@ def local_morans_i(
             zero_var_all[sl] = np.asarray(zero_var)
 
     if device_mode:
-        cat = (lambda i: batches[0][i]) if len(batches) == 1 else \
-            (lambda i: jnp.concatenate([b[i] for b in batches], axis=1))
-        zv = batches[0][4] if len(batches) == 1 else \
-            jnp.concatenate([b[4] for b in batches], axis=0)
-        I_all = jnp.where(zv[None, :], 0.0, cat(0))
-        z_all = jnp.where(zv[None, :], 0.0, cat(1))
-        lag_all = jnp.where(zv[None, :], 0.0, cat(2))
-        p_all = jnp.where(zv[None, :], 1.0, cat(3))
+        I_all, z_all, lag_all, p_all, zv = _concat_device_batches(batches)
+        I_all = jnp.where(zv[None, :], 0.0, I_all)
+        z_all = jnp.where(zv[None, :], 0.0, z_all)
+        lag_all = jnp.where(zv[None, :], 0.0, lag_all)
+        p_all = jnp.where(zv[None, :], 1.0, p_all)
         zero_var_all = np.asarray(zv)   # [G] scalar-scale readback
+    elif I_all is None:
+        # zero genes requested: the loop never allocated — keep the
+        # documented [N, 0] obsm outputs (review finding)
+        I_all = np.zeros((n_cells, n_genes), np.float32)
+        z_all = np.zeros_like(I_all)
+        lag_all = np.zeros_like(I_all)
+        p_all = np.ones_like(I_all)
     if zero_var_all.any():
         logger.warning(f"{int(zero_var_all.sum())} zero-variance genes set to 0/NS")
         if not device_mode:
@@ -608,6 +633,20 @@ def local_morans_i(
 # Lee's L
 # ---------------------------------------------------------------------------
 
+def _lees_use_banded(null_method: str, n_cells: int,
+                     n_permutations: int) -> bool:
+    if n_permutations <= 0:
+        return False
+    if null_method == "auto":
+        return n_cells >= 100_000
+    if null_method == "banded":
+        return True
+    if null_method == "direct":
+        return False
+    raise ValueError("null_method must be 'auto', 'banded' or 'direct', "
+                     f"got {null_method!r}")
+
+
 def _normalize_pairs(gene_pairs) -> Tuple[List[Tuple[str, str]], bool]:
     if isinstance(gene_pairs, tuple) and len(gene_pairs) == 2 \
             and isinstance(gene_pairs[0], str):
@@ -624,12 +663,19 @@ def lees_l(
     n_permutations: int = 199,
     seed: int = 0,
     use_existing_graph: bool = False,
+    null_method: str = "auto",
 ) -> Union[dict, List[dict]]:
     """Global Lee's L for gene pair(s); returns dict(s), does not write adata.
 
     L = Σ_i z_x,i · lag(z_y)_i with two-tailed permutation p (reference
     convention, autocorrelation.py:307-332). Zero-variance pairs get
     L=0, p=1 with a warning.
+
+    ``null_method``: "auto" routes the permutation null through the banded
+    kernel at >= 100k cells (one row gather + band matmuls per draw
+    instead of k gathers — at k=50 that is 50× fewer gathered rows);
+    "banded"/"direct" force either path. Same draw stream either way;
+    observed L is always the exact direct kernel.
     """
     start = time.time()
     if spatial_key not in adata.obsm:
@@ -654,13 +700,23 @@ def lees_l(
 
     ok_pairs = [(gx, gy) for gx, gy in pairs
                 if not (zero_var[gi[gx]] or zero_var[gi[gy]])]
+    use_banded = _lees_use_banded(null_method, adata.n_obs, n_permutations)
     results_map = {}
     if ok_pairs:
         Zx = Z[:, [gi[gx] for gx, _ in ok_pairs]]
         Zy = Z[:, [gi[gy] for _, gy in ok_pairs]]
-        res = lees_l_pairs(graph, Zx, Zy, seed, n_permutations)
+        if use_banded:
+            from ..ops.banded import banded_lees_l, build_null_plan
+
+            res = lees_l_pairs(graph, Zx, Zy, seed, 0)   # exact observed
+            plan = build_null_plan(
+                graph, jnp.asarray(adata.obsm[spatial_key], jnp.float32))
+            p_g, _ = banded_lees_l(plan, Zx, Zy, seed, n_permutations)
+            pg = np.asarray(p_g)
+        else:
+            res = lees_l_pairs(graph, Zx, Zy, seed, n_permutations)
+            pg = np.asarray(res.p_global)
         Lg = np.asarray(res.L_global)
-        pg = np.asarray(res.p_global)
         for i, (gx, gy) in enumerate(ok_pairs):
             results_map[(gx, gy)] = {"gene_x": gx, "gene_y": gy,
                                      "L": float(Lg[i]), "p_value": float(pg[i])}
@@ -690,6 +746,7 @@ def lees_l_local(
     seed: int = 0,
     copy: bool = False,
     use_existing_graph: bool = False,
+    null_method: str = "auto",
 ):
     """Local Lee's L per cell for gene pair(s).
 
@@ -697,6 +754,9 @@ def lees_l_local(
     (categorical NS/HH/LL/HL/LH), optional ``obs[f"{gx}_{gy}_pvalue"]`` and
     ``uns[f"{gx}_{gy}_lees_l_params"]`` with quadrant counts — the
     reference's output contract (autocorrelation.py:1429-1453).
+
+    ``null_method``: as in :func:`lees_l` — "auto" uses the banded null
+    kernel at >= 100k cells (one gather per draw instead of k).
     """
     start = time.time()
     if copy:
@@ -734,15 +794,27 @@ def lees_l_local(
 
     ok_pairs = [(gx, gy) for gx, gy in pairs
                 if not (zero_var[gi[gx]] or zero_var[gi[gy]])]
+    use_banded = _lees_use_banded(null_method, adata.n_obs, n_permutations)
     if ok_pairs:
         Zx = Z[:, [gi[gx] for gx, _ in ok_pairs]]
         Zy = Z[:, [gi[gy] for _, gy in ok_pairs]]
-        res = lees_l_pairs(graph, Zx, Zy, seed, n_permutations,
-                           compute_cell_pvalues=compute_cell_pvalues)
+        if use_banded:
+            from ..ops.banded import banded_lees_l, build_null_plan
+
+            res = lees_l_pairs(graph, Zx, Zy, seed, 0)   # exact observed
+            plan = build_null_plan(
+                graph, jnp.asarray(adata.obsm[spatial_key], jnp.float32))
+            p_g, p_l = banded_lees_l(
+                plan, Zx, Zy, seed, n_permutations,
+                compute_cell_pvalues=compute_cell_pvalues)
+            p_global, p_local = np.asarray(p_g), np.asarray(p_l)
+        else:
+            res = lees_l_pairs(graph, Zx, Zy, seed, n_permutations,
+                               compute_cell_pvalues=compute_cell_pvalues)
+            p_global = np.asarray(res.p_global)
+            p_local = np.asarray(res.p_local)
         L_local = np.asarray(res.L_local)
         L_global = np.asarray(res.L_global)
-        p_global = np.asarray(res.p_global)
-        p_local = np.asarray(res.p_local)
         Zx_np, lag_np = np.asarray(Zx), np.asarray(res.lag_zy)
 
     cat = ["NS", "HH", "LL", "HL", "LH"]
@@ -942,9 +1014,10 @@ def local_gearys_c(
             p_all[:, sl][:, zv] = 1.0
 
     if device_mode:
-        C_all, p_all = (batches[0] if len(batches) == 1 else
-                        tuple(jnp.concatenate([b[i] for b in batches], axis=1)
-                              for i in range(2)))
+        C_all, p_all = _concat_device_batches(batches)
+    elif C_all is None:   # zero genes requested: keep [N, 0] outputs
+        C_all = np.zeros((n_cells, n_genes), np.float32)
+        p_all = np.ones_like(C_all)
     out = (lambda a: a) if device_mode else np.asarray
     p_adj = out(apply_fdr(jnp.asarray(p_all), fdr_correction, axis=0)) \
         if n_permutations > 0 else p_all
@@ -1135,10 +1208,12 @@ def getis_ord_gi(
         psim_all[:, sl] = np.asarray(res.p_sim)
 
     if device_mode:
-        G_all, z_all, p_all, psim_all = (
-            batches[0] if len(batches) == 1 else
-            tuple(jnp.concatenate([b[i] for b in batches], axis=1)
-                  for i in range(4)))
+        G_all, z_all, p_all, psim_all = _concat_device_batches(batches)
+    elif G_all is None:   # zero genes requested: keep [N, 0] outputs
+        G_all = np.zeros((n_cells, n_genes), np.float32)
+        z_all = np.zeros_like(G_all)
+        p_all = np.ones_like(G_all)
+        psim_all = np.ones_like(G_all)
     out = (lambda a: a) if device_mode else np.asarray
     p_used = psim_all if n_permutations > 0 else p_all
     p_adj = out(apply_fdr(jnp.asarray(p_used), fdr_correction, axis=0))

@@ -713,3 +713,33 @@ def test_device_resident_x_matches_numpy(spatial_adata):
                                       np.asarray(a_dev.obsm[k]))
         assert isinstance(a_dev.obsm[k], jax.Array), k
         assert isinstance(a_np.obsm[k], np.ndarray), k
+
+
+def test_empty_gene_list_writes_empty_outputs(spatial_adata):
+    """genes=[] must keep the documented [N, 0] obsm outputs instead of
+    crashing (review finding: the device-mode refactor left the output
+    arrays None when the batch loop never ran)."""
+    from spatialcore_tpu.spatial import (
+        getis_ord_gi, local_gearys_c, local_morans_i)
+
+    adata = spatial_adata.copy()
+    local_morans_i(adata, genes=[], n_neighbors=6, n_permutations=5)
+    assert adata.obsm["local_morans_I"].shape == (adata.n_obs, 0)
+    local_gearys_c(adata, genes=[], n_neighbors=6, n_permutations=5,
+                   use_existing_graph=True)
+    assert adata.obsm["local_geary_C"].shape == (adata.n_obs, 0)
+    getis_ord_gi(adata, genes=[], n_neighbors=6, n_permutations=5,
+                 use_existing_graph=True)
+    assert adata.obsm["getis_ord_z"].shape == (adata.n_obs, 0)
+
+
+def test_copy_preserves_device_resident_x():
+    """adata.copy() must not hostify a jax X (review finding: np.array in
+    _copy_matrix forced a full readback; jax arrays are immutable so
+    sharing the buffer IS a safe copy)."""
+    import jax
+
+    a = make_adata(n_obs=50, n_vars=4)
+    a.X = jnp.asarray(np.asarray(a.X, dtype=np.float32))
+    b = a.copy()
+    assert isinstance(b.X, jax.Array)

@@ -544,3 +544,65 @@ def test_draw_offset_matches_unchunked(setup):
             band_impl="xla", draw_offset=off)
         c_sum = c_sum + np.round(np.asarray(p_c) * (pc + 1) - 1)
     np.testing.assert_array_equal(c_full, c_sum)
+
+
+def test_banded_lees_l_matches_direct(setup):
+    """Banded Lee's L nulls: same draw stream as ops.lee.lees_l_pairs
+    (perm_lee key base, Y-only permutation); in f32 the only difference is
+    float summation order in the lag, so p-values agree to tie-level."""
+    from spatialcore_tpu.ops.banded import banded_lees_l
+    from spatialcore_tpu.ops.lee import lees_l_pairs
+
+    coords, graph, Z = setup
+    Zx, Zy = Z[:, [0, 2, 6]], Z[:, [1, 3, 7]]
+    P = 99
+    direct = lees_l_pairs(graph, Zx, Zy, seed=5, n_permutations=P,
+                          compute_cell_pvalues=True)
+    plan = build_null_plan(graph, coords, block=64)
+    p_g, p_l = banded_lees_l(plan, Zx, Zy, seed=5, n_permutations=P,
+                             precision="f32", compute_cell_pvalues=True)
+    np.testing.assert_allclose(np.asarray(p_g), np.asarray(direct.p_global),
+                               atol=2.0 / (P + 1))
+    pl_d = np.asarray(direct.p_local)
+    pl_b = np.asarray(p_l)
+    assert np.abs(pl_b - pl_d).mean() < 0.01
+    assert ((pl_b < 0.05) == (pl_d < 0.05)).mean() > 0.98
+
+    # bf16 (the production default at scale) reaches the same inference
+    p_g16, p_l16 = banded_lees_l(plan, Zx, Zy, seed=5, n_permutations=P,
+                                 compute_cell_pvalues=True)
+    assert ((np.asarray(p_l16) < 0.05) == (pl_d < 0.05)).mean() > 0.95
+    np.testing.assert_allclose(np.asarray(p_g16),
+                               np.asarray(direct.p_global), atol=0.05)
+
+
+def test_lees_l_public_banded_null(setup):
+    """Public lees_l/lees_l_local with null_method='banded' agree with the
+    direct path on global L, p, and local decisions."""
+    import spatialcore_tpu as sct
+
+    coords, graph, Z = setup
+    rng = np.random.default_rng(3)
+    n = coords.shape[0]
+    X = np.asarray(Z[:, :4])
+    a = sct.SpatialData(X=X)
+    a.obsm["spatial"] = coords
+    r_d = sct.spatial.lees_l(a, ("0", "1"), n_permutations=99, seed=2,
+                             null_method="direct")
+    r_b = sct.spatial.lees_l(a, ("0", "1"), n_permutations=99, seed=2,
+                             null_method="banded")
+    assert r_d["L"] == r_b["L"]                      # exact observed
+    assert abs(r_d["p_value"] - r_b["p_value"]) <= 0.05
+
+    b = sct.SpatialData(X=X)
+    b.obsm["spatial"] = coords
+    sct.spatial.lees_l_local(a, gene_pairs=("0", "1"), n_permutations=99,
+                             seed=2, compute_cell_pvalues=True,
+                             null_method="banded")
+    sct.spatial.lees_l_local(b, gene_pairs=("0", "1"), n_permutations=99,
+                             seed=2, compute_cell_pvalues=True,
+                             null_method="direct")
+    np.testing.assert_array_equal(a.obs["0_1_lees_l"], b.obs["0_1_lees_l"])
+    agree = (np.asarray(a.obs["0_1_pvalue"] < 0.05)
+             == np.asarray(b.obs["0_1_pvalue"] < 0.05)).mean()
+    assert agree > 0.95
