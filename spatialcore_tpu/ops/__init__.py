@@ -12,6 +12,8 @@ from .graph import (
 )
 from .banded import (
     NullPlan,
+    banded_lees_l,
+    banded_local_moran,
     banded_permutation_test,
     build_null_plan,
 )
@@ -42,6 +44,7 @@ __all__ = [
     "classify_quadrants", "QUADRANT_LABELS",
     "lees_l_pairs", "LeesLResult",
     "NullPlan", "build_null_plan", "banded_permutation_test",
+    "banded_lees_l", "banded_local_moran",
     "streaming_moran_null", "correlogram_kernel",
     "apply_fdr", "benjamini_hochberg", "bonferroni",
 ]
