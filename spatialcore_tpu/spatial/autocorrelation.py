@@ -474,10 +474,12 @@ def local_morans_i(
     jax arrays too — no [N, G] readback; ``np.asarray`` them on demand.
 
     ``null_method``: "banded" evaluates the permutation nulls through the
-    banded kernel (ops/banded.py). In bf16/f32 it only ties the direct
-    kernel at the default 100-gene batches (the [N, G] elementwise count
-    update dominates, not the gathers) and needs more memory, so "auto"
-    keeps the direct path; "banded" is opt-in. "banded_int8" runs the
+    banded kernel (ops/banded.py). At the default k=6 and bf16/f32 it
+    only ties the direct kernel at 100-gene batches (the [N, G]
+    elementwise count update dominates, not the gathers), so "auto"
+    keeps the direct path there — but on HIGH-DEGREE graphs (k >= 16) at
+    >= 100k cells "auto" picks the banded kernel: the direct path pays k
+    issue-bound row gathers per draw, the banded one exactly one. "banded_int8" runs the
     null system in the per-gene-quantized int8 operator (exact integer
     MXU band dots, int8 gathers, fully-integer int32 comparisons, int8
     counters for P <= 127 — draws compare against
@@ -501,7 +503,15 @@ def local_morans_i(
     graph = _get_graph(adata, n_neighbors, spatial_key, use_existing_graph)
 
     if null_method == "auto":
-        null_method = "slots"
+        # high-degree graphs at scale: the direct kernel pays k issue-bound
+        # row gathers per draw, the banded kernel exactly one (+ band
+        # matmuls) — at the reference vignette's k=50 that is the whole
+        # cost. At the default k=6 the [N, G] count update dominates both
+        # paths and the direct kernel stays (docs/performance.md).
+        k_eff = int(graph.neighbor_idx.shape[1])
+        null_method = ("banded" if (n_permutations > 0 and null == "total"
+                                    and n_cells >= 100_000 and k_eff >= 16)
+                       else "slots")
     null_precision = "bf16"
     if null_method == "banded_int8":
         null_method, null_precision = "banded", "int8"
