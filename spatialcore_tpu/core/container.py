@@ -67,16 +67,26 @@ class Raw:
                            obs=pd.DataFrame(index=self._obs_names))
 
 
+def _is_device_array(x) -> bool:
+    """True for jax arrays (module check keeps this file jax-import-free).
+
+    Only jax arrays get the share-don't-copy treatment: they are
+    immutable, so sharing the buffer IS a safe copy, and np.array(x)
+    would force a full device->host readback. Other shape+dtype
+    array-likes (pd.Categorical, torch tensors, h5py datasets) are
+    mutable and must keep copy/convert semantics (review finding:
+    a broad duck-type aliased pd.Categorical across .copy()).
+    """
+    mod = type(x).__module__ or ""
+    return mod.startswith(("jax", "jaxlib"))
+
+
 def _copy_matrix(X):
     if X is None:
         return None
     if sp.issparse(X):
         return X.copy()
-    if hasattr(X, "shape") and hasattr(X, "dtype") \
-            and not isinstance(X, np.ndarray):
-        # device-resident (jax) arrays are immutable — sharing the buffer
-        # IS a safe copy, and np.array(X) would force a full device->host
-        # readback (review finding: copy=True hostified device pipelines)
+    if _is_device_array(X):
         return X
     return np.array(X, copy=True)
 
@@ -113,14 +123,13 @@ class AlignedDict(dict):
                 self[k] = v
 
     def __setitem__(self, key: str, value):
-        # array-likes that already carry shape+dtype (numpy, jax, …) are
-        # stored AS-IS: np.asarray on a device-resident jax array would
-        # force a full device->host readback (this dict is the bus for
-        # [N, G]-scale statistic outputs). Everything else (lists,
-        # DataFrames) normalizes to numpy as before.
-        if not (sp.issparse(value)
-                or (hasattr(value, "shape") and hasattr(value, "dtype")
-                    and not isinstance(value, (pd.Series, pd.Index)))):
+        # numpy stays as-is; jax arrays are stored AS-IS too (np.asarray
+        # on a device-resident array would force a full device->host
+        # readback — this dict is the bus for [N, G]-scale statistic
+        # outputs). Everything else (lists, Series, pd.Categorical, …)
+        # normalizes to numpy as before.
+        if not (sp.issparse(value) or isinstance(value, np.ndarray)
+                or _is_device_array(value)):
             value = np.asarray(value)
         expected = [self._parent.shape[ax] for ax in self._axes]
         if len(value.shape) < len(expected):

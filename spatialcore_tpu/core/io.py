@@ -146,10 +146,13 @@ def _write_any(group: h5py.Group, name: str, value: Any) -> None:
     elif sp.issparse(value):
         _write_sparse(group, name, value)
     elif isinstance(value, (np.ndarray, list, tuple, pd.Index, pd.Series)) \
-            or (hasattr(value, "shape") and hasattr(value, "dtype")):
+            or (hasattr(value, "shape") and hasattr(value, "dtype")
+                and not isinstance(value, np.generic)):
         # the shape+dtype duck-type covers device-resident jax arrays:
         # h5ad is a host format, so the device->host readback happens
-        # exactly here, at the IO boundary
+        # exactly here, at the IO boundary. np.generic scalars are
+        # excluded — they must keep the 'numeric-scalar'/'string'
+        # encodings anndata readers expect (review finding)
         if isinstance(value, (pd.Index, pd.Series)):
             value = value.to_numpy()
         _write_array(group, name, np.asarray(value))

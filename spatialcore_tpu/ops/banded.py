@@ -1389,6 +1389,10 @@ def banded_lees_l(
     banded plan — see :func:`_banded_lees_p`. Observed L values should
     come from the exact direct kernel (``ops.lee.lees_l_pairs`` with
     ``n_permutations=0``); this only evaluates the null."""
+    if precision not in ("bf16", "f32"):
+        raise ValueError(
+            f"banded_lees_l supports precision 'bf16' or 'f32', got "
+            f"{precision!r} (int8 is a local-Moran-only mode)")
     return _banded_lees_p(
         plan.order, plan.rank, plan.local_idx, plan.w_local, plan.far_src,
         plan.far_dst, plan.far_w, Zx, Zy, jnp.uint32(seed),

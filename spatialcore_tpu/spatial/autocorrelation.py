@@ -502,17 +502,21 @@ def local_morans_i(
 
     graph = _get_graph(adata, n_neighbors, spatial_key, use_existing_graph)
 
+    null_precision = "bf16"
     if null_method == "auto":
         # high-degree graphs at scale: the direct kernel pays k issue-bound
         # row gathers per draw, the banded kernel exactly one (+ band
         # matmuls) — at the reference vignette's k=50 that is the whole
         # cost. At the default k=6 the [N, G] count update dominates both
-        # paths and the direct kernel stays (docs/performance.md).
+        # paths and the direct kernel stays (docs/performance.md). The
+        # auto-selected path runs f32 so default results differ from the
+        # direct kernel only in summation order, never quantization.
         k_eff = int(graph.neighbor_idx.shape[1])
-        null_method = ("banded" if (n_permutations > 0 and null == "total"
-                                    and n_cells >= 100_000 and k_eff >= 16)
-                       else "slots")
-    null_precision = "bf16"
+        if (n_permutations > 0 and null == "total"
+                and n_cells >= 100_000 and k_eff >= 16):
+            null_method, null_precision = "banded", "f32"
+        else:
+            null_method = "slots"
     if null_method == "banded_int8":
         null_method, null_precision = "banded", "int8"
     if null not in ("total", "conditional"):
@@ -524,10 +528,9 @@ def local_morans_i(
                            "banded path; using the direct kernel")
             null_method, null_precision = "slots", "bf16"
         else:
-            from ..ops.banded import banded_local_moran, build_null_plan
+            from ..ops.banded import banded_local_moran
 
-            plan = build_null_plan(
-                graph, jnp.asarray(adata.obsm[spatial_key], jnp.float32))
+            plan = _get_null_plan(adata, graph, spatial_key)
 
     # device mode: when X is a jax array (device-resident input), the six
     # [N, G] outputs stay device-resident jax arrays in obsm too — at 1M
@@ -622,6 +625,7 @@ def local_morans_i(
         "null": null,
         "null_method": ("banded_int8" if null_precision == "int8"
                         else null_method),
+        "null_precision": null_precision if null_method == "banded" else "f32",
         "quadrant_labels": dict(QUADRANT_LABELS),
         "computation_time_seconds": elapsed,
     }
@@ -644,17 +648,47 @@ def local_morans_i(
 # ---------------------------------------------------------------------------
 
 def _lees_use_banded(null_method: str, n_cells: int,
-                     n_permutations: int) -> bool:
-    if n_permutations <= 0:
-        return False
-    if null_method == "auto":
-        return n_cells >= 100_000
+                     n_permutations: int) -> Tuple[bool, str]:
+    """(use_banded, precision). Validates null_method FIRST so typos fail
+    loudly even at n_permutations=0 (review finding). The auto-selected
+    path runs the band matmuls in f32 — default results differ from the
+    direct kernel only in float summation order, never quantization; the
+    explicit 'banded' opt-in uses bf16 (faster, quantized operator)."""
+    if null_method not in ("auto", "banded", "direct"):
+        raise ValueError("null_method must be 'auto', 'banded' or 'direct', "
+                         f"got {null_method!r}")
+    if n_permutations <= 0 or null_method == "direct":
+        return False, "f32"
     if null_method == "banded":
-        return True
-    if null_method == "direct":
-        return False
-    raise ValueError("null_method must be 'auto', 'banded' or 'direct', "
-                     f"got {null_method!r}")
+        return True, "bf16"
+    return n_cells >= 100_000, "f32"
+
+
+def _get_null_plan(adata, graph, spatial_key: str):
+    """Build (or reuse) the banded NullPlan for this adata's graph.
+
+    Cached on the object (not uns — a NullPlan must not leak into h5ad
+    output), keyed by the graph arrays' identity. lees_l →
+    lees_l_local → local_morans_i on the same stored graph reuse one
+    Hilbert relabel + band/far split instead of three (review finding).
+    """
+    from ..ops.banded import build_null_plan
+
+    # key on the PERSISTENT uns graph entry (the SpatialGraph object is
+    # rebuilt from it on every call, so its arrays' ids don't repeat);
+    # build_spatial_weights assigns a fresh dict whenever it rebuilds
+    key = (id(adata.uns.get(GRAPH_UNS_KEY)), graph.neighbor_idx.shape,
+           spatial_key)
+    cache = getattr(adata, "_null_plan_cache", None)
+    if cache is not None and cache.get("key") == key:
+        return cache["plan"]
+    plan = build_null_plan(
+        graph, jnp.asarray(adata.obsm[spatial_key], jnp.float32))
+    try:
+        adata._null_plan_cache = {"key": key, "plan": plan}
+    except (AttributeError, TypeError):   # slotted containers: skip cache
+        pass
+    return plan
 
 
 def _normalize_pairs(gene_pairs) -> Tuple[List[Tuple[str, str]], bool]:
@@ -710,18 +744,19 @@ def lees_l(
 
     ok_pairs = [(gx, gy) for gx, gy in pairs
                 if not (zero_var[gi[gx]] or zero_var[gi[gy]])]
-    use_banded = _lees_use_banded(null_method, adata.n_obs, n_permutations)
+    use_banded, band_prec = _lees_use_banded(null_method, adata.n_obs,
+                                             n_permutations)
     results_map = {}
     if ok_pairs:
         Zx = Z[:, [gi[gx] for gx, _ in ok_pairs]]
         Zy = Z[:, [gi[gy] for _, gy in ok_pairs]]
         if use_banded:
-            from ..ops.banded import banded_lees_l, build_null_plan
+            from ..ops.banded import banded_lees_l
 
             res = lees_l_pairs(graph, Zx, Zy, seed, 0)   # exact observed
-            plan = build_null_plan(
-                graph, jnp.asarray(adata.obsm[spatial_key], jnp.float32))
-            p_g, _ = banded_lees_l(plan, Zx, Zy, seed, n_permutations)
+            plan = _get_null_plan(adata, graph, spatial_key)
+            p_g, _ = banded_lees_l(plan, Zx, Zy, seed, n_permutations,
+                                   precision=band_prec)
             pg = np.asarray(p_g)
         else:
             res = lees_l_pairs(graph, Zx, Zy, seed, n_permutations)
@@ -804,18 +839,18 @@ def lees_l_local(
 
     ok_pairs = [(gx, gy) for gx, gy in pairs
                 if not (zero_var[gi[gx]] or zero_var[gi[gy]])]
-    use_banded = _lees_use_banded(null_method, adata.n_obs, n_permutations)
+    use_banded, band_prec = _lees_use_banded(null_method, adata.n_obs,
+                                             n_permutations)
     if ok_pairs:
         Zx = Z[:, [gi[gx] for gx, _ in ok_pairs]]
         Zy = Z[:, [gi[gy] for _, gy in ok_pairs]]
         if use_banded:
-            from ..ops.banded import banded_lees_l, build_null_plan
+            from ..ops.banded import banded_lees_l
 
             res = lees_l_pairs(graph, Zx, Zy, seed, 0)   # exact observed
-            plan = build_null_plan(
-                graph, jnp.asarray(adata.obsm[spatial_key], jnp.float32))
+            plan = _get_null_plan(adata, graph, spatial_key)
             p_g, p_l = banded_lees_l(
-                plan, Zx, Zy, seed, n_permutations,
+                plan, Zx, Zy, seed, n_permutations, precision=band_prec,
                 compute_cell_pvalues=compute_cell_pvalues)
             p_global, p_local = np.asarray(p_g), np.asarray(p_l)
         else:

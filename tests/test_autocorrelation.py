@@ -743,3 +743,25 @@ def test_copy_preserves_device_resident_x():
     a.X = jnp.asarray(np.asarray(a.X, dtype=np.float32))
     b = a.copy()
     assert isinstance(b.X, jax.Array)
+
+
+def test_lees_l_invalid_null_method_raises_even_at_p0(spatial_adata):
+    """null_method typos must fail loudly regardless of n_permutations
+    (review finding: the P<=0 early-out skipped validation)."""
+    from spatialcore_tpu.spatial import lees_l
+
+    adata = spatial_adata.copy()
+    with pytest.raises(ValueError, match="null_method"):
+        lees_l(adata, ("GENE0", "GENE1"), n_permutations=0,
+               null_method="bandedd")
+
+
+def test_copy_does_not_alias_mutable_obsm():
+    """pd.Categorical (mutable, shape+dtype) must still convert to numpy
+    on obsm set so .copy() cannot alias it (review finding)."""
+    a = make_adata(n_obs=4, n_vars=2)
+    a.obsm["anno"] = pd.Categorical(["a", "b", "a", "b"])
+    assert isinstance(a.obsm["anno"], np.ndarray)
+    b = a.copy()
+    b.obsm["anno"][0] = "b"
+    assert a.obsm["anno"][0] == "a"

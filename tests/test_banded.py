@@ -606,3 +606,10 @@ def test_lees_l_public_banded_null(setup):
     agree = (np.asarray(a.obs["0_1_pvalue"] < 0.05)
              == np.asarray(b.obs["0_1_pvalue"] < 0.05)).mean()
     assert agree > 0.95
+
+
+def test_banded_lees_l_rejects_int8():
+    from spatialcore_tpu.ops.banded import banded_lees_l
+
+    with pytest.raises(ValueError, match="int8 is a local-Moran-only"):
+        banded_lees_l(None, None, None, 0, 10, precision="int8")
