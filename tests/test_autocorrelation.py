@@ -765,3 +765,27 @@ def test_copy_does_not_alias_mutable_obsm():
     b = a.copy()
     b.obsm["anno"][0] = "b"
     assert a.obsm["anno"][0] == "a"
+
+
+def test_null_plan_cached_across_stat_calls(spatial_adata):
+    """lees_l -> lees_l_local -> local_morans_i on the same stored graph
+    build the banded NullPlan once (review finding: three identical
+    Hilbert relabels per pipeline)."""
+    from unittest import mock
+
+    from spatialcore_tpu.ops import banded
+    from spatialcore_tpu.spatial import (build_spatial_weights, lees_l,
+                                         lees_l_local, local_morans_i)
+
+    adata = spatial_adata.copy()
+    build_spatial_weights(adata, n_neighbors=6)
+    with mock.patch.object(banded, "build_null_plan",
+                           wraps=banded.build_null_plan) as spy:
+        lees_l(adata, ("GENE0", "GENE1"), n_permutations=19, seed=0,
+               use_existing_graph=True, null_method="banded")
+        lees_l_local(adata, gene_pairs=("GENE0", "GENE1"),
+                     n_permutations=19, seed=0, use_existing_graph=True,
+                     null_method="banded", compute_cell_pvalues=True)
+        local_morans_i(adata, genes=["GENE0"], n_permutations=19, seed=0,
+                       use_existing_graph=True, null_method="banded")
+        assert spy.call_count == 1, spy.call_count
