@@ -13,6 +13,7 @@ from .graph import (
 from .banded import (
     NullPlan,
     banded_lees_l,
+    banded_local_geary,
     banded_local_moran,
     banded_permutation_test,
     build_null_plan,
@@ -44,7 +45,7 @@ __all__ = [
     "classify_quadrants", "QUADRANT_LABELS",
     "lees_l_pairs", "LeesLResult",
     "NullPlan", "build_null_plan", "banded_permutation_test",
-    "banded_lees_l", "banded_local_moran",
+    "banded_lees_l", "banded_local_moran", "banded_local_geary",
     "streaming_moran_null", "correlogram_kernel",
     "apply_fdr", "benjamini_hochberg", "bonferroni",
 ]

@@ -1376,6 +1376,81 @@ def _banded_lees_p(order, rank, local_idx, w_local, far_src, far_dst,
     return p_g, p_l
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "block", "n", "n_permutations", "precision"))
+def _banded_local_geary_p(order, rank, local_idx, w_local, far_src, far_dst,
+                          far_w, Z, seed, *, block: int, n: int,
+                          n_permutations: int, precision: str):
+    """Local Geary total-null permutation p via the banded plan.
+
+    Per draw ONE row gather + two band matmul families, using the
+    expansion c_i = z_i²·Σ_j w_ij + Σ_j w_ij z_j² − 2 z_i Σ_j w_ij z_j
+    (algebraically equal to the direct kernel's Σ w (z_i − z_j)²; in f32
+    it differs only by float rearrangement). Same ``perm_local_geary``
+    draw stream as ``ops.moran.local_geary(null="total")``; the observed
+    comparison value comes from the SAME banded operator at the identity
+    placement. One-sided low tail: p = (#{c_perm ≤ c_obs}+1)/(P+1),
+    returned in original cell order.
+    """
+    B = block
+    n_padded = local_idx.shape[0]
+    nb = n_padded // B
+    G = Z.shape[1]
+    wdt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    A = _build_band(local_idx, w_local, B, wdt)
+    Ztab = Z.astype(wdt)
+    gidx0 = jnp.clip(jnp.arange((nb + 2) * B, dtype=jnp.int32) - B, 0, n - 1)
+    # per-row TOTAL weight (band + far; row-normalized kNN rows are 1,
+    # isolated radius rows 0)
+    row_w = jnp.sum(w_local.astype(jnp.float32), axis=1)
+    row_w = row_w.at[far_src - B].add(far_w.astype(jnp.float32),
+                                      mode="drop")[:, None]
+
+    def geary(perm):
+        Zp = Ztab[perm[gidx0]].reshape(nb + 2, B, G)
+        lag1 = _banded_lag(A, Zp, far_src, far_dst, far_w, block=B)
+        Zp2 = (Zp.astype(jnp.float32)
+               * Zp.astype(jnp.float32)).astype(wdt)
+        lag2 = _banded_lag(A, Zp2, far_src, far_dst, far_w, block=B)
+        me = Zp.reshape(-1, G)[B:B + n_padded].astype(jnp.float32)
+        return me * me * row_w + lag2 - 2.0 * me * lag1
+
+    c_obs = geary(order)
+    base = key_for(seed, "perm_local_geary", 0)
+    cdt = jnp.int16 if n_permutations <= 32767 else jnp.int32
+
+    def body(count, step):
+        key = jax.random.fold_in(base, step)
+        perm = jax.random.permutation(key, n)[order]
+        return count + (geary(perm) <= c_obs).astype(cdt), None
+
+    count, _ = jax.lax.scan(body, jnp.zeros((n_padded, G), cdt),
+                            jnp.arange(n_permutations))
+    p = (count.astype(jnp.float32) + 1.0) / (n_permutations + 1.0)
+    return c_obs[rank], p[rank]
+
+
+def banded_local_geary(
+    plan: NullPlan,
+    Z: jax.Array,
+    seed: int,
+    n_permutations: int,
+    precision: str = "f32",
+):
+    """Local Geary total-null p-values via the banded plan — see
+    :func:`_banded_local_geary_p`. Returns ``(c_obs_operator, p)`` in
+    original cell order; callers should take the OBSERVED C from the
+    exact direct kernel and use only ``p`` from here."""
+    if precision not in ("bf16", "f32"):
+        raise ValueError(
+            f"banded_local_geary supports precision 'bf16' or 'f32', got "
+            f"{precision!r}")
+    return _banded_local_geary_p(
+        plan.order, plan.rank, plan.local_idx, plan.w_local, plan.far_src,
+        plan.far_dst, plan.far_w, Z, jnp.uint32(seed), block=plan.block,
+        n=plan.n, n_permutations=n_permutations, precision=precision)
+
+
 def banded_lees_l(
     plan: NullPlan,
     Zx: jax.Array,

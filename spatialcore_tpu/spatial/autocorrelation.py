@@ -1009,6 +1009,7 @@ def local_gearys_c(
     use_existing_graph: bool = False,
     null: str = "conditional",
     copy: bool = False,
+    null_method: str = "auto",
 ):
     """Local Geary's C per cell × gene (Anselin's multivariate-ready LISA).
 
@@ -1018,8 +1019,18 @@ def local_gearys_c(
     the randomization: "conditional" (GeoDa convention: each cell's own
     value held fixed, neighbor values drawn from the other cells) or
     "total" (whole-column shuffle). (Extension — ROADMAP item 6.)
+
+    ``null_method``: with ``null="total"``, "auto" routes the permutation
+    draws through the banded kernel (f32, one row gather + band matmuls
+    per draw instead of k gathers) at >= 100k cells on k >= 16 graphs;
+    "banded"/"direct" force either path. The conditional null always
+    runs the direct kernel.
     """
     from ..ops.moran import local_geary as _local_geary_kernel
+
+    if null_method not in ("auto", "banded", "direct"):
+        raise ValueError("null_method must be 'auto', 'banded' or "
+                         f"'direct', got {null_method!r}")
 
     start = time.time()
     if copy:
@@ -1030,6 +1041,17 @@ def local_gearys_c(
     gene_names = _resolve_genes(adata, genes)
     n_cells, n_genes = adata.n_obs, len(gene_names)
     graph = _get_graph(adata, n_neighbors, spatial_key, use_existing_graph)
+
+    k_eff = int(graph.neighbor_idx.shape[1])
+    use_banded = (null == "total" and n_permutations > 0
+                  and null_method != "direct"
+                  and (null_method == "banded"
+                       or (n_cells >= 100_000 and k_eff >= 16)))
+    if null_method == "banded" and null != "total":
+        logger.warning("null='conditional' is not supported by the banded "
+                       "path; using the direct kernel")
+        use_banded = False
+    plan = _get_null_plan(adata, graph, spatial_key) if use_banded else None
 
     device_mode = False
     batches = []
@@ -1043,8 +1065,18 @@ def local_gearys_c(
                 C_all = np.zeros((n_cells, n_genes), np.float32)
                 p_all = np.ones_like(C_all)
         Z, zero_var = standardize(jnp.asarray(Xb))
-        res = _local_geary_kernel(graph, Z, seed=seed,
-                                  n_permutations=n_permutations, null=null)
+        if plan is not None:
+            from ..ops.banded import banded_local_geary
+            from ..ops.moran import LocalGearyResult
+
+            obs = _local_geary_kernel(graph, Z, seed=seed,
+                                      n_permutations=0, null=null)
+            _, p_band = banded_local_geary(plan, Z, seed, n_permutations)
+            res = LocalGearyResult(obs.local_C, p_band)
+        else:
+            res = _local_geary_kernel(graph, Z, seed=seed,
+                                      n_permutations=n_permutations,
+                                      null=null)
         if device_mode:
             # outputs stay device-resident (see local_morans_i)
             batches.append((jnp.where(zero_var[None, :], 0.0, res.local_C),

@@ -613,3 +613,41 @@ def test_banded_lees_l_rejects_int8():
 
     with pytest.raises(ValueError, match="int8 is a local-Moran-only"):
         banded_lees_l(None, None, None, 0, 10, precision="int8")
+
+
+def test_banded_local_geary_matches_direct(setup):
+    """Banded local-Geary total nulls: same perm_local_geary draw stream;
+    the expansion form differs from the direct kernel only by float
+    rearrangement in f32, so p-values agree to tie-level."""
+    from spatialcore_tpu.ops.banded import banded_local_geary
+    from spatialcore_tpu.ops.moran import local_geary
+
+    coords, graph, Z = setup
+    P = 99
+    direct = local_geary(graph, Z, seed=11, n_permutations=P, null="total")
+    plan = build_null_plan(graph, coords, block=64)
+    _, p_b = banded_local_geary(plan, Z, seed=11, n_permutations=P)
+    p_d = np.asarray(direct.p_value)
+    p_b = np.asarray(p_b)
+    assert np.abs(p_b - p_d).mean() < 0.01
+    assert ((p_b < 0.05) == (p_d < 0.05)).mean() > 0.98
+
+
+def test_local_gearys_c_public_banded(setup):
+    """Public local_gearys_c null_method='banded' (total null): exact
+    observed C, decision-level p agreement with the direct path."""
+    import spatialcore_tpu as sct
+
+    coords, graph, Z = setup
+    X = np.asarray(Z[:, :4])
+    a = sct.SpatialData(X=X); a.obsm["spatial"] = coords
+    b = sct.SpatialData(X=X); b.obsm["spatial"] = coords
+    sct.spatial.local_gearys_c(a, n_permutations=99, seed=4, null="total",
+                               null_method="banded")
+    sct.spatial.local_gearys_c(b, n_permutations=99, seed=4, null="total",
+                               null_method="direct")
+    np.testing.assert_array_equal(np.asarray(a.obsm["local_geary_C"]),
+                                  np.asarray(b.obsm["local_geary_C"]))
+    agree = ((np.asarray(a.obsm["local_geary_p"]) < 0.05)
+             == (np.asarray(b.obsm["local_geary_p"]) < 0.05)).mean()
+    assert agree > 0.97
