@@ -12,6 +12,7 @@ from .graph import (
 )
 from .banded import (
     NullPlan,
+    banded_getis,
     banded_lees_l,
     banded_local_geary,
     banded_local_moran,
@@ -46,6 +47,7 @@ __all__ = [
     "lees_l_pairs", "LeesLResult",
     "NullPlan", "build_null_plan", "banded_permutation_test",
     "banded_lees_l", "banded_local_moran", "banded_local_geary",
+    "banded_getis",
     "streaming_moran_null", "correlogram_kernel",
     "apply_fdr", "benjamini_hochberg", "bonferroni",
 ]

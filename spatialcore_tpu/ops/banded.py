@@ -1451,6 +1451,108 @@ def banded_local_geary(
         n=plan.n, n_permutations=n_permutations, precision=precision)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "block", "n", "n_permutations", "star", "alternative", "precision"))
+def _banded_getis_p(order, rank, local_idx, w_local, far_src, far_dst,
+                    far_w, X, seed, *, block: int, n: int,
+                    n_permutations: int, star: bool, alternative: str,
+                    precision: str):
+    """Getis-Ord Gi/Gi* permutation p via the banded plan.
+
+    Under the column-shuffle null every per-gene column statistic (mean,
+    variance, totals) is permutation-invariant, and the per-cell scale
+    s·denom_i > 0 is shared by draw and observed z — so the extremeness
+    test |z_p| ≥ |z_obs| reduces to |lag*_p − x̄·W_i| ≥ |lag*_obs − x̄·W_i|
+    (one-sided analogues drop the abs). Only the BINARY-weight lag varies
+    per draw: one row gather + band matmuls on the plan's geometry with
+    binarized weights (``ops.getis.getis_ord`` uses binary adjacency, not
+    the row-normalized weights the plan stores). Gi (non-star) replaces
+    x̄, s with their leave-one-out forms — still elementwise functions of
+    the gathered own-value. Same ``perm_getis`` draw stream as the direct
+    kernel. Returns p_sim in original cell order.
+    """
+    B = block
+    n_padded = local_idx.shape[0]
+    nb = n_padded // B
+    G = X.shape[1]
+    wdt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    # binarize: the plan carries row-normalized weights; Getis adjacency
+    # is 0/1 (ops/getis.py _binary_lag)
+    wb = (w_local > 0).astype(jnp.float32)
+    fb = (far_w > 0).astype(jnp.float32)
+    A = _build_band(local_idx, wb, B, wdt)
+    Xf = X.astype(jnp.float32)
+    Xtab = Xf.astype(wdt)
+    gidx0 = jnp.clip(jnp.arange((nb + 2) * B, dtype=jnp.int32) - B, 0, n - 1)
+    W_row = (jnp.sum(wb, axis=1).at[far_src - B].add(fb, mode="drop"))[:, None]
+    tot = jnp.sum(Xf, axis=0, keepdims=True)                  # [1, G]
+    sq = jnp.sum(Xf * Xf, axis=0, keepdims=True)              # [1, G]
+    m = jnp.float32(n if star else n - 1)
+
+    def center(perm):
+        Xp = Xtab[perm[gidx0]].reshape(nb + 2, B, G)
+        lag = _banded_lag(A, Xp, far_src, far_dst, fb, block=B)
+        me = Xp.reshape(-1, G)[B:B + n_padded].astype(jnp.float32)
+        if star:
+            # global x̄, s and denom_i are draw-invariant and positive —
+            # they cancel between draw and observed, so the centered lag
+            # alone decides extremeness
+            return (lag + me) - (tot / m) * (W_row + 1.0)
+        # Gi: the leave-one-out x̄_(i), s_(i) DEPEND on the shuffled own
+        # value, so the scale does not cancel — divide like the direct
+        # kernel (ops/getis.py stat()); only denom_i cancels
+        xbar_i = (tot - me) / m
+        s2 = jnp.maximum((sq - me * me) / m - xbar_i * xbar_i, 0.0)
+        s = jnp.sqrt(jnp.where(s2 > 0, s2, 1.0))
+        return (lag - xbar_i * W_row) / s
+
+    obs_c = center(order)
+    base = key_for(seed, "perm_getis", 0)
+    cdt = jnp.int16 if n_permutations <= 32767 else jnp.int32
+
+    def body(count, step):
+        key = jax.random.fold_in(base, step)
+        perm = jax.random.permutation(key, n)[order]
+        cp = center(perm)
+        if alternative == "greater":
+            extreme = cp >= obs_c
+        elif alternative == "less":
+            extreme = cp <= obs_c
+        else:
+            extreme = jnp.abs(cp) >= jnp.abs(obs_c)
+        return count + extreme.astype(cdt), None
+
+    count, _ = jax.lax.scan(body, jnp.zeros((n_padded, G), cdt),
+                            jnp.arange(n_permutations))
+    p = (count.astype(jnp.float32) + 1.0) / (n_permutations + 1.0)
+    return p[rank]
+
+
+def banded_getis(
+    plan: NullPlan,
+    X: jax.Array,
+    seed: int,
+    n_permutations: int,
+    star: bool = True,
+    alternative: str = "two-sided",
+    precision: str = "f32",
+):
+    """Getis-Ord permutation p_sim via the banded plan — see
+    :func:`_banded_getis_p`. Observed G/z/analytic p should come from the
+    exact direct kernel (``ops.getis.getis_ord`` with P=0)."""
+    if precision not in ("bf16", "f32"):
+        raise ValueError(
+            f"banded_getis supports precision 'bf16' or 'f32', got "
+            f"{precision!r}")
+    if alternative not in ("two-sided", "greater", "less"):
+        raise ValueError(f"invalid alternative {alternative!r}")
+    return _banded_getis_p(
+        plan.order, plan.rank, plan.local_idx, plan.w_local, plan.far_src,
+        plan.far_dst, plan.far_w, X, jnp.uint32(seed), block=plan.block,
+        n=plan.n, n_permutations=n_permutations, star=star,
+        alternative=alternative, precision=precision)
+
+
 def banded_lees_l(
     plan: NullPlan,
     Zx: jax.Array,

@@ -1228,8 +1228,14 @@ def getis_ord_gi(
     key_added: str = "getis_ord",
     copy: bool = False,
     use_existing_graph: bool = False,
+    null_method: str = "auto",
 ):
     """Getis-Ord Gi*/Gi hot-spot z-scores per cell × gene.
+
+    ``null_method``: "auto" routes ``n_permutations>0`` draws through the
+    banded kernel (f32; one row gather + band matmuls per draw instead of
+    k gathers) at >= 100k cells on k >= 16 graphs; "banded"/"direct"
+    force either path. Analytic z/p always come from the exact kernel.
 
     The classic local hot-spot statistic (Ord & Getis 1995; esda
     ``G_Local`` analog — an extension: neither the reference nor squidpy
@@ -1258,6 +1264,15 @@ def getis_ord_gi(
                 f"{n_genes} genes, k={n_neighbors}, P={n_permutations}")
     graph = _get_graph(adata, n_neighbors, spatial_key, use_existing_graph)
 
+    if null_method not in ("auto", "banded", "direct"):
+        raise ValueError("null_method must be 'auto', 'banded' or "
+                         f"'direct', got {null_method!r}")
+    k_eff = int(graph.neighbor_idx.shape[1])
+    use_banded = (n_permutations > 0 and null_method != "direct"
+                  and (null_method == "banded"
+                       or (n_cells >= 100_000 and k_eff >= 16)))
+    plan = _get_null_plan(adata, graph, spatial_key) if use_banded else None
+
     device_mode = False
     batches = []
     G_all = z_all = p_all = psim_all = None
@@ -1271,9 +1286,21 @@ def getis_ord_gi(
                 z_all = np.zeros_like(G_all)
                 p_all = np.ones_like(G_all)
                 psim_all = np.ones_like(G_all)
-        res = _getis_kernel(graph, jnp.asarray(Xb), star=star,
-                            alternative=alternative, seed=seed,
-                            n_permutations=n_permutations)
+        if plan is not None:
+            from ..ops.banded import banded_getis
+            from ..ops.getis import GetisOrdResult
+
+            obs = _getis_kernel(graph, jnp.asarray(Xb), star=star,
+                                alternative=alternative, seed=seed,
+                                n_permutations=0)
+            p_band = banded_getis(plan, jnp.asarray(Xb), seed,
+                                  n_permutations, star=star,
+                                  alternative=alternative)
+            res = GetisOrdResult(obs.G, obs.z_score, obs.p_value, p_band)
+        else:
+            res = _getis_kernel(graph, jnp.asarray(Xb), star=star,
+                                alternative=alternative, seed=seed,
+                                n_permutations=n_permutations)
         if device_mode:
             # outputs stay device-resident (see local_morans_i)
             batches.append((res.G, res.z_score, res.p_value, res.p_sim))

@@ -651,3 +651,42 @@ def test_local_gearys_c_public_banded(setup):
     agree = ((np.asarray(a.obsm["local_geary_p"]) < 0.05)
              == (np.asarray(b.obsm["local_geary_p"]) < 0.05)).mean()
     assert agree > 0.97
+
+
+def test_banded_getis_matches_direct(setup):
+    """Banded Getis-Ord p_sim: same perm_getis draw stream; the centered
+    comparison is algebraically the direct z comparison (scales cancel
+    for Gi*, divided out for Gi), so decisions agree to tie level."""
+    from spatialcore_tpu.ops.banded import banded_getis
+    from spatialcore_tpu.ops.getis import getis_ord
+
+    coords, graph, Z = setup
+    X = jnp.abs(Z[:, :5]) + 0.1          # raw positive values
+    P = 99
+    for star, alt in ((True, "two-sided"), (False, "greater")):
+        direct = getis_ord(graph, X, star=star, alternative=alt, seed=6,
+                           n_permutations=P)
+        plan = build_null_plan(graph, coords, block=64)
+        p_b = np.asarray(banded_getis(plan, X, 6, P, star=star,
+                                      alternative=alt))
+        p_d = np.asarray(direct.p_sim)
+        assert np.abs(p_b - p_d).mean() < 0.01, (star, alt)
+        assert ((p_b < 0.05) == (p_d < 0.05)).mean() > 0.98, (star, alt)
+
+
+def test_getis_public_banded(setup):
+    import spatialcore_tpu as sct
+
+    coords, graph, Z = setup
+    X = np.abs(np.asarray(Z[:, :3])) + 0.1
+    a = sct.SpatialData(X=X); a.obsm["spatial"] = coords
+    b = sct.SpatialData(X=X); b.obsm["spatial"] = coords
+    sct.spatial.getis_ord_gi(a, n_permutations=99, seed=1,
+                             null_method="banded")
+    sct.spatial.getis_ord_gi(b, n_permutations=99, seed=1,
+                             null_method="direct")
+    np.testing.assert_array_equal(np.asarray(a.obsm["getis_ord_z"]),
+                                  np.asarray(b.obsm["getis_ord_z"]))
+    agree = ((np.asarray(a.obsm["getis_ord_p_sim"]) < 0.05)
+             == (np.asarray(b.obsm["getis_ord_p_sim"]) < 0.05)).mean()
+    assert agree > 0.97
