@@ -12,6 +12,9 @@ over ICI for the neighbor gathers.
 from .mesh import auto_mesh, cell_sharding, gene_sharding, replicated
 from .graph import sharded_build_graph, sharded_knn
 from .stats import (
+    sharded_banded_getis,
+    sharded_banded_lees_l,
+    sharded_banded_local_geary,
     sharded_banded_local_moran,
     sharded_banded_permutation_test,
     sharded_getis_ord,
@@ -27,5 +30,7 @@ __all__ = [
     "sharded_moran", "sharded_local_moran", "sharded_permutation_test",
     "sharded_lees_l", "sharded_getis_ord", "sharded_local_moran_2d",
     "sharded_banded_permutation_test", "sharded_banded_local_moran",
+    "sharded_banded_local_geary", "sharded_banded_getis",
+    "sharded_banded_lees_l",
     "sharded_knn", "sharded_build_graph",
 ]

@@ -155,6 +155,79 @@ def sharded_banded_local_moran(
                                   perm_method=perm_method)
 
 
+def sharded_banded_local_geary(
+    plan,
+    graph: SpatialGraph,
+    Z: jax.Array,
+    seed: int,
+    n_permutations: int,
+    mesh: Mesh,
+    precision: str = "f32",
+):
+    """Banded local-Geary total nulls, gene-sharded (same layout as
+    :func:`sharded_banded_local_moran`: plan/graph replicated, Z and the
+    [N, G] outputs on the gene axis, zero collectives per draw)."""
+    from ..ops.banded import NullPlan, banded_local_geary
+
+    rep = replicated(mesh)
+    plan = NullPlan(*(jax.device_put(f, rep) if isinstance(f, jax.Array)
+                      else f for f in plan))
+    _, Z = _place(graph, Z, mesh)
+    with mesh:
+        return banded_local_geary(plan, Z, seed, n_permutations,
+                                  precision=precision)
+
+
+def sharded_banded_getis(
+    plan,
+    graph: SpatialGraph,
+    X: jax.Array,
+    seed: int,
+    n_permutations: int,
+    mesh: Mesh,
+    star: bool = True,
+    alternative: str = "two-sided",
+):
+    """Banded Getis-Ord nulls, gene-sharded: the column stats, gather,
+    band matmuls and counters all act columnwise — zero collectives."""
+    from ..ops.banded import NullPlan, banded_getis
+
+    rep = replicated(mesh)
+    plan = NullPlan(*(jax.device_put(f, rep) if isinstance(f, jax.Array)
+                      else f for f in plan))
+    _, X = _place(graph, X, mesh)
+    with mesh:
+        return banded_getis(plan, X, seed, n_permutations, star=star,
+                            alternative=alternative)
+
+
+def sharded_banded_lees_l(
+    plan,
+    graph: SpatialGraph,
+    Zx: jax.Array,
+    Zy: jax.Array,
+    seed: int,
+    n_permutations: int,
+    mesh: Mesh,
+    precision: str = "bf16",
+    compute_cell_pvalues: bool = False,
+):
+    """Banded Lee's L nulls sharded over the PAIR axis (Lee's gene axis):
+    Zx/Zy [N, P] split on "genes", plan replicated, zero collectives."""
+    from ..ops.banded import NullPlan, banded_lees_l
+
+    rep = replicated(mesh)
+    plan = NullPlan(*(jax.device_put(f, rep) if isinstance(f, jax.Array)
+                      else f for f in plan))
+    gs = gene_sharding(mesh, ndim=2)
+    Zx = jax.device_put(Zx, gs)
+    Zy = jax.device_put(Zy, gs)
+    with mesh:
+        return banded_lees_l(plan, Zx, Zy, seed, n_permutations,
+                             precision=precision,
+                             compute_cell_pvalues=compute_cell_pvalues)
+
+
 def sharded_lees_l(
     graph: SpatialGraph,
     Zx: jax.Array,

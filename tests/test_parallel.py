@@ -353,3 +353,35 @@ def test_sharded_banded_local_moran_int8(world):
                    "all-to-all", "reduce-scatter", "collective-broadcast"]
     found = [c for c in collectives if c in hlo]
     assert not found, f"collectives in gene-sharded int8 LISA HLO: {found}"
+
+
+def test_sharded_banded_family_bitwise(world):
+    """Gene-sharded banded Geary/Getis/Lee nulls are bitwise equal to
+    their single-device kernels (same counter-keyed draws, columnwise
+    partitioning — the same argument as the LISA/global paths)."""
+    from spatialcore_tpu.ops.banded import (
+        banded_getis, banded_lees_l, banded_local_geary, build_null_plan)
+    from spatialcore_tpu.parallel import (
+        sharded_banded_getis, sharded_banded_lees_l,
+        sharded_banded_local_geary)
+
+    graph, X = world
+    Z, _ = standardize(jnp.asarray(X))
+    plan = build_null_plan(graph, block=64)
+    mesh = auto_mesh()
+
+    _, pg1 = banded_local_geary(plan, Z, 3, 16)
+    _, pg8 = sharded_banded_local_geary(plan, graph, Z, 3, 16, mesh)
+    np.testing.assert_array_equal(np.asarray(pg8), np.asarray(pg1))
+
+    Xraw = jnp.abs(Z) + 0.1
+    p1 = banded_getis(plan, Xraw, 3, 16)
+    p8 = sharded_banded_getis(plan, graph, Xraw, 3, 16, mesh)
+    np.testing.assert_array_equal(np.asarray(p8), np.asarray(p1))
+
+    Zx, Zy = Z[:, :8], Z[:, 8:16]
+    g1, l1 = banded_lees_l(plan, Zx, Zy, 3, 16, compute_cell_pvalues=True)
+    g8, l8 = sharded_banded_lees_l(plan, graph, Zx, Zy, 3, 16, mesh,
+                                   compute_cell_pvalues=True)
+    np.testing.assert_array_equal(np.asarray(g8), np.asarray(g1))
+    np.testing.assert_array_equal(np.asarray(l8), np.asarray(l1))
