@@ -171,14 +171,6 @@ def main():
     # minutes); ONE shared implementation with the streaming driver
     from spatialcore_tpu.ops.streaming import tile_widths
 
-    widths = tile_widths(n_genes, tile)
-    done_genes = sum(widths)
-
-    # prep in gene chunks: a single f32 [N, G] standardize needs two
-    # 4*N*G-byte intermediates, which OOMs a 16 GB v5e at G=2048 even
-    # though the bf16 HOT LOOP fits (docs/performance.md)
-    g_prep = min(1024, min(widths))
-
     @functools.partial(jax.jit, static_argnames=("g",))
     def prep_chunk(key, g):
         X = jax.random.normal(key, (n_cells, g), jnp.float32)
@@ -197,11 +189,12 @@ def main():
         return acc + jnp.round(p * (pc + 1.0) - 1.0)
 
     def prep_width(key, w):
-        """Prep a w-wide gene batch in <=g_prep chunks (a single f32
+        """Prep a w-wide gene batch in <=1024-gene chunks (a single f32
         standardize at 2048 genes OOMs — the documented round-2 lesson)."""
+        gp = min(1024, w)
         parts = [prep_chunk(jax.random.fold_in(key, i),
-                            min(g_prep, w - s))
-                 for i, s in enumerate(range(0, w, g_prep))]
+                            min(gp, w - s))
+                 for i, s in enumerate(range(0, w, gp))]
         if len(parts) == 1:
             return parts[0]
         return (jnp.concatenate([p[0] for p in parts], axis=1),
@@ -209,6 +202,29 @@ def main():
                 jnp.concatenate([p[2] for p in parts]),
                 jnp.concatenate([p[3] for p in parts]))
 
+    def compile_with_retry(build, what,
+                           waits=(45.0, 90.0, 180.0, 420.0)):
+        # the remote compile service intermittently fails NEW shapes
+        # with RESOURCE_EXHAUSTED / INTERNAL while cached executables
+        # keep working (CLAUDE.md environment quirks) — ride it out
+        # rather than record a failed driver run; waits escalate
+        # because degradation phases can outlive a fixed short wait
+        for attempt in range(len(waits) + 1):
+            try:
+                return build()
+            except Exception as e:  # noqa: BLE001
+                msg = str(e)
+                transient = ("RESOURCE_EXHAUSTED" in msg
+                             or "INTERNAL" in msg
+                             or "UNAVAILABLE" in msg)
+                if not transient or attempt == len(waits):
+                    raise
+                print(f"[bench] transient backend fault compiling "
+                      f"{what}; retry {attempt + 1}/{len(waits)} in "
+                      f"{waits[attempt]:.0f}s", file=sys.stderr)
+                time.sleep(waits[attempt])
+
+    shard_batch = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -237,103 +253,98 @@ def main():
                     den=den, band_impl=impl, precision=prec,
                     sz=szv if prec == "int8" else None, draw_offset=off)[0]
 
-        # mesh mode: warm-up executions instead of AOT (sharding-aware
-        # lowering; hardware meshes compile once per (width, pc)) — warm
-        # EVERY (width, pc) incl. the tail chunk so nothing compiles
-        # inside the timed region
-        pcs = sorted({chunk, n_perms % chunk or chunk})
-        for w in sorted(set(widths)):
-            Zb, den, obs, szv = shard_batch(prep_width(jax.random.key(99),
-                                                       w))
-            for pc in pcs:
-                jax.block_until_ready(run_chunk(Zb, den, obs, szv, 10_000,
-                                                pc))
-            jax.block_until_ready(
-                to_counts(jnp.zeros((w,), jnp.float32),
-                          jnp.zeros((w,), jnp.float32), float(chunk)))
-            del Zb, den, obs, szv
+        warmed = set()
+
+        def build_run_chunk(widths):
+            # mesh mode: warm-up executions instead of AOT (sharding-aware
+            # lowering; hardware meshes compile once per (width, pc)) —
+            # warm EVERY (width, pc) incl. the tail chunk so nothing
+            # compiles inside the timed region
+            pcs = sorted({chunk, n_perms % chunk or chunk})
+            for w in sorted(set(widths)):
+                if all((w, pc) in warmed for pc in pcs):
+                    continue
+                Zb, den, obs, szv = shard_batch(
+                    prep_width(jax.random.key(99), w))
+                for pc in pcs:
+                    jax.block_until_ready(run_chunk(Zb, den, obs, szv,
+                                                    10_000, pc))
+                    warmed.add((w, pc))
+                jax.block_until_ready(
+                    to_counts(jnp.zeros((w,), jnp.float32),
+                              jnp.zeros((w,), jnp.float32), float(chunk)))
+                del Zb, den, obs, szv
+            return run_chunk
     else:
         from spatialcore_tpu.ops.banded import _banded_test
 
-        band_for = {}
-        for w in sorted(set(widths)):
-            if impl == "auto":
-                on_tpu = jax.default_backend() == "tpu"
-                if prec == "int8":
-                    band_for[w] = "pallas_halo" if on_tpu else "xla"
-                else:
-                    band_for[w] = ("pallas_halo"
-                                   if w >= 1536 and on_tpu else "xla")
-            else:
-                band_for[w] = impl
-
-        # AOT-compile every (width, chunk-size) executable OUTSIDE the
-        # clock: .lower().compile() builds the program without executing it
         interp = jax.default_backend() != "tpu"
-        pcs = sorted({chunk, n_perms % chunk or chunk})
         compiled = {}
-        t0 = time.time()
 
-        def compile_with_retry(build, what,
-                               waits=(45.0, 90.0, 180.0, 420.0)):
-            # the remote compile service intermittently fails NEW shapes
-            # with RESOURCE_EXHAUSTED / INTERNAL while cached executables
-            # keep working (CLAUDE.md environment quirks) — ride it out
-            # rather than record a failed driver run; waits escalate
-            # because degradation phases can outlive a fixed short wait
-            for attempt in range(len(waits) + 1):
-                try:
-                    return build()
-                except Exception as e:  # noqa: BLE001
-                    msg = str(e)
-                    transient = ("RESOURCE_EXHAUSTED" in msg
-                                 or "INTERNAL" in msg
-                                 or "UNAVAILABLE" in msg)
-                    if not transient or attempt == len(waits):
-                        raise
-                    print(f"[bench] transient backend fault compiling "
-                          f"{what}; retry {attempt + 1}/{len(waits)} in "
-                          f"{waits[attempt]:.0f}s", file=sys.stderr)
-                    time.sleep(waits[attempt])
+        def band_impl_for(w):
+            if impl != "auto":
+                return impl
+            on_tpu = jax.default_backend() == "tpu"
+            if prec == "int8":
+                return "pallas_halo" if on_tpu else "xla"
+            return "pallas_halo" if w >= 1536 and on_tpu else "xla"
 
-        for w in sorted(set(widths)):
-            Zb, den, obs, szv = compile_with_retry(
-                lambda: jax.block_until_ready(prep_width(
-                    jax.random.key(99), w)), f"prep w={w}")
-            for pc in pcs:
-                def build(w=w, pc=pc, Zb=Zb, den=den, obs=obs, szv=szv):
-                    lowered = _banded_test.lower(
-                        plan.order, plan.local_idx, plan.w_local,
-                        plan.far_src, plan.far_dst, plan.far_w, plan.rc_sum,
-                        Zb, S0, obs, jnp.uint32(0), den, szv,
-                        jnp.uint32(0),
-                        block=plan.block, n=plan.n, n_permutations=pc,
-                        stat="moran", alternative="greater", precision=prec,
-                        perm_method="feistel", band_impl=band_for[w],
-                        interpret=interp)
-                    return lowered.compile()
+        def build_run_chunk(widths):
+            # AOT-compile every (width, chunk-size) executable OUTSIDE the
+            # clock: .lower().compile() builds the program without
+            # executing it; the compiled cache persists across degraded-
+            # backend width fallbacks
+            pcs = sorted({chunk, n_perms % chunk or chunk})
+            t0 = time.time()
+            fresh = 0
+            for w in sorted(set(widths)):
+                if all((w, pc) in compiled for pc in pcs):
+                    continue
+                Zb, den, obs, szv = compile_with_retry(
+                    lambda w=w: jax.block_until_ready(prep_width(
+                        jax.random.key(99), w)), f"prep w={w}")
+                for pc in pcs:
+                    if (w, pc) in compiled:
+                        continue
 
-                compiled[(w, pc)] = compile_with_retry(
-                    build, f"scan w={w} pc={pc}")
-            # warm to_counts too — its first call must not compile inside
-            # the timed region (every compile is a remote round trip)
-            compile_with_retry(
-                lambda w=w: jax.block_until_ready(
-                    to_counts(jnp.zeros((w,), jnp.float32),
-                              jnp.zeros((w,), jnp.float32), float(chunk))),
-                f"to_counts w={w}")
-            del Zb, den, obs, szv
-        print(f"[bench] AOT compile ({len(compiled)} executables): "
-              f"{time.time()-t0:.1f}s", file=sys.stderr)
+                    def build(w=w, pc=pc, Zb=Zb, den=den, obs=obs, szv=szv):
+                        lowered = _banded_test.lower(
+                            plan.order, plan.local_idx, plan.w_local,
+                            plan.far_src, plan.far_dst, plan.far_w,
+                            plan.rc_sum, Zb, S0, obs, jnp.uint32(0), den,
+                            szv, jnp.uint32(0),
+                            block=plan.block, n=plan.n, n_permutations=pc,
+                            stat="moran", alternative="greater",
+                            precision=prec, perm_method="feistel",
+                            band_impl=band_impl_for(w), interpret=interp)
+                        return lowered.compile()
 
-        def run_chunk(Zb, den, obs, szv, seed, pc, off=0):
-            return compiled[(Zb.shape[1], pc)](
-                plan.order, plan.local_idx, plan.w_local, plan.far_src,
-                plan.far_dst, plan.far_w, plan.rc_sum, Zb, S0, obs,
-                jnp.uint32(seed), den, szv, jnp.uint32(off))[0]
+                    compiled[(w, pc)] = compile_with_retry(
+                        build, f"scan w={w} pc={pc}")
+                    fresh += 1
+                # warm to_counts too — its first call must not compile
+                # inside the timed region (every compile is a remote
+                # round trip)
+                compile_with_retry(
+                    lambda w=w: jax.block_until_ready(
+                        to_counts(jnp.zeros((w,), jnp.float32),
+                                  jnp.zeros((w,), jnp.float32),
+                                  float(chunk))),
+                    f"to_counts w={w}")
+                del Zb, den, obs, szv
+            print(f"[bench] AOT compile ({fresh} fresh executables): "
+                  f"{time.time()-t0:.1f}s", file=sys.stderr)
+
+            def run_chunk(Zb, den, obs, szv, seed, pc, off=0):
+                return compiled[(Zb.shape[1], pc)](
+                    plan.order, plan.local_idx, plan.w_local, plan.far_src,
+                    plan.far_dst, plan.far_w, plan.rc_sum, Zb, S0, obs,
+                    jnp.uint32(seed), den, szv, jnp.uint32(off))[0]
+
+            return run_chunk
 
     # ---- timed region: the whole workload enqueues asynchronously -------
-    def timed_run():
+    def timed_run(widths, run_chunk):
         counts = []
         t_start = time.time()
         for bi, w in enumerate(widths):
@@ -362,25 +373,53 @@ def main():
     # RESOURCE_EXHAUSTED mid-run on a degraded tunnel while the same
     # executables ran clean minutes later) — every executable is already
     # compiled/cached above, so a retry costs only the run itself, and the
-    # workload is deterministic (seed 0), so a rerun computes the same thing.
-    # Waits escalate to ~25 min total: a 2026-08-18 degradation phase
-    # outlived two 75 s waits (even a 4-byte fold_in dispatch faulted) but
-    # such phases have always cleared within tens of minutes.
-    waits = [75.0, 180.0, 420.0, 900.0]
-    for attempt in range(len(waits) + 1):
+    # workload is deterministic (seed 0), so a rerun computes the same
+    # thing. Waits escalate to ~25 min on the first (full-width) ladder
+    # step: a 2026-08-18 degradation phase outlived two 75 s waits.
+    # DEGRADED-BACKEND FALLBACK: a second 2026-08-18 phase faulted ~12 GB
+    # working sets at EXECUTION of cached executables for 2+ hours while
+    # <=4 GB workloads ran at full speed — so after exhausting the retries
+    # at one width, halve the gene count and try again (the rate metric is
+    # per-genes*perms, so a narrower honest measurement beats a failed
+    # run; the JSON records the fallback).
+    ladder = [n_genes]
+    while ladder[-1] > 1024:
+        ladder.append(max(1024, ladder[-1] // 2))
+    elapsed = None
+    done_genes = None
+    for li, genes_try in enumerate(ladder):
+        widths = tile_widths(genes_try, min(tile, genes_try))
+        run_chunk = build_run_chunk(widths)
+        waits = ([75.0, 180.0, 420.0, 900.0] if li == 0
+                 else [75.0, 180.0])
         try:
-            elapsed = timed_run()
-            break
+            for attempt in range(len(waits) + 1):
+                try:
+                    elapsed = timed_run(widths, run_chunk)
+                    break
+                except Exception as e:  # noqa: BLE001
+                    msg = str(e)
+                    transient = ("RESOURCE_EXHAUSTED" in msg
+                                 or "INTERNAL" in msg
+                                 or "UNAVAILABLE" in msg)
+                    if not transient or attempt == len(waits):
+                        raise
+                    print(f"[bench] transient backend fault in timed "
+                          f"region; retry {attempt + 1}/{len(waits)} in "
+                          f"{waits[attempt]:.0f}s", file=sys.stderr)
+                    time.sleep(waits[attempt])
         except Exception as e:  # noqa: BLE001
             msg = str(e)
             transient = ("RESOURCE_EXHAUSTED" in msg or "INTERNAL" in msg
                          or "UNAVAILABLE" in msg)
-            if not transient or attempt == len(waits):
+            if not transient or li == len(ladder) - 1:
                 raise
-            print(f"[bench] transient backend fault in timed region; "
-                  f"retry {attempt + 1}/{len(waits)} in "
-                  f"{waits[attempt]:.0f}s", file=sys.stderr)
-            time.sleep(waits[attempt])
+            print(f"[bench] DEGRADED BACKEND: {genes_try}-gene working set "
+                  f"keeps faulting; falling back to {ladder[li + 1]} genes",
+                  file=sys.stderr)
+            continue
+        done_genes = sum(widths)
+        break
 
     rate = done_genes * n_perms / elapsed
     target = PER_CHIP_TARGET * n_dev
@@ -388,12 +427,16 @@ def main():
           f"{elapsed:.2f}s ({rate:,.0f} genes*perms/s)", file=sys.stderr)
     metric = ("moran_sustained_genes_perms_per_sec_1M_cells"
               if mode == "sustained" else "moran_genes_perms_per_sec_1M_cells")
-    print(json.dumps({
+    out = {
         "metric": metric,
         "value": round(rate, 1),
         "unit": "genes*perms/sec",
         "vs_baseline": round(rate / target, 3),
-    }))
+    }
+    if done_genes < n_genes:
+        out["degraded_fallback_from_genes"] = n_genes
+        out["genes_run"] = done_genes
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
