@@ -690,3 +690,42 @@ def test_getis_public_banded(setup):
     agree = ((np.asarray(a.obsm["getis_ord_p_sim"]) < 0.05)
              == (np.asarray(b.obsm["getis_ord_p_sim"]) < 0.05)).mean()
     assert agree > 0.97
+
+
+def test_banded_family_degenerate_inputs(setup):
+    """Constant columns and isolated rows keep sane p-values through the
+    banded family: a constant gene's centered Getis statistic is 0 for
+    every draw (p=1 by the >= tie convention), and rows with zero weights
+    produce L=0/c=0 with p=1 rather than NaN."""
+    from spatialcore_tpu.ops.banded import (
+        banded_getis, banded_lees_l, banded_local_geary)
+    from spatialcore_tpu.ops.graph import SpatialGraph
+
+    coords, graph, Z = setup
+    n = Z.shape[0]
+
+    # constant positive column through Getis
+    Xc = jnp.concatenate([jnp.full((n, 1), 2.0), jnp.abs(Z[:, :1]) + 0.1],
+                         axis=1)
+    plan = build_null_plan(graph, coords, block=64)
+    p = np.asarray(banded_getis(plan, Xc, 0, 19))
+    assert np.all(np.isfinite(p))
+    np.testing.assert_allclose(p[:, 0], 1.0)     # ties every draw
+
+    # graph with some isolated rows (weights zeroed)
+    mask = (np.arange(n) % 7 == 0)
+    w = np.array(graph.neighbor_w)   # writable copy
+    w[mask] = 0.0
+    g2 = SpatialGraph(neighbor_idx=graph.neighbor_idx,
+                      neighbor_w=jnp.asarray(w),
+                      valid=jnp.asarray(
+                          np.asarray(graph.valid) & ~mask[:, None]),
+                      distances=graph.distances)
+    plan2 = build_null_plan(g2, coords, block=64)
+    _, pg = banded_local_geary(plan2, Z[:, :3], 0, 19)
+    pl_g, pl_l = banded_lees_l(plan2, Z[:, :2], Z[:, 2:4], 0, 19,
+                               compute_cell_pvalues=True)
+    for arr in (pg, pl_l):
+        a = np.asarray(arr)
+        assert np.all(np.isfinite(a))
+        np.testing.assert_allclose(a[mask], 1.0)  # isolated: 0 vs 0 ties
