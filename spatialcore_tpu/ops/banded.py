@@ -885,7 +885,13 @@ def _banded_stat_i8(A8, sw, far_src, far_dst, far_w, rc_sum, Zq, sz2, den,
         return (n / S0) * cross / den
     zp2 = jnp.square(flat[B:B + nb * B].astype(jnp.float32)) * sz2
     sq = jnp.einsum("i,ig->g", rc_sum, zp2)
-    return (n - 1) * (sq - 2.0 * cross) / (2.0 * S0 * den)
+    geary = (n - 1) * (sq - 2.0 * cross) / (2.0 * S0 * den)
+    if stat == "geary":
+        return geary
+    # fused "moran_geary": both statistics from the SAME gather + band
+    # matmuls — the per-draw row gather is issue-bound (docs/performance.md),
+    # so the second statistic costs only the cheap sq reduction
+    return jnp.stack([(n / S0) * cross / den, geary])
 
 
 def _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab, den, S0, perm,
@@ -937,7 +943,10 @@ def _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab, den, S0, perm,
         return (n / S0) * cross / den
     zp2 = jnp.square(flat[B:B + nb * B].astype(jnp.float32))
     sq = jnp.einsum("i,ig->g", rc_sum, zp2)
-    return (n - 1) * (sq - 2.0 * cross) / (2.0 * S0 * den)
+    geary = (n - 1) * (sq - 2.0 * cross) / (2.0 * S0 * den)
+    if stat == "geary":
+        return geary
+    return jnp.stack([(n / S0) * cross / den, geary])
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -1012,17 +1021,28 @@ def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
         # position p gets Z[perm[order[p]]]
         perm = raw[order]
         vals = stat_fn(perm)
-        if alternative == "greater":
-            extreme = vals >= observed
-        elif alternative == "less":
-            extreme = vals <= observed
+
+        def _extreme(v, o, alt):
+            if alt == "greater":
+                return v >= o
+            if alt == "less":
+                return v <= o
+            return jnp.abs(v) >= jnp.abs(o)
+
+        if stat == "moran_geary":
+            alts = (alternative if isinstance(alternative, tuple)
+                    else (alternative, alternative))
+            extreme = jnp.stack([_extreme(vals[i], observed[i], alts[i])
+                                 for i in range(2)])
         else:
-            extreme = jnp.abs(vals) >= jnp.abs(observed)
+            extreme = _extreme(vals, observed, alternative)
         return (count + extreme.astype(jnp.int32),
                 s1 + vals, s2 + vals * vals), None
 
-    init = (jnp.zeros((G,), jnp.int32), jnp.zeros((G,), jnp.float32),
-            jnp.zeros((G,), jnp.float32))
+    out_shape = (2, G) if stat == "moran_geary" else (G,)
+    init = (jnp.zeros(out_shape, jnp.int32),
+            jnp.zeros(out_shape, jnp.float32),
+            jnp.zeros(out_shape, jnp.float32))
     # unroll=1 (round 3): unroll=2 measured NO throughput win (17.57k vs
     # 17.77k at 1M x 2048 x 100 — the loop is bandwidth-bound, matching
     # the docs/performance.md dead-end note) while keeping a second 4.1 GB
@@ -1121,9 +1141,25 @@ def banded_permutation_test(
             pad_g = (-G) % 128
         else:
             pad_g = 0
+    if stat == "moran_geary":
+        # fused mode: one gather + one set of band matmuls per draw serves
+        # BOTH statistics; ``observed`` must be [2, G] (moran, geary) and
+        # ``alternative`` may be a 2-tuple (one per statistic). Outputs are
+        # [2, G] stacked the same way. With int8 precision ``observed`` is
+        # recomputed under the quantized operator and the argument ignored.
+        observed = jnp.asarray(observed)
+        if observed.ndim != 2 or observed.shape[0] != 2:
+            raise ValueError(
+                "stat='moran_geary' needs observed of shape [2, G] "
+                "(stacked moran, geary)")
+        if isinstance(alternative, (tuple, list)):
+            alternative = tuple(alternative)
+            if len(alternative) != 2:
+                raise ValueError("fused alternative must have 2 entries")
     if pad_g:
         Z = jnp.pad(Z, ((0, 0), (0, pad_g)))
-        observed = jnp.pad(observed, (0, pad_g))
+        obs_pad = ((0, 0), (0, pad_g)) if observed.ndim == 2 else (0, pad_g)
+        observed = jnp.pad(observed, obs_pad)
         if den is not None:
             den = jnp.pad(den, (0, pad_g), constant_values=1.0)
         if sz is not None:
@@ -1136,7 +1172,7 @@ def banded_permutation_test(
         precision=precision, perm_method=perm_method, band_impl=band_impl,
         interpret=interpret)
     if pad_g:
-        p, mean, std = p[:G], mean[:G], std[:G]
+        p, mean, std = p[..., :G], mean[..., :G], std[..., :G]
     return p, mean, std
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.graph import SpatialGraph
@@ -108,7 +109,11 @@ def sharded_banded_permutation_test(
     plan = NullPlan(*(jax.device_put(f, rep) if isinstance(f, jax.Array)
                       else f for f in plan))
     Z = jax.device_put(Z, gene_sharding(mesh, ndim=2))
-    observed = jax.device_put(observed, gs1)
+    observed = jnp.asarray(observed)
+    if observed.ndim == 2:   # fused stat="moran_geary": [2, G] stacked
+        observed = jax.device_put(observed, NamedSharding(mesh, P(None, "genes")))
+    else:
+        observed = jax.device_put(observed, gs1)
     if den is not None:
         den = jax.device_put(den, gs1)
     if sz is not None:

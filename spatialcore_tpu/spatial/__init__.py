@@ -16,6 +16,7 @@ from .autocorrelation import (
     local_join_counts,
     build_spatial_weights,
     gearys_c,
+    global_autocorrelation,
     lees_l,
     lees_l_local,
     local_morans_i,
@@ -23,7 +24,8 @@ from .autocorrelation import (
 )
 
 __all__ = [
-    "build_spatial_weights", "morans_i", "gearys_c", "local_morans_i",
+    "build_spatial_weights", "morans_i", "gearys_c", "global_autocorrelation",
+    "local_morans_i",
     "lees_l", "lees_l_local", "join_count_statistics", "getis_ord_gi",
     "moran_correlogram",
     "local_gearys_c",

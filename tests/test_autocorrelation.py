@@ -789,3 +789,57 @@ def test_null_plan_cached_across_stat_calls(spatial_adata):
         local_morans_i(adata, genes=["GENE0"], n_permutations=19, seed=0,
                        use_existing_graph=True, null_method="banded")
         assert spy.call_count == 1, spy.call_count
+
+
+def test_global_autocorrelation_fused_matches_separate(spatial_adata):
+    """global_autocorrelation writes both uns tables, identical to the
+    individual morans_i/gearys_c banded calls (same seed => same draws)."""
+    import spatialcore_tpu as sct
+
+    a_f = spatial_adata.copy()
+    a_m = spatial_adata.copy()
+    a_g = spatial_adata.copy()
+    a_f = sct.spatial.global_autocorrelation(
+        a_f, n_permutations=99, seed=0, null_method="banded")
+    a_m = sct.spatial.morans_i(a_m, n_permutations=99, seed=0,
+                               null_method="banded")
+    a_g = sct.spatial.gearys_c(a_g, n_permutations=99, seed=0,
+                               null_method="banded")
+    dfm_f = a_f.uns["morans_i"].set_index("gene")
+    dfg_f = a_f.uns["gearys_c"].set_index("gene")
+    dfm = a_m.uns["morans_i"].set_index("gene")
+    dfg = a_g.uns["gearys_c"].set_index("gene")
+    pd.testing.assert_frame_equal(dfm_f, dfm)
+    pd.testing.assert_frame_equal(dfg_f, dfg)
+    ops = a_f.uns["spatialcore_metadata"]["operations"]
+    assert ops[-1]["function"] == "global_autocorrelation"
+
+
+def test_global_autocorrelation_slots_fallback(spatial_adata):
+    """Below the banded threshold with null_method='auto', the fused call
+    falls back to the slot kernel per statistic — matching the individual
+    calls there too."""
+    import spatialcore_tpu as sct
+
+    a_f = spatial_adata.copy()
+    a_m = spatial_adata.copy()
+    a_f = sct.spatial.global_autocorrelation(a_f, n_permutations=49, seed=3)
+    a_m = sct.spatial.morans_i(a_m, n_permutations=49, seed=3)
+    pd.testing.assert_frame_equal(
+        a_f.uns["morans_i"].set_index("gene"),
+        a_m.uns["morans_i"].set_index("gene"))
+    assert set(a_f.uns["gearys_c"].columns) == {
+        "gene", "C", "expected_C", "z_score", "p_value"}
+
+
+def test_global_autocorrelation_analytic(spatial_adata):
+    """n_permutations=0: analytic tails, one-sided per statistic default."""
+    import spatialcore_tpu as sct
+
+    a = sct.spatial.global_autocorrelation(
+        spatial_adata.copy(), n_permutations=0)
+    dfm = a.uns["morans_i"].set_index("gene")
+    dfg = a.uns["gearys_c"].set_index("gene")
+    assert dfm.loc["GENE0", "p_value"] <= 0.01
+    assert dfg.loc["GENE0", "p_value"] <= 0.01
+    assert dfg.loc["GENE0", "C"] < 1.0

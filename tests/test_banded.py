@@ -729,3 +729,63 @@ def test_banded_family_degenerate_inputs(setup):
         a = np.asarray(arr)
         assert np.all(np.isfinite(a))
         np.testing.assert_allclose(a[mask], 1.0)  # isolated: 0 vs 0 ties
+
+
+def test_fused_moran_geary_bitwise_matches_separate(setup):
+    """stat='moran_geary': one gather serves both statistics, bitwise-equal
+    to the separate per-stat calls (same seed => same draw stream)."""
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    S0 = float(np.asarray(graph.neighbor_w).sum())
+    obs_m = moran_observed(graph, Z, S0)
+    obs_g = geary_observed(graph, Z, S0)
+    for precision in ("f32", "bf16"):
+        p_m, m_m, s_m = banded_permutation_test(
+            plan, Z, S0, obs_m, seed=13, n_permutations=99, stat="moran",
+            alternative="greater", precision=precision)
+        p_g, m_g, s_g = banded_permutation_test(
+            plan, Z, S0, obs_g, seed=13, n_permutations=99, stat="geary",
+            alternative="less", precision=precision)
+        p_f, m_f, s_f = banded_permutation_test(
+            plan, Z, S0, jnp.stack([obs_m, obs_g]), seed=13,
+            n_permutations=99, stat="moran_geary",
+            alternative=("greater", "less"), precision=precision)
+        assert p_f.shape == (2, Z.shape[1])
+        np.testing.assert_array_equal(np.asarray(p_f[0]), np.asarray(p_m))
+        np.testing.assert_array_equal(np.asarray(p_f[1]), np.asarray(p_g))
+        np.testing.assert_array_equal(np.asarray(m_f[0]), np.asarray(m_m))
+        np.testing.assert_array_equal(np.asarray(m_f[1]), np.asarray(m_g))
+        np.testing.assert_array_equal(np.asarray(s_f[0]), np.asarray(s_m))
+        np.testing.assert_array_equal(np.asarray(s_f[1]), np.asarray(s_g))
+
+
+def test_fused_moran_geary_int8(setup):
+    """int8 fused mode matches the separate int8 calls bitwise."""
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    S0 = float(np.asarray(graph.neighbor_w).sum())
+    obs_m = moran_observed(graph, Z, S0)
+    obs_g = geary_observed(graph, Z, S0)
+    p_m, _, _ = banded_permutation_test(
+        plan, Z, S0, obs_m, seed=21, n_permutations=99, stat="moran",
+        alternative="greater", precision="int8")
+    p_g, _, _ = banded_permutation_test(
+        plan, Z, S0, obs_g, seed=21, n_permutations=99, stat="geary",
+        alternative="less", precision="int8")
+    p_f, _, _ = banded_permutation_test(
+        plan, Z, S0, jnp.stack([obs_m, obs_g]), seed=21,
+        n_permutations=99, stat="moran_geary",
+        alternative=("greater", "less"), precision="int8")
+    np.testing.assert_array_equal(np.asarray(p_f[0]), np.asarray(p_m))
+    np.testing.assert_array_equal(np.asarray(p_f[1]), np.asarray(p_g))
+
+
+def test_fused_moran_geary_validates_observed_shape(setup):
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    S0 = float(np.asarray(graph.neighbor_w).sum())
+    obs_m = moran_observed(graph, Z, S0)
+    with pytest.raises(ValueError, match="moran_geary"):
+        banded_permutation_test(
+            plan, Z, S0, obs_m, seed=1, n_permutations=9,
+            stat="moran_geary")

@@ -385,3 +385,38 @@ def test_sharded_banded_family_bitwise(world):
                                    compute_cell_pvalues=True)
     np.testing.assert_array_equal(np.asarray(g8), np.asarray(g1))
     np.testing.assert_array_equal(np.asarray(l8), np.asarray(l1))
+
+
+def test_sharded_fused_moran_geary_bitwise(world):
+    """Fused stat='moran_geary' gene-shards like the single-stat path and
+    stays bitwise-equal to the single-device fused kernel."""
+    from spatialcore_tpu.ops.banded import (
+        banded_permutation_test, build_null_plan)
+    from spatialcore_tpu.ops.moran import geary_observed
+    from spatialcore_tpu.parallel.stats import (
+        sharded_banded_permutation_test)
+
+    graph, X = world
+    S0 = float(X.shape[0])
+    Z, _ = standardize(jnp.asarray(X))
+    plan = build_null_plan(graph, block=64)
+    obs = jnp.stack([moran_observed(graph, Z, S0),
+                     geary_observed(graph, Z, S0)])
+    p1, m1, s1 = banded_permutation_test(
+        plan, Z, S0, obs, seed=7, n_permutations=20, stat="moran_geary",
+        alternative=("greater", "less"), band_impl="xla")
+    mesh = auto_mesh()
+    p8, m8, s8 = sharded_banded_permutation_test(
+        plan, Z, S0, obs, seed=7, n_permutations=20, mesh=mesh,
+        stat="moran_geary", alternative=("greater", "less"),
+        band_impl="xla")
+    assert p8.shape == (2, Z.shape[1])
+    # p (integer extreme counts) is bitwise; the null moments differ only
+    # in float summation order under the shard layout (same convention as
+    # test_banded_sharded_matches_and_collective_free)
+    np.testing.assert_array_equal(np.asarray(p8), np.asarray(p1))
+    np.testing.assert_allclose(np.asarray(m8), np.asarray(m1), atol=1e-6)
+    # std tolerance is wider: geary's null mean is ~1 (not ~0), so
+    # var = s2/P - mean**2 cancels ~6 digits and amplifies the
+    # summation-order noise
+    np.testing.assert_allclose(np.asarray(s8), np.asarray(s1), atol=2e-5)
