@@ -72,7 +72,7 @@ if VARIANT == "direct":
     from spatialcore_tpu.ops.moran import local_moran
 
     p = timed(lambda: local_moran(graph, Z, 0, P).p_value, "direct")
-elif VARIANT in ("banded", "int8"):
+elif VARIANT in ("banded", "int8", "pallas"):
     from spatialcore_tpu.ops.banded import (
         _banded_local_moran_p, _banded_local_moran_p_i8, build_null_plan)
 
@@ -80,12 +80,13 @@ elif VARIANT in ("banded", "int8"):
     plan = build_null_plan(graph, coords, block=256)
     jax.block_until_ready(plan.w_local)
     print(f"plan built {time.time()-t0:.1f}s", flush=True)
-    if VARIANT == "int8":
+    if VARIANT in ("int8", "pallas"):
+        impl = "pallas" if VARIANT == "pallas" else "xla"
         p = timed(lambda: _banded_local_moran_p_i8(
             plan.order, plan.rank, plan.local_idx, plan.w_local,
             plan.far_src, plan.far_dst, plan.far_w, Z, jnp.uint32(0),
             block=plan.block, n=plan.n, n_permutations=P,
-            perm_method="feistel"), "int8")
+            perm_method="feistel", band_impl=impl), VARIANT)
     else:
         n_padded = plan.local_idx.shape[0]
         abs_obs = jnp.abs(Z * jnp.zeros_like(Z))   # placeholder-free path:

@@ -101,9 +101,15 @@ def main(outdir="docs/images"):
     assert acc > 0.85, acc
 
     # --- spatial autocorrelation ------------------------------------------
-    adata = sct.spatial.morans_i(adata, n_permutations=99, seed=0,
-                                 n_neighbors=8)
+    # fused pass: Moran's I AND Geary's C from one permutation scan
+    # (bitwise-identical to separate morans_i/gearys_c calls, ~2x faster
+    # at scale — the per-draw row gather is shared)
+    adata = sct.spatial.global_autocorrelation(adata, n_permutations=99,
+                                               seed=0, n_neighbors=8)
     mi = adata.uns["morans_i"].set_index("gene")
+    gc = adata.uns["gearys_c"].set_index("gene")
+    # the two statistics agree on the structured gene
+    assert gc.loc["GRAD1", "C"] < 0.9 and gc.loc["GRAD1", "p_value"] <= 0.05
     print("[3/7] Moran's I:", {g: round(float(mi.loc[g, 'I']), 3)
                                for g in ["GRAD1", "MS4A1", "NOISE1"]})
     assert mi.loc["GRAD1", "I"] > 0.15        # gradient is autocorrelated

@@ -822,6 +822,84 @@ def _band_cross_pallas_i8(A8, sw, Zp8, interpret: bool) -> jax.Array:
     return out[0]
 
 
+def _band_lag_count_kernel_i8(a_ref, far_ref, obs_ref, cnt_ref, zp_any,
+                              out_ref, win_ref, sem_ref):
+    """Fused LISA draw step: int8 MXU band lag + far add + |z·lag| vs
+    observed comparison + counter update, one row block per grid step.
+
+    The int32 lag never leaves VMEM — the XLA path materializes it (plus
+    int32 casts of the band and window) in HBM every draw, which is the
+    measured wall of local nulls at 1M cells. Same DMA ring as
+    :func:`_band_halo_kernel_i8`; counters alias in-place.
+    """
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    def dma(slab):
+        return pltpu.make_async_copy(zp_any.at[slab], win_ref.at[slab % 4],
+                                     sem_ref.at[slab % 4])
+
+    @pl.when(i == 0)
+    def _():
+        dma(0).start()
+        dma(1).start()
+        dma(2).start()
+        dma(0).wait()
+        dma(1).wait()
+
+    @pl.when(i + 3 < nsteps + 2)
+    def _():
+        dma(i + 3).start()
+
+    dma(i + 2).wait()
+
+    B = win_ref.shape[1]
+    a = a_ref[0]
+    z0 = win_ref[i % 4]
+    z1 = win_ref[(i + 1) % 4]
+    z2 = win_ref[(i + 2) % 4]
+    lag = jnp.dot(a[:, :B], z0, preferred_element_type=jnp.int32)
+    lag = lag + jnp.dot(a[:, B:2 * B], z1, preferred_element_type=jnp.int32)
+    lag = lag + jnp.dot(a[:, 2 * B:], z2, preferred_element_type=jnp.int32)
+    lag = lag + far_ref[0]
+    val = jnp.abs(z1.astype(jnp.int32) * lag)   # exact: <= k*127^3 < 2^31
+    out_ref[0] = cnt_ref[0] + (val >= obs_ref[0]).astype(cnt_ref.dtype)
+
+
+def _band_lag_count_pallas_i8(A8, far, obs, cnt, Zp8,
+                              interpret: bool) -> jax.Array:
+    """count += (|z·(band_lag + far)| >= obs) per (cell, gene) — fused.
+
+    ``far``/``obs`` are int32 [nb, B, G]; ``cnt`` int8/int16 [nb, B, G]
+    aliases the output buffer. VMEM at B=256, G=1024: 4 int8 slabs (1 MB)
+    + far/obs int32 blocks (1 MB each) + 2 count blocks — ~3.5 MB.
+    """
+    nb, B, _ = A8.shape
+    G = Zp8.shape[2]
+    blk = lambda i: (i, 0, 0)  # noqa: E731
+    return pl.pallas_call(
+        _band_lag_count_kernel_i8,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, B, 3 * B), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, G), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, G), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, G), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, B, G), blk, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, B, G), cnt.dtype),
+        input_output_aliases={3: 0},
+        scratch_shapes=[
+            pltpu.VMEM((4, B, G), jnp.int8),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(A8, far, obs, cnt, Zp8)
+
+
 def _band_cross_i8_xla(A8, sw, Zp8) -> jax.Array:
     """XLA reference path for the int8 band (tests / non-TPU backends):
     identical integer arithmetic, batched einsums."""
@@ -1204,10 +1282,13 @@ def _banded_lag(A, Zp, far_src, far_dst, far_w, *, block: int):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "block", "n", "n_permutations", "perm_method"))
+    "block", "n", "n_permutations", "perm_method", "band_impl",
+    "interpret"))
 def _banded_local_moran_p_i8(order, rank, local_idx, w_local, far_src,
                              far_dst, far_w, Z, seed, *, block: int, n: int,
-                             n_permutations: int, perm_method: str):
+                             n_permutations: int, perm_method: str,
+                             band_impl: str = "xla",
+                             interpret: bool = False):
     """LISA permutation p via the int8 null system.
 
     Quantized-operator convention (same as the global int8 mode): z
@@ -1280,17 +1361,45 @@ def _banded_local_moran_p_i8(order, rank, local_idx, w_local, far_src,
     cdt = (jnp.int8 if n_permutations <= 127
            else jnp.int16 if n_permutations <= 32767 else jnp.int32)
 
-    def body(count, step):
-        key = jax.random.fold_in(base, step)
-        if perm_method == "sort":
-            raw = jax.random.permutation(key, n)
-        else:
-            raw = feistel_permutation(key, n)
-        perm = raw[order]
-        return count + (abs_ip(perm) >= abs_obs).astype(cdt), None
+    if band_impl == "pallas":
+        # fused draw step (_band_lag_count_kernel_i8): the int32 lag (and
+        # the int32 casts of band/window the einsum path materializes)
+        # never touch HBM — only the gather output, the dense far-edge
+        # layer, the observed read and the counter update do. Integer
+        # arithmetic is exact in both impls, so p is bitwise-equal to the
+        # XLA path (pinned by tests/test_banded.py).
+        obs3 = abs_obs.reshape(nb, B, G)
 
-    count, _ = jax.lax.scan(body, jnp.zeros((n_padded, G), cdt),
-                            jnp.arange(n_permutations))
+        def body(count, step):
+            key = jax.random.fold_in(base, step)
+            if perm_method == "sort":
+                raw = jax.random.permutation(key, n)
+            else:
+                raw = feistel_permutation(key, n)
+            perm = raw[order]
+            Zp = Zq[perm[gidx0]].reshape(nb + 2, B, G)
+            vals = (Zp.reshape(-1, G)[far_dst].astype(jnp.int32)
+                    * far_q[:, None])
+            far = jnp.zeros((n_padded, G), jnp.int32).at[far_src - B].add(
+                vals, mode="drop").reshape(nb, B, G)
+            return _band_lag_count_pallas_i8(A8, far, obs3, count, Zp,
+                                             interpret), None
+
+        count, _ = jax.lax.scan(body, jnp.zeros((nb, B, G), cdt),
+                                jnp.arange(n_permutations))
+        count = count.reshape(n_padded, G)
+    else:
+        def body(count, step):
+            key = jax.random.fold_in(base, step)
+            if perm_method == "sort":
+                raw = jax.random.permutation(key, n)
+            else:
+                raw = feistel_permutation(key, n)
+            perm = raw[order]
+            return count + (abs_ip(perm) >= abs_obs).astype(cdt), None
+
+        count, _ = jax.lax.scan(body, jnp.zeros((n_padded, G), cdt),
+                                jnp.arange(n_permutations))
     p_new = (count.astype(jnp.float32) + 1.0) / (n_permutations + 1.0)
     return p_new[rank]      # original order (new position rank[i] = cell i)
 
@@ -1621,6 +1730,7 @@ def banded_local_moran(
     n_permutations: int,
     precision: str = "bf16",
     perm_method: str = "feistel",
+    band_impl: str = "auto",
 ):
     """Drop-in accelerated ``ops.moran.local_moran`` using a NullPlan.
 
@@ -1643,11 +1753,18 @@ def banded_local_moran(
     if n_permutations == 0:
         return obs
     if precision == "int8":
+        interpret = jax.default_backend() != "tpu"
+        if band_impl == "auto":
+            # fused Pallas draw step on real TPUs (the int32 lag stays in
+            # VMEM); XLA einsums elsewhere AND under a mesh — a pallas_call
+            # does not partition, so the gene-sharded wrapper passes "xla"
+            band_impl = "xla" if interpret else "pallas"
         p = _banded_local_moran_p_i8(
             plan.order, plan.rank, plan.local_idx, plan.w_local,
             plan.far_src, plan.far_dst, plan.far_w, Z, jnp.uint32(seed),
             block=plan.block, n=plan.n, n_permutations=n_permutations,
-            perm_method=perm_method)
+            perm_method=perm_method, band_impl=band_impl,
+            interpret=interpret)
         return LocalMoranResult(obs.local_I, obs.z, obs.lag, p)
     n_padded = plan.local_idx.shape[0]
     abs_obs_new = jnp.abs(obs.local_I)[plan.order]

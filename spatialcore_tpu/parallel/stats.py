@@ -154,10 +154,14 @@ def sharded_banded_local_moran(
                       else f for f in plan))
     graph, Z = _place(graph, Z, mesh)
     with mesh:
+        # band_impl="xla": a pallas_call does not partition over the mesh;
+        # the einsum path is what the HLO-inspection test proves
+        # collective-free
         return banded_local_moran(plan, graph, Z, seed=seed,
                                   n_permutations=n_permutations,
                                   precision=precision,
-                                  perm_method=perm_method)
+                                  perm_method=perm_method,
+                                  band_impl="xla")
 
 
 def sharded_banded_local_geary(

@@ -789,3 +789,26 @@ def test_fused_moran_geary_validates_observed_shape(setup):
         banded_permutation_test(
             plan, Z, S0, obs_m, seed=1, n_permutations=9,
             stat="moran_geary")
+
+
+def test_lisa_i8_pallas_band_impl_bitwise(setup):
+    """The fused Pallas draw step (band lag + far + compare + count in one
+    kernel, int32 lag never in HBM) is bitwise-equal to the XLA einsum
+    path — both are exact integer arithmetic."""
+    from spatialcore_tpu.ops.banded import banded_local_moran
+
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    ref = banded_local_moran(plan, graph, Z, seed=9, n_permutations=49,
+                             precision="int8", band_impl="xla")
+    got = banded_local_moran(plan, graph, Z, seed=9, n_permutations=49,
+                             precision="int8", band_impl="pallas")
+    np.testing.assert_array_equal(np.asarray(got.p_value),
+                                  np.asarray(ref.p_value))
+    # int16-counter regime too (P > 127)
+    ref2 = banded_local_moran(plan, graph, Z, seed=9, n_permutations=129,
+                              precision="int8", band_impl="xla")
+    got2 = banded_local_moran(plan, graph, Z, seed=9, n_permutations=129,
+                              precision="int8", band_impl="pallas")
+    np.testing.assert_array_equal(np.asarray(got2.p_value),
+                                  np.asarray(ref2.p_value))
