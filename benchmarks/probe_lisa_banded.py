@@ -82,9 +82,15 @@ elif VARIANT in ("banded", "int8", "pallas"):
     print(f"plan built {time.time()-t0:.1f}s", flush=True)
     if VARIANT in ("int8", "pallas"):
         impl = "pallas" if VARIANT == "pallas" else "xla"
+        # pass the PRE-QUANTIZED table: keeping the f32 Z resident next to
+        # the int32 observed/far arrays is what OOMs G=1024
+        from spatialcore_tpu.ops.banded import _quantize_z
+
+        Zq = jax.block_until_ready(jax.jit(lambda z: _quantize_z(z)[0])(Z))
+        del Z
         p = timed(lambda: _banded_local_moran_p_i8(
             plan.order, plan.rank, plan.local_idx, plan.w_local,
-            plan.far_src, plan.far_dst, plan.far_w, Z, jnp.uint32(0),
+            plan.far_src, plan.far_dst, plan.far_w, Zq, jnp.uint32(0),
             block=plan.block, n=plan.n, n_permutations=P,
             perm_method="feistel", band_impl=impl), VARIANT)
     else:

@@ -471,13 +471,16 @@ def config8(scale):
         plan = build_null_plan(graph, coords, block=256)
         jax.block_until_ready(plan.w_local)
         t_plan = time.time() - t0
-        if variant == "int8":
+        if variant in ("int8", "pallas"):
+            impl = "pallas" if variant == "pallas" else "xla"
+
             def run():
                 return _banded_local_moran_p_i8(
                     plan.order, plan.rank, plan.local_idx, plan.w_local,
                     plan.far_src, plan.far_dst, plan.far_w, Z,
                     jnp.uint32(0), block=plan.block, n=plan.n,
-                    n_permutations=perms, perm_method="feistel")
+                    n_permutations=perms, perm_method="feistel",
+                    band_impl=impl)
         else:
             from spatialcore_tpu.ops.graph import spatial_lag
 

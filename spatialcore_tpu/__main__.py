@@ -46,13 +46,25 @@ def cmd_pipeline(args):
 
 
 def cmd_moran(args):
-    from .spatial import morans_i
-
     adata = _load(args.adata)
     genes = args.genes.split(",") if args.genes else None
-    adata = morans_i(adata, genes=genes, n_neighbors=args.k,
-                     n_permutations=args.permutations, seed=args.seed)
-    df = adata.uns["morans_i"].sort_values("I", ascending=False)
+    if args.geary:
+        # fused pass: Moran's I + Geary's C from one permutation scan
+        from .spatial import global_autocorrelation
+
+        adata = global_autocorrelation(
+            adata, genes=genes, n_neighbors=args.k,
+            n_permutations=args.permutations, seed=args.seed)
+        df = adata.uns["morans_i"].merge(
+            adata.uns["gearys_c"][["gene", "C", "p_value"]]
+            .rename(columns={"p_value": "p_value_C"}), on="gene")
+        df = df.sort_values("I", ascending=False)
+    else:
+        from .spatial import morans_i
+
+        adata = morans_i(adata, genes=genes, n_neighbors=args.k,
+                         n_permutations=args.permutations, seed=args.seed)
+        df = adata.uns["morans_i"].sort_values("I", ascending=False)
     print(df.head(args.top).to_string(index=False))
     if args.out:
         _save(adata, args.out)
@@ -103,6 +115,9 @@ def main(argv=None):
     pm.add_argument("--permutations", type=int, default=100)
     pm.add_argument("--seed", type=int, default=0)
     pm.add_argument("--top", type=int, default=20)
+    pm.add_argument("--geary", action="store_true",
+                    help="also Geary's C, fused into the same "
+                         "permutation scan")
     pm.add_argument("--out", default=None)
 
     pb = sub.add_parser("benchmark",

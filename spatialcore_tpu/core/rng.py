@@ -103,6 +103,40 @@ def _feistel_bijection(x: jax.Array, round_keys: jax.Array, bits: int) -> jax.Ar
     return ((left.astype(jnp.uint32) << bits) | right).astype(jnp.uint32)
 
 
+def feistel_apply(key: jax.Array, idx: jax.Array, n: int) -> jax.Array:
+    """Evaluate the keyed Feistel permutation at arbitrary positions.
+
+    ``feistel_apply(key, idx, n)[p] == feistel_permutation(key, n)[idx[p]]``
+    bitwise, without materializing the full [n] permutation or paying a
+    random gather to reorder it — the bijection is pure elementwise math,
+    so composing with a fixed relabeling (``idx``) is free. The banded
+    null kernels precompute their padded relabel indices once and call
+    this per draw: one row gather per draw instead of three
+    (raw-permutation reorder + relabel compose + value rows).
+
+    ``idx`` must contain values in [0, n); duplicates are fine (the
+    result then repeats the corresponding permutation entries).
+    """
+    if n < 2:
+        return jnp.zeros(idx.shape, jnp.int32)
+    bits = max((int(n - 1).bit_length() + 1) // 2, 1)
+    if (1 << (2 * bits)) < n:
+        bits += 1
+    round_keys = jax.random.randint(
+        key, (_FEISTEL_ROUNDS,), 0, jnp.iinfo(jnp.int32).max,
+        dtype=jnp.int32).astype(jnp.uint32)
+    y = _feistel_bijection(idx.astype(jnp.uint32), round_keys, bits)
+
+    def cond(y):
+        return jnp.any(y >= n)
+
+    def body(y):
+        return jnp.where(y >= n, _feistel_bijection(y, round_keys, bits), y)
+
+    y = jax.lax.while_loop(cond, body, y)
+    return y.astype(jnp.int32)
+
+
 def feistel_permutation(key: jax.Array, n: int) -> jax.Array:
     """Pseudo-random permutation of ``arange(n)`` without a device sort.
 
@@ -117,19 +151,4 @@ def feistel_permutation(key: jax.Array, n: int) -> jax.Array:
     """
     if n < 2:
         return jnp.zeros((n,), jnp.int32)
-    bits = max((int(n - 1).bit_length() + 1) // 2, 1)  # domain 4**bits >= n
-    if (1 << (2 * bits)) < n:
-        bits += 1
-    round_keys = jax.random.randint(
-        key, (_FEISTEL_ROUNDS,), 0, jnp.iinfo(jnp.int32).max,
-        dtype=jnp.int32).astype(jnp.uint32)
-    y = _feistel_bijection(jnp.arange(n, dtype=jnp.uint32), round_keys, bits)
-
-    def cond(y):
-        return jnp.any(y >= n)
-
-    def body(y):
-        return jnp.where(y >= n, _feistel_bijection(y, round_keys, bits), y)
-
-    y = jax.lax.while_loop(cond, body, y)
-    return y.astype(jnp.int32)
+    return feistel_apply(key, jnp.arange(n, dtype=jnp.uint32), n)

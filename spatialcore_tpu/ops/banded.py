@@ -51,7 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.logging import get_logger
-from ..core.rng import feistel_permutation, key_for
+from ..core.rng import feistel_apply, key_for
 from .graph import SpatialGraph
 
 logger = get_logger("ops.banded")
@@ -863,7 +863,9 @@ def _band_lag_count_kernel_i8(a_ref, far_ref, obs_ref, cnt_ref, zp_any,
     lag = lag + jnp.dot(a[:, 2 * B:], z2, preferred_element_type=jnp.int32)
     lag = lag + far_ref[0]
     val = jnp.abs(z1.astype(jnp.int32) * lag)   # exact: <= k*127^3 < 2^31
-    out_ref[0] = cnt_ref[0] + (val >= obs_ref[0]).astype(cnt_ref.dtype)
+    # Mosaic has no i8 vector add — widen to i32 for the +1, store narrow
+    inc = (val >= obs_ref[0]).astype(jnp.int32)
+    out_ref[0] = (cnt_ref[0].astype(jnp.int32) + inc).astype(cnt_ref.dtype)
 
 
 def _band_lag_count_pallas_i8(A8, far, obs, cnt, Zp8,
@@ -920,21 +922,21 @@ def _band_cross_i8_xla(A8, sw, Zp8) -> jax.Array:
 
 
 def _banded_stat_i8(A8, sw, far_src, far_dst, far_w, rc_sum, Zq, sz2, den,
-                    S0, perm, *, block: int, n: int, stat: str,
+                    S0, rows, *, block: int, n: int, stat: str,
                     use_xla: bool = False, interpret: bool = False):
     """One draw's statistic [G] in the int8 system.
 
     Band products are exact integers scaled by sw (per band row) and the
     far einsum uses the exact f32 weights; one sz² converts both back to
-    z units. Identical statistic operator for draws AND the observed
-    configuration (perm = plan.order), so p-value counting compares
-    like with like.
+    z units. ``rows`` is the draw's already-composed padded row-index
+    vector ``perm[order[gidx]]`` (the identity placement passes
+    ``order[gidx]`` itself), so the SAME operator serves draws and the
+    observed configuration and the only gather here is the value rows.
     """
     B = block
     nb = A8.shape[0]
     G = Zq.shape[1]
-    gidx = jnp.clip(jnp.arange((nb + 2) * B, dtype=jnp.int32) - B, 0, n - 1)
-    Zp = Zq[perm[gidx]].reshape(nb + 2, B, G)     # int8 row gather
+    Zp = Zq[rows].reshape(nb + 2, B, G)           # int8 row gather
     if use_xla:
         cross_q = _band_cross_i8_xla(A8, sw, Zp)
     else:
@@ -972,7 +974,7 @@ def _banded_stat_i8(A8, sw, far_src, far_dst, far_w, rc_sum, Zq, sz2, den,
     return jnp.stack([(n / S0) * cross / den, geary])
 
 
-def _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab, den, S0, perm,
+def _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab, den, S0, rows,
                  *, block: int, n: int, stat: str, band_impl: str = "xla",
                  interpret: bool = False):
     """One draw's global statistic [G] via three batched band matmuls.
@@ -980,13 +982,14 @@ def _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab, den, S0, perm,
     ``Zp`` is laid out as [nb+2, B, G]: one front and one tail pad block of
     clipped rows whose values never reach the output (their band columns are
     all zero-weight). ``Ztab`` may be bf16 (default null mode) or f32.
-    ``band_impl="pallas"`` fuses the band matmuls + reduction on-chip.
+    ``rows`` is the already-composed padded row-index vector (see
+    :func:`_banded_stat_i8`). ``band_impl="pallas"`` fuses the band
+    matmuls + reduction on-chip.
     """
     B = block
     nb = A.shape[0]
     G = Ztab.shape[1]
-    gidx = jnp.clip(jnp.arange((nb + 2) * B, dtype=jnp.int32) - B, 0, n - 1)
-    Zp = Ztab[perm[gidx]].reshape(nb + 2, B, G)   # ONE random row gather
+    Zp = Ztab[rows].reshape(nb + 2, B, G)         # ONE random row gather
 
     zblk = Zp[1:nb + 1]
     if band_impl == "pallas_halo":
@@ -1046,6 +1049,14 @@ def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
             den = den * sz * sz
         den = jnp.where(den > 0, den, 1.0)
     G = Z.shape[1]
+    nbb = local_idx.shape[0] // block
+    # padded row-relabel indices, fixed across draws: per draw the value
+    # rows are Z[perm[rows_idx]] — with the Feistel stream that composes
+    # to ONE elementwise bijection evaluation + ONE row gather (no [n]
+    # permutation materialization, no int32 reorder gather)
+    gidx = jnp.clip(jnp.arange((nbb + 2) * block, dtype=jnp.int32) - block,
+                    0, n - 1)
+    rows_idx = order[gidx]
     if precision == "int8":
         if Z.dtype == jnp.int8:
             if sz is None:
@@ -1056,15 +1067,15 @@ def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
         sz2 = s_z * s_z
         A8, sw = _build_band_i8(local_idx, w_local, block)
 
-        def stat_fn(perm):
+        def stat_fn(rows):
             return _banded_stat_i8(
                 A8, sw, far_src, far_dst, far_w, rc_sum, Zq, sz2, den, S0,
-                perm, block=block, n=n, stat=stat,
+                rows, block=block, n=n, stat=stat,
                 use_xla=(band_impl == "xla"), interpret=interpret)
 
         # compare draws against the observed value of the SAME quantized
-        # operator (perm = order places Z rows at their true cells)
-        observed = stat_fn(order)
+        # operator (identity placement: rows = order[gidx])
+        observed = stat_fn(rows_idx)
     else:
         wdt = jnp.bfloat16 if precision == "bf16" else Z.dtype
         if band_impl == "pallas_halo4":
@@ -1073,9 +1084,9 @@ def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
             A = _build_band(local_idx, w_local, block, wdt)
         Ztab = Z if Z.dtype == wdt else Z.astype(wdt)
 
-        def stat_fn(perm):
+        def stat_fn(rows):
             return _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab,
-                                den, S0, perm, block=block, n=n, stat=stat,
+                                den, S0, rows, block=block, n=n, stat=stat,
                                 band_impl=band_impl, interpret=interpret)
 
     if perm_method == "sort":
@@ -1091,14 +1102,13 @@ def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
         # rule) and chunks reuse one compiled executable
         key = jax.random.fold_in(base, step + draw0)
         if perm_method == "sort":
-            raw = jax.random.permutation(key, n)
+            # compose with the relabeling so each draw assigns values to
+            # cells EXACTLY as the legacy path does: new position p gets
+            # Z[perm[order[p]]]
+            rows = jax.random.permutation(key, n)[rows_idx]
         else:
-            raw = feistel_permutation(key, n)
-        # compose with the relabeling so (with perm_method="sort") each draw
-        # assigns values to cells EXACTLY as the legacy path does: new
-        # position p gets Z[perm[order[p]]]
-        perm = raw[order]
-        vals = stat_fn(perm)
+            rows = feistel_apply(key, rows_idx, n)
+        vals = stat_fn(rows)
 
         def _extreme(v, o, alt):
             if alt == "greater":
@@ -1335,9 +1345,10 @@ def _banded_local_moran_p_i8(order, rank, local_idx, w_local, far_src,
     far_q = jnp.clip(jnp.round(far_w / sw_row[far_src - B]), 0,
                      127).astype(jnp.int32)
     gidx0 = jnp.clip(jnp.arange((nb + 2) * B, dtype=jnp.int32) - B, 0, n - 1)
+    rows_idx = order[gidx0]      # fixed relabel composition (see _banded_test)
 
-    def abs_ip(perm):
-        Zp = Zq[perm[gidx0]].reshape(nb + 2, B, G)   # ONE int8 row gather
+    def abs_ip(rows):
+        Zp = Zq[rows].reshape(nb + 2, B, G)          # ONE int8 row gather
         lag = jnp.zeros((nb, B, G), jnp.int32)
         for s in range(3):
             lag = lag + jnp.einsum(
@@ -1352,7 +1363,7 @@ def _banded_local_moran_p_i8(order, rank, local_idx, w_local, far_src,
         z1 = Zp.reshape(-1, G)[B:B + n_padded].astype(jnp.int32)
         return jnp.abs(z1 * lag)                      # exact int32
 
-    abs_obs = abs_ip(order)      # observed via the SAME quantized operator
+    abs_obs = abs_ip(rows_idx)   # observed via the SAME quantized operator
 
     if perm_method == "sort":
         base = key_for(seed, "perm_local", 0)   # legacy local draw stream
@@ -1373,11 +1384,10 @@ def _banded_local_moran_p_i8(order, rank, local_idx, w_local, far_src,
         def body(count, step):
             key = jax.random.fold_in(base, step)
             if perm_method == "sort":
-                raw = jax.random.permutation(key, n)
+                rows = jax.random.permutation(key, n)[rows_idx]
             else:
-                raw = feistel_permutation(key, n)
-            perm = raw[order]
-            Zp = Zq[perm[gidx0]].reshape(nb + 2, B, G)
+                rows = feistel_apply(key, rows_idx, n)
+            Zp = Zq[rows].reshape(nb + 2, B, G)
             vals = (Zp.reshape(-1, G)[far_dst].astype(jnp.int32)
                     * far_q[:, None])
             far = jnp.zeros((n_padded, G), jnp.int32).at[far_src - B].add(
@@ -1392,11 +1402,10 @@ def _banded_local_moran_p_i8(order, rank, local_idx, w_local, far_src,
         def body(count, step):
             key = jax.random.fold_in(base, step)
             if perm_method == "sort":
-                raw = jax.random.permutation(key, n)
+                rows = jax.random.permutation(key, n)[rows_idx]
             else:
-                raw = feistel_permutation(key, n)
-            perm = raw[order]
-            return count + (abs_ip(perm) >= abs_obs).astype(cdt), None
+                rows = feistel_apply(key, rows_idx, n)
+            return count + (abs_ip(rows) >= abs_obs).astype(cdt), None
 
         count, _ = jax.lax.scan(body, jnp.zeros((n_padded, G), cdt),
                                 jnp.arange(n_permutations))
@@ -1428,6 +1437,7 @@ def _banded_local_moran_p(order, rank, local_idx, w_local, far_src, far_dst,
     A = _build_band(local_idx, w_local, B, wdt)
     Ztab = Z if Z.dtype == wdt else Z.astype(wdt)
     gidx0 = jnp.clip(jnp.arange((nb + 2) * B, dtype=jnp.int32) - B, 0, n - 1)
+    rows_idx = order[gidx0]
 
     if perm_method == "sort":
         base = key_for(seed, "perm_local", 0)   # legacy local draw stream
@@ -1437,11 +1447,10 @@ def _banded_local_moran_p(order, rank, local_idx, w_local, far_src, far_dst,
     def body(count, step):
         key = jax.random.fold_in(base, step)
         if perm_method == "sort":
-            raw = jax.random.permutation(key, n)
+            rows = jax.random.permutation(key, n)[rows_idx]
         else:
-            raw = feistel_permutation(key, n)
-        perm = raw[order]
-        Zp = Ztab[perm[gidx0]].reshape(nb + 2, B, G)
+            rows = feistel_apply(key, rows_idx, n)
+        Zp = Ztab[rows].reshape(nb + 2, B, G)
         lag_p = _banded_lag(A, Zp, far_src, far_dst, far_w, block=B)
         Ip = Zp.reshape(-1, G)[B:B + n_padded].astype(jnp.float32) * lag_p
         return count + (jnp.abs(Ip) >= abs_obs_new).astype(count.dtype), None
@@ -1482,19 +1491,20 @@ def _banded_lees_p(order, rank, local_idx, w_local, far_src, far_dst,
     A = _build_band(local_idx, w_local, B, wdt)
     Ytab = Zy.astype(wdt)
     gidx0 = jnp.clip(jnp.arange((nb + 2) * B, dtype=jnp.int32) - B, 0, n - 1)
+    rows_idx = order[gidx0]
     # X stays FIXED across draws (Lee's null permutes Y only); zero-padded
     # rows contribute nothing to the global sum
     Zx_new = Zx[order].astype(jnp.float32)
     if n_padded > n:
         Zx_new = jnp.pad(Zx_new, ((0, n_padded - n), (0, 0)))
 
-    def lees(perm):
-        Yp = Ytab[perm[gidx0]].reshape(nb + 2, B, Pn)
+    def lees(rows):
+        Yp = Ytab[rows].reshape(nb + 2, B, Pn)
         L_local = Zx_new * _banded_lag(A, Yp, far_src, far_dst, far_w,
                                        block=B)
         return L_local, jnp.sum(L_local, axis=0)
 
-    obs_l, obs_g = lees(order)
+    obs_l, obs_g = lees(rows_idx)
     abs_l, abs_g = jnp.abs(obs_l), jnp.abs(obs_g)
     base = key_for(seed, "perm_lee", 0)
     cdt = jnp.int16 if n_permutations <= 32767 else jnp.int32
@@ -1502,8 +1512,8 @@ def _banded_lees_p(order, rank, local_idx, w_local, far_src, far_dst,
     def body(carry, step):
         cg, cl = carry
         key = jax.random.fold_in(base, step)
-        perm = jax.random.permutation(key, n)[order]
-        Lp, Lg = lees(perm)
+        rows = jax.random.permutation(key, n)[rows_idx]
+        Lp, Lg = lees(rows)
         cg = cg + (jnp.abs(Lg) >= abs_g).astype(jnp.int32)
         if compute_cell_pvalues:
             cl = cl + (jnp.abs(Lp) >= abs_l).astype(cdt)
@@ -1551,8 +1561,10 @@ def _banded_local_geary_p(order, rank, local_idx, w_local, far_src, far_dst,
     row_w = row_w.at[far_src - B].add(far_w.astype(jnp.float32),
                                       mode="drop")[:, None]
 
-    def geary(perm):
-        Zp = Ztab[perm[gidx0]].reshape(nb + 2, B, G)
+    rows_idx = order[gidx0]
+
+    def geary(rows):
+        Zp = Ztab[rows].reshape(nb + 2, B, G)
         lag1 = _banded_lag(A, Zp, far_src, far_dst, far_w, block=B)
         Zp2 = (Zp.astype(jnp.float32)
                * Zp.astype(jnp.float32)).astype(wdt)
@@ -1560,14 +1572,14 @@ def _banded_local_geary_p(order, rank, local_idx, w_local, far_src, far_dst,
         me = Zp.reshape(-1, G)[B:B + n_padded].astype(jnp.float32)
         return me * me * row_w + lag2 - 2.0 * me * lag1
 
-    c_obs = geary(order)
+    c_obs = geary(rows_idx)
     base = key_for(seed, "perm_local_geary", 0)
     cdt = jnp.int16 if n_permutations <= 32767 else jnp.int32
 
     def body(count, step):
         key = jax.random.fold_in(base, step)
-        perm = jax.random.permutation(key, n)[order]
-        return count + (geary(perm) <= c_obs).astype(cdt), None
+        rows = jax.random.permutation(key, n)[rows_idx]
+        return count + (geary(rows) <= c_obs).astype(cdt), None
 
     count, _ = jax.lax.scan(body, jnp.zeros((n_padded, G), cdt),
                             jnp.arange(n_permutations))
@@ -1629,13 +1641,14 @@ def _banded_getis_p(order, rank, local_idx, w_local, far_src, far_dst,
     Xf = X.astype(jnp.float32)
     Xtab = Xf.astype(wdt)
     gidx0 = jnp.clip(jnp.arange((nb + 2) * B, dtype=jnp.int32) - B, 0, n - 1)
+    rows_idx = order[gidx0]
     W_row = (jnp.sum(wb, axis=1).at[far_src - B].add(fb, mode="drop"))[:, None]
     tot = jnp.sum(Xf, axis=0, keepdims=True)                  # [1, G]
     sq = jnp.sum(Xf * Xf, axis=0, keepdims=True)              # [1, G]
     m = jnp.float32(n if star else n - 1)
 
-    def center(perm):
-        Xp = Xtab[perm[gidx0]].reshape(nb + 2, B, G)
+    def center(rows):
+        Xp = Xtab[rows].reshape(nb + 2, B, G)
         lag = _banded_lag(A, Xp, far_src, far_dst, fb, block=B)
         me = Xp.reshape(-1, G)[B:B + n_padded].astype(jnp.float32)
         if star:
@@ -1651,14 +1664,14 @@ def _banded_getis_p(order, rank, local_idx, w_local, far_src, far_dst,
         s = jnp.sqrt(jnp.where(s2 > 0, s2, 1.0))
         return (lag - xbar_i * W_row) / s
 
-    obs_c = center(order)
+    obs_c = center(rows_idx)
     base = key_for(seed, "perm_getis", 0)
     cdt = jnp.int16 if n_permutations <= 32767 else jnp.int32
 
     def body(count, step):
         key = jax.random.fold_in(base, step)
-        perm = jax.random.permutation(key, n)[order]
-        cp = center(perm)
+        rows = jax.random.permutation(key, n)[rows_idx]
+        cp = center(rows)
         if alternative == "greater":
             extreme = cp >= obs_c
         elif alternative == "less":

@@ -91,9 +91,13 @@ def test_banded_matches_dense_oracle_fixed_perm(setup):
     den = jnp.sum(Z * Z, axis=0)
     S0 = float(np.asarray(graph.neighbor_w).sum())
     A = _build_band(plan.local_idx, plan.w_local, plan.block, jnp.float32)
+    # compose to the padded row-index contract (what the draw loop passes)
+    nb = plan.local_idx.shape[0] // plan.block
+    gidx = np.clip(np.arange((nb + 2) * plan.block) - plan.block, 0, n - 1)
     got = _banded_stat(
         A, plan.far_src, plan.far_dst, plan.far_w, plan.rc_sum,
-        Z, den, S0, jnp.asarray(perm), block=plan.block, n=n, stat="moran")
+        Z, den, S0, jnp.asarray(perm[gidx]), block=plan.block, n=n,
+        stat="moran")
     # oracle over the RELABELED graph, f64 dense
     order = np.asarray(plan.order)
     rank = np.empty(n, np.int64)
@@ -118,9 +122,12 @@ def test_banded_geary_matches_dense_oracle(setup):
     den = jnp.sum(Z * Z, axis=0)
     S0 = float(np.asarray(graph.neighbor_w).sum())
     A = _build_band(plan.local_idx, plan.w_local, plan.block, jnp.float32)
+    nb = plan.local_idx.shape[0] // plan.block
+    gidx = np.clip(np.arange((nb + 2) * plan.block) - plan.block, 0, n - 1)
     got = _banded_stat(
         A, plan.far_src, plan.far_dst, plan.far_w, plan.rc_sum,
-        Z, den, S0, jnp.asarray(perm), block=plan.block, n=n, stat="geary")
+        Z, den, S0, jnp.asarray(perm[gidx]), block=plan.block, n=n,
+        stat="geary")
     order = np.asarray(plan.order)
     rank = np.empty(n, np.int64)
     rank[order] = np.arange(n)

@@ -45,6 +45,14 @@ def test_cli_moran_and_domains(tmp_path):
     assert r.returncode == 0, r.stderr[-500:]
     assert "GENE0" in r.stdout.splitlines()[-3]  # structured gene ranks #1
 
+    # --geary: fused Moran+Geary table with both statistics' columns
+    r = _cli("moran", str(path), "--permutations", "19", "--top", "3",
+             "--geary")
+    assert r.returncode == 0, r.stderr[-500:]
+    header = r.stdout.splitlines()[-4]   # 3 rows follow the table header
+    assert "I" in header.split() and "C" in header.split()
+    assert "p_value_C" in header
+
     out = tmp_path / "dom.h5ad"
     r = _cli("domains", str(path), "cell_type == 'A'",
              "--platform", "xenium", "--out", str(out))
