@@ -1465,21 +1465,24 @@ def _banded_local_moran_p(order, rank, local_idx, w_local, far_src, far_dst,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "block", "n", "n_permutations", "precision", "compute_cell_pvalues"))
+    "block", "n", "n_permutations", "precision", "compute_cell_pvalues",
+    "perm_method"))
 def _banded_lees_p(order, rank, local_idx, w_local, far_src, far_dst,
                    far_w, Zx, Zy, seed, *, block: int, n: int,
                    n_permutations: int, precision: str,
-                   compute_cell_pvalues: bool):
+                   compute_cell_pvalues: bool, perm_method: str = "sort"):
     """Lee's L permutation nulls through the banded plan.
 
     Per draw: ONE random row gather of the permuted Y columns + three band
     matmuls, instead of the direct kernel's k barriered gathers
     (``spatial_lag``) — at the reference vignette's k=50 that is 50×
-    fewer issue-bound gathered rows per draw. Draw stream matches
-    ``ops.lee.lees_l_pairs`` exactly (same ``perm_lee`` key base, Y-only
-    permutation); observed comparison values come from the SAME banded
-    operator at the identity placement, so in f32 the only difference
-    from the direct kernel is float summation order in the lag.
+    fewer issue-bound gathered rows per draw. ``perm_method="sort"``
+    matches the draw stream of ``ops.lee.lees_l_pairs`` exactly (same
+    ``perm_lee`` key base, Y-only permutation); ``"feistel"`` draws from
+    its own sort-free stream evaluated at the composed row indices — no
+    [n] permutation materialization or per-draw index gather (the ~40 ms
+    sort at 1M cells dominates fast local kernels). Observed comparison
+    values come from the SAME banded operator at the identity placement.
     Returns ``(p_global [P], p_local [n, P])`` in original cell order
     (``p_local`` is ones when ``compute_cell_pvalues`` is False).
     """
@@ -1506,13 +1509,19 @@ def _banded_lees_p(order, rank, local_idx, w_local, far_src, far_dst,
 
     obs_l, obs_g = lees(rows_idx)
     abs_l, abs_g = jnp.abs(obs_l), jnp.abs(obs_g)
-    base = key_for(seed, "perm_lee", 0)
+    if perm_method == "sort":
+        base = key_for(seed, "perm_lee", 0)
+    else:
+        base = key_for(seed, "perm_feistel_lee", 0)
     cdt = jnp.int16 if n_permutations <= 32767 else jnp.int32
 
     def body(carry, step):
         cg, cl = carry
         key = jax.random.fold_in(base, step)
-        rows = jax.random.permutation(key, n)[rows_idx]
+        if perm_method == "sort":
+            rows = jax.random.permutation(key, n)[rows_idx]
+        else:
+            rows = feistel_apply(key, rows_idx, n)
         Lp, Lg = lees(rows)
         cg = cg + (jnp.abs(Lg) >= abs_g).astype(jnp.int32)
         if compute_cell_pvalues:
@@ -1532,20 +1541,24 @@ def _banded_lees_p(order, rank, local_idx, w_local, far_src, far_dst,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "block", "n", "n_permutations", "precision"))
+    "block", "n", "n_permutations", "precision", "perm_method"))
 def _banded_local_geary_p(order, rank, local_idx, w_local, far_src, far_dst,
                           far_w, Z, seed, *, block: int, n: int,
-                          n_permutations: int, precision: str):
+                          n_permutations: int, precision: str,
+                          perm_method: str = "sort"):
     """Local Geary total-null permutation p via the banded plan.
 
     Per draw ONE row gather + two band matmul families, using the
     expansion c_i = z_i²·Σ_j w_ij + Σ_j w_ij z_j² − 2 z_i Σ_j w_ij z_j
     (algebraically equal to the direct kernel's Σ w (z_i − z_j)²; in f32
-    it differs only by float rearrangement). Same ``perm_local_geary``
-    draw stream as ``ops.moran.local_geary(null="total")``; the observed
-    comparison value comes from the SAME banded operator at the identity
-    placement. One-sided low tail: p = (#{c_perm ≤ c_obs}+1)/(P+1),
-    returned in original cell order.
+    it differs only by float rearrangement). ``perm_method="sort"`` uses
+    the same ``perm_local_geary`` draw stream as
+    ``ops.moran.local_geary(null="total")``; ``"feistel"`` draws from its
+    own sort-free stream at composed row indices (no [n] permutation
+    materialization per draw). The observed comparison value comes from
+    the SAME banded operator at the identity placement. One-sided low
+    tail: p = (#{c_perm ≤ c_obs}+1)/(P+1), returned in original cell
+    order.
     """
     B = block
     n_padded = local_idx.shape[0]
@@ -1573,12 +1586,18 @@ def _banded_local_geary_p(order, rank, local_idx, w_local, far_src, far_dst,
         return me * me * row_w + lag2 - 2.0 * me * lag1
 
     c_obs = geary(rows_idx)
-    base = key_for(seed, "perm_local_geary", 0)
+    if perm_method == "sort":
+        base = key_for(seed, "perm_local_geary", 0)
+    else:
+        base = key_for(seed, "perm_feistel_local_geary", 0)
     cdt = jnp.int16 if n_permutations <= 32767 else jnp.int32
 
     def body(count, step):
         key = jax.random.fold_in(base, step)
-        rows = jax.random.permutation(key, n)[rows_idx]
+        if perm_method == "sort":
+            rows = jax.random.permutation(key, n)[rows_idx]
+        else:
+            rows = feistel_apply(key, rows_idx, n)
         return count + (geary(rows) <= c_obs).astype(cdt), None
 
     count, _ = jax.lax.scan(body, jnp.zeros((n_padded, G), cdt),
@@ -1593,11 +1612,13 @@ def banded_local_geary(
     seed: int,
     n_permutations: int,
     precision: str = "f32",
+    perm_method: str = "feistel",
 ):
     """Local Geary total-null p-values via the banded plan — see
     :func:`_banded_local_geary_p`. Returns ``(c_obs_operator, p)`` in
     original cell order; callers should take the OBSERVED C from the
-    exact direct kernel and use only ``p`` from here."""
+    exact direct kernel and use only ``p`` from here.
+    ``perm_method="sort"`` reproduces the direct kernel's draw stream."""
     if precision not in ("bf16", "f32"):
         raise ValueError(
             f"banded_local_geary supports precision 'bf16' or 'f32', got "
@@ -1605,15 +1626,17 @@ def banded_local_geary(
     return _banded_local_geary_p(
         plan.order, plan.rank, plan.local_idx, plan.w_local, plan.far_src,
         plan.far_dst, plan.far_w, Z, jnp.uint32(seed), block=plan.block,
-        n=plan.n, n_permutations=n_permutations, precision=precision)
+        n=plan.n, n_permutations=n_permutations, precision=precision,
+        perm_method=perm_method)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "block", "n", "n_permutations", "star", "alternative", "precision"))
+    "block", "n", "n_permutations", "star", "alternative", "precision",
+    "perm_method"))
 def _banded_getis_p(order, rank, local_idx, w_local, far_src, far_dst,
                     far_w, X, seed, *, block: int, n: int,
                     n_permutations: int, star: bool, alternative: str,
-                    precision: str):
+                    precision: str, perm_method: str = "sort"):
     """Getis-Ord Gi/Gi* permutation p via the banded plan.
 
     Under the column-shuffle null every per-gene column statistic (mean,
@@ -1625,8 +1648,10 @@ def _banded_getis_p(order, rank, local_idx, w_local, far_src, far_dst,
     binarized weights (``ops.getis.getis_ord`` uses binary adjacency, not
     the row-normalized weights the plan stores). Gi (non-star) replaces
     x̄, s with their leave-one-out forms — still elementwise functions of
-    the gathered own-value. Same ``perm_getis`` draw stream as the direct
-    kernel. Returns p_sim in original cell order.
+    the gathered own-value. ``perm_method="sort"`` uses the same
+    ``perm_getis`` draw stream as the direct kernel; ``"feistel"`` draws
+    from its own sort-free stream at composed row indices. Returns p_sim
+    in original cell order.
     """
     B = block
     n_padded = local_idx.shape[0]
@@ -1665,12 +1690,18 @@ def _banded_getis_p(order, rank, local_idx, w_local, far_src, far_dst,
         return (lag - xbar_i * W_row) / s
 
     obs_c = center(rows_idx)
-    base = key_for(seed, "perm_getis", 0)
+    if perm_method == "sort":
+        base = key_for(seed, "perm_getis", 0)
+    else:
+        base = key_for(seed, "perm_feistel_getis", 0)
     cdt = jnp.int16 if n_permutations <= 32767 else jnp.int32
 
     def body(count, step):
         key = jax.random.fold_in(base, step)
-        rows = jax.random.permutation(key, n)[rows_idx]
+        if perm_method == "sort":
+            rows = jax.random.permutation(key, n)[rows_idx]
+        else:
+            rows = feistel_apply(key, rows_idx, n)
         cp = center(rows)
         if alternative == "greater":
             extreme = cp >= obs_c
@@ -1694,10 +1725,12 @@ def banded_getis(
     star: bool = True,
     alternative: str = "two-sided",
     precision: str = "f32",
+    perm_method: str = "feistel",
 ):
     """Getis-Ord permutation p_sim via the banded plan — see
     :func:`_banded_getis_p`. Observed G/z/analytic p should come from the
-    exact direct kernel (``ops.getis.getis_ord`` with P=0)."""
+    exact direct kernel (``ops.getis.getis_ord`` with P=0).
+    ``perm_method="sort"`` reproduces the direct kernel's draw stream."""
     if precision not in ("bf16", "f32"):
         raise ValueError(
             f"banded_getis supports precision 'bf16' or 'f32', got "
@@ -1708,7 +1741,8 @@ def banded_getis(
         plan.order, plan.rank, plan.local_idx, plan.w_local, plan.far_src,
         plan.far_dst, plan.far_w, X, jnp.uint32(seed), block=plan.block,
         n=plan.n, n_permutations=n_permutations, star=star,
-        alternative=alternative, precision=precision)
+        alternative=alternative, precision=precision,
+        perm_method=perm_method)
 
 
 def banded_lees_l(
@@ -1719,11 +1753,13 @@ def banded_lees_l(
     n_permutations: int,
     precision: str = "bf16",
     compute_cell_pvalues: bool = False,
+    perm_method: str = "feistel",
 ):
     """Lee's L permutation p-values (global + optional per-cell) via the
     banded plan — see :func:`_banded_lees_p`. Observed L values should
     come from the exact direct kernel (``ops.lee.lees_l_pairs`` with
-    ``n_permutations=0``); this only evaluates the null."""
+    ``n_permutations=0``); this only evaluates the null.
+    ``perm_method="sort"`` reproduces the direct kernel's draw stream."""
     if precision not in ("bf16", "f32"):
         raise ValueError(
             f"banded_lees_l supports precision 'bf16' or 'f32', got "
@@ -1732,7 +1768,8 @@ def banded_lees_l(
         plan.order, plan.rank, plan.local_idx, plan.w_local, plan.far_src,
         plan.far_dst, plan.far_w, Zx, Zy, jnp.uint32(seed),
         block=plan.block, n=plan.n, n_permutations=n_permutations,
-        precision=precision, compute_cell_pvalues=compute_cell_pvalues)
+        precision=precision, compute_cell_pvalues=compute_cell_pvalues,
+        perm_method=perm_method)
 
 
 def banded_local_moran(

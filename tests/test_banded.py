@@ -567,7 +567,8 @@ def test_banded_lees_l_matches_direct(setup):
                           compute_cell_pvalues=True)
     plan = build_null_plan(graph, coords, block=64)
     p_g, p_l = banded_lees_l(plan, Zx, Zy, seed=5, n_permutations=P,
-                             precision="f32", compute_cell_pvalues=True)
+                             precision="f32", compute_cell_pvalues=True,
+                             perm_method="sort")
     np.testing.assert_allclose(np.asarray(p_g), np.asarray(direct.p_global),
                                atol=2.0 / (P + 1))
     pl_d = np.asarray(direct.p_local)
@@ -577,10 +578,18 @@ def test_banded_lees_l_matches_direct(setup):
 
     # bf16 (the production default at scale) reaches the same inference
     p_g16, p_l16 = banded_lees_l(plan, Zx, Zy, seed=5, n_permutations=P,
-                                 compute_cell_pvalues=True)
+                                 compute_cell_pvalues=True,
+                                 perm_method="sort")
     assert ((np.asarray(p_l16) < 0.05) == (pl_d < 0.05)).mean() > 0.95
     np.testing.assert_allclose(np.asarray(p_g16),
                                np.asarray(direct.p_global), atol=0.05)
+
+    # feistel (the production default): same inference from its own stream
+    p_gf, p_lf = banded_lees_l(plan, Zx, Zy, seed=5, n_permutations=P,
+                               compute_cell_pvalues=True)
+    assert ((np.asarray(p_lf) < 0.05) == (pl_d < 0.05)).mean() > 0.9
+    np.testing.assert_array_equal(
+        np.asarray(p_gf < 0.05), np.asarray(direct.p_global) < 0.05)
 
 
 def test_lees_l_public_banded_null(setup):
@@ -612,7 +621,7 @@ def test_lees_l_public_banded_null(setup):
     np.testing.assert_array_equal(a.obs["0_1_lees_l"], b.obs["0_1_lees_l"])
     agree = (np.asarray(a.obs["0_1_pvalue"] < 0.05)
              == np.asarray(b.obs["0_1_pvalue"] < 0.05)).mean()
-    assert agree > 0.95
+    assert agree > 0.9     # banded default = feistel stream (own draws)
 
 
 def test_banded_lees_l_rejects_int8():
@@ -633,11 +642,16 @@ def test_banded_local_geary_matches_direct(setup):
     P = 99
     direct = local_geary(graph, Z, seed=11, n_permutations=P, null="total")
     plan = build_null_plan(graph, coords, block=64)
-    _, p_b = banded_local_geary(plan, Z, seed=11, n_permutations=P)
+    _, p_b = banded_local_geary(plan, Z, seed=11, n_permutations=P,
+                                perm_method="sort")
     p_d = np.asarray(direct.p_value)
     p_b = np.asarray(p_b)
     assert np.abs(p_b - p_d).mean() < 0.01
     assert ((p_b < 0.05) == (p_d < 0.05)).mean() > 0.98
+
+    # feistel (the production default): same inference from its own stream
+    _, p_f = banded_local_geary(plan, Z, seed=11, n_permutations=P)
+    assert ((np.asarray(p_f) < 0.05) == (p_d < 0.05)).mean() > 0.9
 
 
 def test_local_gearys_c_public_banded(setup):
@@ -657,7 +671,7 @@ def test_local_gearys_c_public_banded(setup):
                                   np.asarray(b.obsm["local_geary_C"]))
     agree = ((np.asarray(a.obsm["local_geary_p"]) < 0.05)
              == (np.asarray(b.obsm["local_geary_p"]) < 0.05)).mean()
-    assert agree > 0.97
+    assert agree > 0.9     # banded default = feistel stream (own draws)
 
 
 def test_banded_getis_matches_direct(setup):
@@ -675,10 +689,14 @@ def test_banded_getis_matches_direct(setup):
                            n_permutations=P)
         plan = build_null_plan(graph, coords, block=64)
         p_b = np.asarray(banded_getis(plan, X, 6, P, star=star,
-                                      alternative=alt))
+                                      alternative=alt, perm_method="sort"))
         p_d = np.asarray(direct.p_sim)
         assert np.abs(p_b - p_d).mean() < 0.01, (star, alt)
         assert ((p_b < 0.05) == (p_d < 0.05)).mean() > 0.98, (star, alt)
+        # feistel (the production default): same inference
+        p_f = np.asarray(banded_getis(plan, X, 6, P, star=star,
+                                      alternative=alt))
+        assert ((p_f < 0.05) == (p_d < 0.05)).mean() > 0.9, (star, alt)
 
 
 def test_getis_public_banded(setup):
@@ -696,7 +714,7 @@ def test_getis_public_banded(setup):
                                   np.asarray(b.obsm["getis_ord_z"]))
     agree = ((np.asarray(a.obsm["getis_ord_p_sim"]) < 0.05)
              == (np.asarray(b.obsm["getis_ord_p_sim"]) < 0.05)).mean()
-    assert agree > 0.97
+    assert agree > 0.9     # banded default = feistel stream (own draws)
 
 
 def test_banded_family_degenerate_inputs(setup):
