@@ -1541,6 +1541,104 @@ def _banded_lees_p(order, rank, local_idx, w_local, far_src, far_dst,
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "block", "n", "n_permutations", "perm_method",
+    "compute_cell_pvalues"))
+def _banded_lees_p_i8(order, rank, local_idx, w_local, far_src, far_dst,
+                      far_w, Zx, Zy, seed, *, block: int, n: int,
+                      n_permutations: int, perm_method: str,
+                      compute_cell_pvalues: bool):
+    """Lee's L nulls in the int8 quantized-operator system.
+
+    Both columns quantize per gene-pair (:func:`_quantize_z`), weights
+    per row with the FULL-row scale (far edges included). The per-cell
+    draw statistic is the exact int32 ``x_code · Σ w_code y_code``
+    (|L_q| ≤ k·127³ < 2³¹ for k ≤ 1000); the shared positive factor
+    s_x·s_y·sw_row multiplies both sides of every per-cell comparison,
+    so |L_perm| ≥ |L_obs| decisions equal the quantized-weights f32
+    operator exactly. The GLOBAL statistic re-applies the per-row weight
+    scale in an f32 reduce (rows carry different sw) — the same
+    convention as the global int8 Moran kernel — so its comparisons are
+    f32-of-integer, deterministic and identical for draw and observed.
+    int8 row gathers: the same 4 KB gather row serves 2× the bf16 pairs.
+    """
+    B = block
+    n_padded = local_idx.shape[0]
+    nb = n_padded // B
+    Pn = Zy.shape[1]
+    k_total = local_idx.shape[1]
+    if k_total > 1000:
+        raise ValueError(
+            f"int8 Lee null supports k <= 1000 (int32 bound k*127^3), "
+            f"got k={k_total}; use precision='bf16'")
+    Zxq, _ = _quantize_z(Zx)
+    Zyq, _ = _quantize_z(Zy)
+    local_max = jnp.max(w_local.astype(jnp.float32), axis=1)
+    far_max = jnp.zeros((n_padded,), jnp.float32).at[far_src - B].max(
+        far_w.astype(jnp.float32), mode="drop")
+    rowmax = jnp.maximum(local_max, far_max)
+    sw_row = jnp.where(rowmax > 0, rowmax / 127.0, 1.0)
+    A8, _ = _build_band_i8(local_idx, w_local, B,
+                           row_scale=sw_row.reshape(nb, B, 1))
+    far_q = jnp.clip(jnp.round(far_w / sw_row[far_src - B]), 0,
+                     127).astype(jnp.int32)
+    gidx0 = jnp.clip(jnp.arange((nb + 2) * B, dtype=jnp.int32) - B, 0, n - 1)
+    rows_idx = order[gidx0]
+    zx_new = Zxq[order].astype(jnp.int32)
+    if n_padded > n:
+        zx_new = jnp.pad(zx_new, ((0, n_padded - n), (0, 0)))
+
+    def lees_q(rows):
+        Yp = Zyq[rows].reshape(nb + 2, B, Pn)
+        lag = jnp.zeros((nb, B, Pn), jnp.int32)
+        for s in range(3):
+            lag = lag + jnp.einsum(
+                "nbw,nwg->nbg", A8[:, :, s * B:(s + 1) * B].astype(jnp.int32),
+                Yp[s:s + nb].astype(jnp.int32))
+            lag = jax.lax.optimization_barrier(lag)
+        lag = lag.reshape(n_padded, Pn)
+        vals = Yp.reshape(-1, Pn)[far_dst].astype(jnp.int32) * far_q[:, None]
+        lag = lag.at[far_src - B].add(vals, mode="drop")
+        Lq = zx_new * lag                               # exact int32
+        Lg = jnp.einsum("np,n->p", Lq.astype(jnp.float32), sw_row,
+                        preferred_element_type=jnp.float32)
+        return Lq, Lg
+
+    obs_l, obs_g = lees_q(rows_idx)
+    abs_l, abs_g = jnp.abs(obs_l), jnp.abs(obs_g)
+    if perm_method == "sort":
+        base = key_for(seed, "perm_lee", 0)
+    else:
+        base = key_for(seed, "perm_feistel_lee", 0)
+    cdt = (jnp.int8 if n_permutations <= 127
+           else jnp.int16 if n_permutations <= 32767 else jnp.int32)
+
+    def body(carry, step):
+        cg, cl = carry
+        key = jax.random.fold_in(base, step)
+        if perm_method == "sort":
+            rows = jax.random.permutation(key, n)[rows_idx]
+        else:
+            rows = feistel_apply(key, rows_idx, n)
+        Lq, Lg = lees_q(rows)
+        cg = cg + (jnp.abs(Lg) >= abs_g).astype(jnp.int32)
+        if compute_cell_pvalues:
+            cl = (cl.astype(jnp.int32)
+                  + (jnp.abs(Lq) >= abs_l).astype(jnp.int32)).astype(cdt)
+        return (cg, cl), None
+
+    cl_shape = (n_padded, Pn) if compute_cell_pvalues else (1, Pn)
+    (cg, cl), _ = jax.lax.scan(
+        body, (jnp.zeros((Pn,), jnp.int32), jnp.zeros(cl_shape, cdt)),
+        jnp.arange(n_permutations))
+    p_g = (cg + 1.0) / (n_permutations + 1.0)
+    if compute_cell_pvalues:
+        p_l = ((cl.astype(jnp.float32) + 1.0) / (n_permutations + 1.0))[rank]
+    else:
+        p_l = jnp.ones((n, Pn), jnp.float32)
+    return p_g, p_l
+
+
+@functools.partial(jax.jit, static_argnames=(
     "block", "n", "n_permutations", "precision", "perm_method"))
 def _banded_local_geary_p(order, rank, local_idx, w_local, far_src, far_dst,
                           far_w, Z, seed, *, block: int, n: int,
@@ -1606,6 +1704,100 @@ def _banded_local_geary_p(order, rank, local_idx, w_local, far_src, far_dst,
     return c_obs[rank], p[rank]
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "block", "n", "n_permutations", "perm_method"))
+def _banded_local_geary_p_i8(order, rank, local_idx, w_local, far_src,
+                             far_dst, far_w, Z, seed, *, block: int, n: int,
+                             n_permutations: int, perm_method: str):
+    """Local Geary total nulls, fully integer.
+
+    The expansion c_i = z_i²·W_i + Σ w z_j² − 2 z_i Σ w z_j evaluates
+    exactly in the quantized domain: z codes via :func:`_quantize_z`,
+    weights per row with the full-row scale. The z² lag rides the int8
+    MXU through a TWO-PLANE split — z_q² = 128·a + b with a ≤ 126,
+    b ≤ 127 both int8 — so lag(z²) = 128·lag(a) + lag(b) is exact.
+    Every term shares the positive factor s_g²·sw_row, fixed across
+    draws, so c_perm ≤ c_obs decisions are exact int32 comparisons
+    (bound: Σ w_q (Δz_q)² ≤ k·127·254² < 2³¹ requires k ≤ 256). Cost per
+    draw: ONE int8 row gather + three band matmul families (z, a, b) —
+    vs the f32 path's one bf16 gather + two families at HALF the genes
+    per tile.
+    """
+    B = block
+    n_padded = local_idx.shape[0]
+    nb = n_padded // B
+    G = Z.shape[1]
+    k_total = local_idx.shape[1]
+    if k_total > 256:
+        raise ValueError(
+            f"int8 local-Geary null supports k <= 256 (int32 bound "
+            f"k*127*254^2), got k={k_total}; use precision='f32'")
+    Zq, _ = _quantize_z(Z) if Z.dtype != jnp.int8 else (Z, None)
+    local_max = jnp.max(w_local.astype(jnp.float32), axis=1)
+    far_max = jnp.zeros((n_padded,), jnp.float32).at[far_src - B].max(
+        far_w.astype(jnp.float32), mode="drop")
+    rowmax = jnp.maximum(local_max, far_max)
+    sw_row = jnp.where(rowmax > 0, rowmax / 127.0, 1.0)
+    A8, _ = _build_band_i8(local_idx, w_local, B,
+                           row_scale=sw_row.reshape(nb, B, 1))
+    far_q = jnp.clip(jnp.round(far_w / sw_row[far_src - B]), 0,
+                     127).astype(jnp.int32)
+    # per-row TOTAL quantized weight (band codes + far codes)
+    Wq_row = jnp.sum(A8.astype(jnp.int32), axis=2).reshape(n_padded)
+    Wq_row = Wq_row.at[far_src - B].add(far_q, mode="drop")[:, None]
+    gidx0 = jnp.clip(jnp.arange((nb + 2) * B, dtype=jnp.int32) - B, 0, n - 1)
+    rows_idx = order[gidx0]
+
+    def band_lag_i32(W3, Zp_any):
+        lag = jnp.zeros((nb, B, G), jnp.int32)
+        for s in range(3):
+            lag = lag + jnp.einsum(
+                "nbw,nwg->nbg", W3[:, :, s * B:(s + 1) * B].astype(jnp.int32),
+                Zp_any[s:s + nb].astype(jnp.int32))
+            lag = jax.lax.optimization_barrier(lag)
+        return lag.reshape(n_padded, G)
+
+    def geary_q(rows):
+        Zp = Zq[rows].reshape(nb + 2, B, G)             # ONE int8 gather
+        zi32 = Zp.astype(jnp.int32)
+        z2 = zi32 * zi32                                # ≤ 16129
+        a8 = (z2 >> 7).astype(jnp.int8)                 # ≤ 126
+        b8 = (z2 & 127).astype(jnp.int8)                # ≤ 127
+        lag_z = band_lag_i32(A8, Zp)
+        lag_z2 = 128 * band_lag_i32(A8, a8) + band_lag_i32(A8, b8)
+        zf = zi32.reshape(-1, G)
+        z2f = z2.reshape(-1, G)
+        lag_z = lag_z.at[far_src - B].add(
+            zf[far_dst] * far_q[:, None], mode="drop")
+        lag_z2 = lag_z2.at[far_src - B].add(
+            z2f[far_dst] * far_q[:, None], mode="drop")
+        me = zf[B:B + n_padded]
+        me2 = z2f[B:B + n_padded]
+        return me2 * Wq_row + lag_z2 - 2 * me * lag_z   # exact int32
+
+    c_obs = geary_q(rows_idx)
+    if perm_method == "sort":
+        base = key_for(seed, "perm_local_geary", 0)
+    else:
+        base = key_for(seed, "perm_feistel_local_geary", 0)
+    cdt = (jnp.int8 if n_permutations <= 127
+           else jnp.int16 if n_permutations <= 32767 else jnp.int32)
+
+    def body(count, step):
+        key = jax.random.fold_in(base, step)
+        if perm_method == "sort":
+            rows = jax.random.permutation(key, n)[rows_idx]
+        else:
+            rows = feistel_apply(key, rows_idx, n)
+        inc = (geary_q(rows) <= c_obs).astype(jnp.int32)
+        return (count.astype(jnp.int32) + inc).astype(cdt), None
+
+    count, _ = jax.lax.scan(body, jnp.zeros((n_padded, G), cdt),
+                            jnp.arange(n_permutations))
+    p = (count.astype(jnp.float32) + 1.0) / (n_permutations + 1.0)
+    return c_obs[rank], p[rank]
+
+
 def banded_local_geary(
     plan: NullPlan,
     Z: jax.Array,
@@ -1617,12 +1809,22 @@ def banded_local_geary(
     """Local Geary total-null p-values via the banded plan — see
     :func:`_banded_local_geary_p`. Returns ``(c_obs_operator, p)`` in
     original cell order; callers should take the OBSERVED C from the
-    exact direct kernel and use only ``p`` from here.
-    ``perm_method="sort"`` reproduces the direct kernel's draw stream."""
-    if precision not in ("bf16", "f32"):
+    exact direct kernel and use only ``p`` from here (the int8 path's
+    first return value is in integer CODE units).
+    ``perm_method="sort"`` reproduces the direct kernel's draw stream.
+    ``precision="int8"`` runs the fully-integer quantized-operator
+    system (two-plane z² split, k <= 256) — see
+    :func:`_banded_local_geary_p_i8`."""
+    if precision not in ("bf16", "f32", "int8"):
         raise ValueError(
-            f"banded_local_geary supports precision 'bf16' or 'f32', got "
-            f"{precision!r}")
+            f"banded_local_geary supports precision 'bf16', 'f32' or "
+            f"'int8', got {precision!r}")
+    if precision == "int8":
+        return _banded_local_geary_p_i8(
+            plan.order, plan.rank, plan.local_idx, plan.w_local,
+            plan.far_src, plan.far_dst, plan.far_w, Z, jnp.uint32(seed),
+            block=plan.block, n=plan.n, n_permutations=n_permutations,
+            perm_method=perm_method)
     return _banded_local_geary_p(
         plan.order, plan.rank, plan.local_idx, plan.w_local, plan.far_src,
         plan.far_dst, plan.far_w, Z, jnp.uint32(seed), block=plan.block,
@@ -1717,6 +1919,102 @@ def _banded_getis_p(order, rank, local_idx, w_local, far_src, far_dst,
     return p[rank]
 
 
+def _quantize_x(X):
+    """Per-gene int8 quantization of RAW (non-standardized) values:
+    s_g = max|x_g|/127, no clip — Getis operates on raw expression, whose
+    dynamic range after normalization is bounded (log1p ~[0, 10])."""
+    Xf = X.astype(jnp.float32)
+    s = jnp.max(jnp.abs(Xf), axis=0) / 127.0
+    s = jnp.where(s > 0, s, 1.0)
+    Xq = jnp.clip(jnp.round(Xf / s), -127, 127).astype(jnp.int8)
+    return Xq, s
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "block", "n", "n_permutations", "star", "alternative", "perm_method"))
+def _banded_getis_p_i8(order, rank, local_idx, w_local, far_src, far_dst,
+                       far_w, X, seed, *, block: int, n: int,
+                       n_permutations: int, star: bool, alternative: str,
+                       perm_method: str):
+    """Getis-Ord Gi/Gi* permutation p_sim, int8 quantized operator.
+
+    Getis adjacency is BINARY (0/1 — exact in int8), so the only
+    quantization is per-gene on X (:func:`_quantize_x`); the per-draw
+    binary lag is an exact int32 count-weighted sum of codes
+    (≤ (k+1)·127 ≪ 2³¹, no k bound needed). Column statistics (tot, sq)
+    are draw-invariant f32-of-integer sums computed ONCE and shared by
+    draw and observed sides, so the centered comparison is deterministic
+    and consistent — the same quantized-operator convention as the int8
+    Moran/LISA kernels. The int8 gather row serves 2× the f32 genes.
+    """
+    B = block
+    n_padded = local_idx.shape[0]
+    nb = n_padded // B
+    G = X.shape[1]
+    Xq, _ = _quantize_x(X)
+    wb = (w_local > 0)
+    A8 = _build_band(local_idx, wb, B, jnp.int8)        # exact 0/1 codes
+    fb = (far_w > 0).astype(jnp.int32)
+    gidx0 = jnp.clip(jnp.arange((nb + 2) * B, dtype=jnp.int32) - B, 0, n - 1)
+    rows_idx = order[gidx0]
+    W_row = (jnp.sum(wb.astype(jnp.float32), axis=1)
+             .at[far_src - B].add(fb.astype(jnp.float32),
+                                  mode="drop"))[:, None]
+    Xf = Xq.astype(jnp.float32)
+    tot = jnp.sum(Xf, axis=0, keepdims=True)            # [1, G] code units
+    sq = jnp.sum(Xf * Xf, axis=0, keepdims=True)
+    m = jnp.float32(n if star else n - 1)
+
+    def center_q(rows):
+        Xp = Xq[rows].reshape(nb + 2, B, G)             # ONE int8 gather
+        lag = jnp.zeros((nb, B, G), jnp.int32)
+        for s in range(3):
+            lag = lag + jnp.einsum(
+                "nbw,nwg->nbg", A8[:, :, s * B:(s + 1) * B].astype(jnp.int32),
+                Xp[s:s + nb].astype(jnp.int32))
+            lag = jax.lax.optimization_barrier(lag)
+        lag = lag.reshape(n_padded, G)
+        xf = Xp.reshape(-1, G).astype(jnp.int32)
+        lag = lag.at[far_src - B].add(xf[far_dst] * fb[:, None], mode="drop")
+        me = xf[B:B + n_padded].astype(jnp.float32)
+        lagf = lag.astype(jnp.float32)
+        if star:
+            return (lagf + me) - (tot / m) * (W_row + 1.0)
+        xbar_i = (tot - me) / m
+        s2 = jnp.maximum((sq - me * me) / m - xbar_i * xbar_i, 0.0)
+        s = jnp.sqrt(jnp.where(s2 > 0, s2, 1.0))
+        return (lagf - xbar_i * W_row) / s
+
+    obs_c = center_q(rows_idx)
+    if perm_method == "sort":
+        base = key_for(seed, "perm_getis", 0)
+    else:
+        base = key_for(seed, "perm_feistel_getis", 0)
+    cdt = (jnp.int8 if n_permutations <= 127
+           else jnp.int16 if n_permutations <= 32767 else jnp.int32)
+
+    def body(count, step):
+        key = jax.random.fold_in(base, step)
+        if perm_method == "sort":
+            rows = jax.random.permutation(key, n)[rows_idx]
+        else:
+            rows = feistel_apply(key, rows_idx, n)
+        cp = center_q(rows)
+        if alternative == "greater":
+            extreme = cp >= obs_c
+        elif alternative == "less":
+            extreme = cp <= obs_c
+        else:
+            extreme = jnp.abs(cp) >= jnp.abs(obs_c)
+        return (count.astype(jnp.int32)
+                + extreme.astype(jnp.int32)).astype(cdt), None
+
+    count, _ = jax.lax.scan(body, jnp.zeros((n_padded, G), cdt),
+                            jnp.arange(n_permutations))
+    p = (count.astype(jnp.float32) + 1.0) / (n_permutations + 1.0)
+    return p[rank]
+
+
 def banded_getis(
     plan: NullPlan,
     X: jax.Array,
@@ -1730,13 +2028,21 @@ def banded_getis(
     """Getis-Ord permutation p_sim via the banded plan — see
     :func:`_banded_getis_p`. Observed G/z/analytic p should come from the
     exact direct kernel (``ops.getis.getis_ord`` with P=0).
-    ``perm_method="sort"`` reproduces the direct kernel's draw stream."""
-    if precision not in ("bf16", "f32"):
+    ``perm_method="sort"`` reproduces the direct kernel's draw stream.
+    ``precision="int8"`` quantizes X per gene against the exact binary
+    adjacency — see :func:`_banded_getis_p_i8`."""
+    if precision not in ("bf16", "f32", "int8"):
         raise ValueError(
-            f"banded_getis supports precision 'bf16' or 'f32', got "
-            f"{precision!r}")
+            f"banded_getis supports precision 'bf16', 'f32' or 'int8', "
+            f"got {precision!r}")
     if alternative not in ("two-sided", "greater", "less"):
         raise ValueError(f"invalid alternative {alternative!r}")
+    if precision == "int8":
+        return _banded_getis_p_i8(
+            plan.order, plan.rank, plan.local_idx, plan.w_local,
+            plan.far_src, plan.far_dst, plan.far_w, X, jnp.uint32(seed),
+            block=plan.block, n=plan.n, n_permutations=n_permutations,
+            star=star, alternative=alternative, perm_method=perm_method)
     return _banded_getis_p(
         plan.order, plan.rank, plan.local_idx, plan.w_local, plan.far_src,
         plan.far_dst, plan.far_w, X, jnp.uint32(seed), block=plan.block,
@@ -1759,11 +2065,21 @@ def banded_lees_l(
     banded plan — see :func:`_banded_lees_p`. Observed L values should
     come from the exact direct kernel (``ops.lee.lees_l_pairs`` with
     ``n_permutations=0``); this only evaluates the null.
-    ``perm_method="sort"`` reproduces the direct kernel's draw stream."""
-    if precision not in ("bf16", "f32"):
+    ``perm_method="sort"`` reproduces the direct kernel's draw stream.
+    ``precision="int8"`` runs the quantized-operator system (exact int8
+    MXU band dots, int32 per-cell comparisons, k <= 1000) — see
+    :func:`_banded_lees_p_i8`."""
+    if precision not in ("bf16", "f32", "int8"):
         raise ValueError(
-            f"banded_lees_l supports precision 'bf16' or 'f32', got "
-            f"{precision!r} (int8 is a local-Moran-only mode)")
+            f"banded_lees_l supports precision 'bf16', 'f32' or 'int8', "
+            f"got {precision!r}")
+    if precision == "int8":
+        return _banded_lees_p_i8(
+            plan.order, plan.rank, plan.local_idx, plan.w_local,
+            plan.far_src, plan.far_dst, plan.far_w, Zx, Zy,
+            jnp.uint32(seed), block=plan.block, n=plan.n,
+            n_permutations=n_permutations, perm_method=perm_method,
+            compute_cell_pvalues=compute_cell_pvalues)
     return _banded_lees_p(
         plan.order, plan.rank, plan.local_idx, plan.w_local, plan.far_src,
         plan.far_dst, plan.far_w, Zx, Zy, jnp.uint32(seed),

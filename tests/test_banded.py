@@ -624,11 +624,101 @@ def test_lees_l_public_banded_null(setup):
     assert agree > 0.9     # banded default = feistel stream (own draws)
 
 
-def test_banded_lees_l_rejects_int8():
-    from spatialcore_tpu.ops.banded import banded_lees_l
+def test_banded_family_invalid_precision():
+    from spatialcore_tpu.ops.banded import (
+        banded_getis, banded_lees_l, banded_local_geary)
 
-    with pytest.raises(ValueError, match="int8 is a local-Moran-only"):
-        banded_lees_l(None, None, None, 0, 10, precision="int8")
+    with pytest.raises(ValueError, match="precision"):
+        banded_lees_l(None, None, None, 0, 10, precision="fp4")
+    with pytest.raises(ValueError, match="precision"):
+        banded_local_geary(None, None, 0, 10, precision="fp4")
+    with pytest.raises(ValueError, match="precision"):
+        banded_getis(None, None, 0, 10, precision="fp4")
+
+
+def test_banded_lees_l_int8(setup):
+    """int8 Lee nulls: quantized-operator decisions track the direct f32
+    kernel at tie level under the same (sort) draw stream."""
+    from spatialcore_tpu.ops.banded import banded_lees_l
+    from spatialcore_tpu.ops.lee import lees_l_pairs
+
+    coords, graph, Z = setup
+    Zx, Zy = Z[:, [0, 2, 6]], Z[:, [1, 3, 7]]
+    P = 99
+    direct = lees_l_pairs(graph, Zx, Zy, seed=5, n_permutations=P,
+                          compute_cell_pvalues=True)
+    plan = build_null_plan(graph, coords, block=64)
+    p_g, p_l = banded_lees_l(plan, Zx, Zy, seed=5, n_permutations=P,
+                             precision="int8", compute_cell_pvalues=True,
+                             perm_method="sort")
+    np.testing.assert_allclose(np.asarray(p_g), np.asarray(direct.p_global),
+                               atol=0.05)
+    pl_d = np.asarray(direct.p_local)
+    pl_b = np.asarray(p_l)
+    assert np.abs(pl_b - pl_d).mean() < 0.02
+    assert ((pl_b < 0.05) == (pl_d < 0.05)).mean() > 0.97
+    # feistel default deterministic
+    pg_f1, _ = banded_lees_l(plan, Zx, Zy, seed=5, n_permutations=P,
+                             precision="int8")
+    pg_f2, _ = banded_lees_l(plan, Zx, Zy, seed=5, n_permutations=P,
+                             precision="int8")
+    np.testing.assert_array_equal(np.asarray(pg_f1), np.asarray(pg_f2))
+
+
+def test_banded_local_geary_int8(setup):
+    """Fully-integer local Geary nulls: exact int32 comparisons of the
+    two-plane quantized expansion, decision agreement with the f32 direct
+    kernel under the same draws."""
+    from spatialcore_tpu.ops.banded import banded_local_geary
+    from spatialcore_tpu.ops.moran import local_geary
+
+    coords, graph, Z = setup
+    P = 99
+    direct = local_geary(graph, Z, seed=11, n_permutations=P, null="total")
+    plan = build_null_plan(graph, coords, block=64)
+    _, p8 = banded_local_geary(plan, Z, seed=11, n_permutations=P,
+                               precision="int8", perm_method="sort")
+    p_d = np.asarray(direct.p_value)
+    p8 = np.asarray(p8)
+    assert np.abs(p8 - p_d).mean() < 0.02
+    assert ((p8 < 0.05) == (p_d < 0.05)).mean() > 0.97
+
+
+def test_banded_local_geary_int8_k_bound():
+    """k > 256 overflows the int32 comparison bound — loud error."""
+    import jax.numpy as jnp
+
+    from spatialcore_tpu.ops.banded import _banded_local_geary_p_i8
+
+    npad, k = 64, 300
+    with pytest.raises(ValueError, match="k <= 256"):
+        _banded_local_geary_p_i8(
+            jnp.zeros(64, jnp.int32), jnp.zeros(64, jnp.int32),
+            jnp.zeros((npad, k), jnp.int32), jnp.zeros((npad, k)),
+            jnp.zeros(4, jnp.int32) + 64, jnp.zeros(4, jnp.int32),
+            jnp.zeros(4), jnp.zeros((64, 2)), jnp.uint32(0), block=64,
+            n=64, n_permutations=3, perm_method="feistel")
+
+
+def test_banded_getis_int8(setup):
+    """int8 Getis-Ord p_sim: exact binary adjacency, per-gene quantized X,
+    decision agreement with the direct kernel under the same draws."""
+    from spatialcore_tpu.ops.banded import banded_getis
+    from spatialcore_tpu.ops.getis import getis_ord
+
+    coords, graph, Z = setup
+    X = jnp.abs(Z[:, :5]) + 0.1
+    P = 99
+    for star, alt in ((True, "two-sided"), (False, "greater")):
+        direct = getis_ord(graph, X, star=star, alternative=alt, seed=6,
+                           n_permutations=P)
+        plan = build_null_plan(graph, coords, block=64)
+        p8 = np.asarray(banded_getis(plan, X, 6, P, star=star,
+                                     alternative=alt, precision="int8",
+                                     perm_method="sort"))
+        p_d = np.asarray(direct.p_sim)
+        assert np.abs(p8 - p_d).mean() < 0.02, (star, alt)
+        assert ((p8 < 0.05) == (p_d < 0.05)).mean() > 0.97, (star, alt)
 
 
 def test_banded_local_geary_matches_direct(setup):
