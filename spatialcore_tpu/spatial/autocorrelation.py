@@ -822,14 +822,18 @@ def _lees_use_banded(null_method: str, n_cells: int,
     loudly even at n_permutations=0 (review finding). The auto-selected
     path runs the band matmuls in f32 — default results differ from the
     direct kernel only in float summation order, never quantization; the
-    explicit 'banded' opt-in uses bf16 (faster, quantized operator)."""
-    if null_method not in ("auto", "banded", "direct"):
-        raise ValueError("null_method must be 'auto', 'banded' or 'direct', "
-                         f"got {null_method!r}")
+    explicit 'banded' opt-in uses bf16 (faster, quantized operator);
+    'banded_int8' the int8 quantized-operator system (fastest — the same
+    gather row serves 2x the bf16 genes; k <= 1000)."""
+    if null_method not in ("auto", "banded", "banded_int8", "direct"):
+        raise ValueError("null_method must be 'auto', 'banded', "
+                         f"'banded_int8' or 'direct', got {null_method!r}")
     if n_permutations <= 0 or null_method == "direct":
         return False, "f32"
     if null_method == "banded":
         return True, "bf16"
+    if null_method == "banded_int8":
+        return True, "int8"
     return n_cells >= 100_000, "f32"
 
 
@@ -887,8 +891,9 @@ def lees_l(
     ``null_method``: "auto" routes the permutation null through the banded
     kernel at >= 100k cells (one row gather + band matmuls per draw
     instead of k gathers — at k=50 that is 50× fewer gathered rows);
-    "banded"/"direct" force either path. Same draw stream either way;
-    observed L is always the exact direct kernel.
+    "banded"/"direct" force either path; "banded_int8" opts into the int8
+    quantized-operator null (fastest; k <= 1000). Same draw stream either
+    way; observed L is always the exact direct kernel.
     """
     start = time.time()
     if spatial_key not in adata.obsm:
@@ -970,7 +975,8 @@ def lees_l_local(
     reference's output contract (autocorrelation.py:1429-1453).
 
     ``null_method``: as in :func:`lees_l` — "auto" uses the banded null
-    kernel at >= 100k cells (one gather per draw instead of k).
+    kernel at >= 100k cells (one gather per draw instead of k);
+    "banded_int8" opts into the int8 quantized-operator null.
     """
     start = time.time()
     if copy:
@@ -1192,14 +1198,18 @@ def local_gearys_c(
     ``null_method``: with ``null="total"``, "auto" routes the permutation
     draws through the banded kernel (f32, one row gather + band matmuls
     per draw instead of k gathers) at >= 100k cells on k >= 16 graphs;
-    "banded"/"direct" force either path. The conditional null always
-    runs the direct kernel.
+    "banded"/"direct" force either path; "banded_int8" opts into the
+    fully-integer quantized-operator null (fastest; k <= 256). The
+    conditional null always runs the direct kernel.
     """
     from ..ops.moran import local_geary as _local_geary_kernel
 
-    if null_method not in ("auto", "banded", "direct"):
-        raise ValueError("null_method must be 'auto', 'banded' or "
-                         f"'direct', got {null_method!r}")
+    if null_method not in ("auto", "banded", "banded_int8", "direct"):
+        raise ValueError("null_method must be 'auto', 'banded', "
+                         f"'banded_int8' or 'direct', got {null_method!r}")
+    band_prec = "f32"
+    if null_method == "banded_int8":
+        null_method, band_prec = "banded", "int8"
 
     start = time.time()
     if copy:
@@ -1240,7 +1250,8 @@ def local_gearys_c(
 
             obs = _local_geary_kernel(graph, Z, seed=seed,
                                       n_permutations=0, null=null)
-            _, p_band = banded_local_geary(plan, Z, seed, n_permutations)
+            _, p_band = banded_local_geary(plan, Z, seed, n_permutations,
+                                           precision=band_prec)
             res = LocalGearyResult(obs.local_C, p_band)
         else:
             res = _local_geary_kernel(graph, Z, seed=seed,
@@ -1274,6 +1285,8 @@ def local_gearys_c(
         "genes": gene_names, "n_neighbors": n_neighbors,
         "n_permutations": n_permutations, "seed": seed,
         "fdr_correction": fdr_correction, "null": null,
+        "null_method": (("banded_int8" if band_prec == "int8" else "banded")
+                        if plan is not None else "direct"),
         "computation_time_seconds": round(time.time() - start, 2),
     }
     logger.info(f"Local Geary's C: {n_cells:,} cells × {n_genes} genes "
@@ -1404,7 +1417,9 @@ def getis_ord_gi(
     ``null_method``: "auto" routes ``n_permutations>0`` draws through the
     banded kernel (f32; one row gather + band matmuls per draw instead of
     k gathers) at >= 100k cells on k >= 16 graphs; "banded"/"direct"
-    force either path. Analytic z/p always come from the exact kernel.
+    force either path; "banded_int8" opts into the int8 quantized-operator
+    null (fastest — exact binary adjacency, per-gene quantized X).
+    Analytic z/p always come from the exact kernel.
 
     The classic local hot-spot statistic (Ord & Getis 1995; esda
     ``G_Local`` analog — an extension: neither the reference nor squidpy
@@ -1433,9 +1448,12 @@ def getis_ord_gi(
                 f"{n_genes} genes, k={n_neighbors}, P={n_permutations}")
     graph = _get_graph(adata, n_neighbors, spatial_key, use_existing_graph)
 
-    if null_method not in ("auto", "banded", "direct"):
-        raise ValueError("null_method must be 'auto', 'banded' or "
-                         f"'direct', got {null_method!r}")
+    if null_method not in ("auto", "banded", "banded_int8", "direct"):
+        raise ValueError("null_method must be 'auto', 'banded', "
+                         f"'banded_int8' or 'direct', got {null_method!r}")
+    band_prec = "f32"
+    if null_method == "banded_int8":
+        null_method, band_prec = "banded", "int8"
     k_eff = int(graph.neighbor_idx.shape[1])
     use_banded = (n_permutations > 0 and null_method != "direct"
                   and (null_method == "banded"
@@ -1464,7 +1482,8 @@ def getis_ord_gi(
                                 n_permutations=0)
             p_band = banded_getis(plan, jnp.asarray(Xb), seed,
                                   n_permutations, star=star,
-                                  alternative=alternative)
+                                  alternative=alternative,
+                                  precision=band_prec)
             res = GetisOrdResult(obs.G, obs.z_score, obs.p_value, p_band)
         else:
             res = _getis_kernel(graph, jnp.asarray(Xb), star=star,
@@ -1513,6 +1532,8 @@ def getis_ord_gi(
         "genes": gene_names, "n_neighbors": n_neighbors, "star": star,
         "alternative": alternative, "n_permutations": n_permutations,
         "fdr_correction": fdr_correction, "alpha": alpha, "seed": seed,
+        "null_method": (("banded_int8" if band_prec == "int8" else "banded")
+                        if plan is not None else "direct"),
         "computation_time_seconds": elapsed,
     }
     update_metadata(

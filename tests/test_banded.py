@@ -807,6 +807,66 @@ def test_getis_public_banded(setup):
     assert agree > 0.9     # banded default = feistel stream (own draws)
 
 
+def test_banded_family_public_int8(setup):
+    """Public null_method='banded_int8' on lees_l/lees_l_local/
+    local_gearys_c/getis_ord_gi: exact observed statistics (always the
+    direct kernel), decision-level p agreement with the direct null, and
+    the chosen path recorded in uns params."""
+    import spatialcore_tpu as sct
+
+    coords, graph, Z = setup
+    X = np.asarray(Z[:, :4])
+    Xp = np.abs(X) + 0.1
+
+    a = sct.SpatialData(X=X); a.obsm["spatial"] = coords
+    b = sct.SpatialData(X=X); b.obsm["spatial"] = coords
+    r8 = sct.spatial.lees_l(a, ("0", "1"), n_permutations=99, seed=2,
+                            null_method="banded_int8")
+    rd = sct.spatial.lees_l(b, ("0", "1"), n_permutations=99, seed=2,
+                            null_method="direct")
+    assert r8["L"] == rd["L"]                        # exact observed
+    assert abs(r8["p_value"] - rd["p_value"]) <= 0.05
+
+    sct.spatial.lees_l_local(a, gene_pairs=("0", "1"), n_permutations=99,
+                             seed=2, compute_cell_pvalues=True,
+                             null_method="banded_int8")
+    sct.spatial.lees_l_local(b, gene_pairs=("0", "1"), n_permutations=99,
+                             seed=2, compute_cell_pvalues=True,
+                             null_method="direct")
+    np.testing.assert_array_equal(a.obs["0_1_lees_l"], b.obs["0_1_lees_l"])
+    agree = (np.asarray(a.obs["0_1_pvalue"] < 0.05)
+             == np.asarray(b.obs["0_1_pvalue"] < 0.05)).mean()
+    assert agree > 0.9
+
+    sct.spatial.local_gearys_c(a, n_permutations=99, seed=4, null="total",
+                               null_method="banded_int8")
+    sct.spatial.local_gearys_c(b, n_permutations=99, seed=4, null="total",
+                               null_method="direct")
+    assert a.uns["local_geary_params"]["null_method"] == "banded_int8"
+    assert b.uns["local_geary_params"]["null_method"] == "direct"
+    np.testing.assert_array_equal(np.asarray(a.obsm["local_geary_C"]),
+                                  np.asarray(b.obsm["local_geary_C"]))
+    agree = ((np.asarray(a.obsm["local_geary_p"]) < 0.05)
+             == (np.asarray(b.obsm["local_geary_p"]) < 0.05)).mean()
+    assert agree > 0.9
+
+    a.X, b.X = Xp, Xp
+    sct.spatial.getis_ord_gi(a, n_permutations=99, seed=1,
+                             null_method="banded_int8")
+    sct.spatial.getis_ord_gi(b, n_permutations=99, seed=1,
+                             null_method="direct")
+    assert a.uns["getis_ord_params"]["null_method"] == "banded_int8"
+    np.testing.assert_array_equal(np.asarray(a.obsm["getis_ord_z"]),
+                                  np.asarray(b.obsm["getis_ord_z"]))
+    agree = ((np.asarray(a.obsm["getis_ord_p_sim"]) < 0.05)
+             == (np.asarray(b.obsm["getis_ord_p_sim"]) < 0.05)).mean()
+    assert agree > 0.9
+
+    # typo still fails loudly
+    with pytest.raises(ValueError, match="null_method"):
+        sct.spatial.getis_ord_gi(b, n_permutations=0, null_method="int8")
+
+
 def test_banded_family_degenerate_inputs(setup):
     """Constant columns and isolated rows keep sane p-values through the
     banded family: a constant gene's centered Getis statistic is 0 for
