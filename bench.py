@@ -112,9 +112,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from spatialcore_tpu.core.logging import setup_logging
     from spatialcore_tpu.ops.banded import build_null_plan
     from spatialcore_tpu.ops.graph import build_graph
     from spatialcore_tpu.ops.moran import moran_observed, standardize
+
+    # package INFO logs default to stdout; the driver parses stdout as ONE
+    # JSON line, so route them to stderr with the other [bench] diagnostics
+    setup_logging(stream=sys.stderr)
 
     mesh = None
     n_dev = 1

@@ -141,6 +141,19 @@ def _get_graph(adata, n_neighbors, spatial_key, use_existing_graph) -> SpatialGr
         else:
             logger.warning(
                 "use_existing_graph=True but no stored graph; rebuilding")
+    else:
+        params = (adata.uns.get(GRAPH_UNS_KEY) or {}).get("params") or {}
+        if (params.get("n_neighbors") == n_neighbors
+                and params.get("spatial_key") == spatial_key
+                and not params.get("include_self", False)
+                and params.get("radius") is None):
+            # reference-parity default recomputes; at 1M cells that is
+            # seconds of kNN plus a fresh null plan per statistic call
+            logger.info(
+                "Recomputing the spatial graph although a stored graph "
+                "with identical parameters exists — pass "
+                "use_existing_graph=True to reuse it (and the cached "
+                "permutation null plan) across statistic calls.")
     return build_spatial_weights(adata, n_neighbors=n_neighbors,
                                  spatial_key=spatial_key)
 
