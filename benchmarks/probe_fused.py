@@ -22,8 +22,7 @@ import numpy as np
 from spatialcore_tpu.ops.banded import (
     _quantize_z, banded_permutation_test, build_null_plan)
 from spatialcore_tpu.ops.graph import build_graph
-from spatialcore_tpu.ops.moran import (
-    geary_observed, moran_observed, standardize)
+from spatialcore_tpu.ops.moran import standardize
 
 N = int(os.environ.get("PROBE_CELLS", 1_000_000))
 G = int(os.environ.get("PROBE_GENES", 2048))
@@ -68,8 +67,7 @@ del parts
 jax.block_until_ready(Z)
 float(np.asarray(den[0]))   # eat any first-readback tunnel stall
 
-kw = dict(seed=11, n_permutations=P, precision=PREC, den=den,
-          sz=sz if PREC == "int8" else None)
+kw = dict(seed=11, n_permutations=P, precision=PREC, den=den, sz=sz)
 
 
 def run(stat, obs, alt):

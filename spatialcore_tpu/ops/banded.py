@@ -1206,6 +1206,7 @@ def banded_permutation_test(
     Monte-Carlo counting stays internally consistent; mean/std of the
     null are returned in statistic units.
     """
+    _check_perm_method(perm_method)
     interpret = jax.default_backend() != "tpu"
     G = Z.shape[1]
     if precision == "int8":
@@ -1819,6 +1820,7 @@ def banded_local_geary(
         raise ValueError(
             f"banded_local_geary supports precision 'bf16', 'f32' or "
             f"'int8', got {precision!r}")
+    _check_perm_method(perm_method)
     if precision == "int8":
         return _banded_local_geary_p_i8(
             plan.order, plan.rank, plan.local_idx, plan.w_local,
@@ -1921,13 +1923,26 @@ def _banded_getis_p(order, rank, local_idx, w_local, far_src, far_dst,
 
 def _quantize_x(X):
     """Per-gene int8 quantization of RAW (non-standardized) values:
-    s_g = max|x_g|/127, no clip — Getis operates on raw expression, whose
-    dynamic range after normalization is bounded (log1p ~[0, 10])."""
+    s_g = max|x_g|/127 with no outlier saturation (unlike
+    :func:`_quantize_z`'s min(max|z|, 8) clip) — Getis operates on raw
+    expression, whose dynamic range after normalization is bounded
+    (log1p ~[0, 10]), so the full range keeps all 8 bits useful. The
+    clip below only guards the int8 cast against rounding to ±128."""
     Xf = X.astype(jnp.float32)
     s = jnp.max(jnp.abs(Xf), axis=0) / 127.0
     s = jnp.where(s > 0, s, 1.0)
     Xq = jnp.clip(jnp.round(Xf / s), -127, 127).astype(jnp.int8)
     return Xq, s
+
+
+def _check_perm_method(perm_method: str) -> None:
+    """Every kernel branches ``perm_method == "sort" ... else feistel`` —
+    validate up front so a typo fails loudly instead of silently drawing
+    from the feistel stream (the precision argument gets the same
+    treatment in each public entry point)."""
+    if perm_method not in ("feistel", "sort"):
+        raise ValueError("perm_method must be 'feistel' or 'sort', "
+                         f"got {perm_method!r}")
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -2037,6 +2052,7 @@ def banded_getis(
             f"got {precision!r}")
     if alternative not in ("two-sided", "greater", "less"):
         raise ValueError(f"invalid alternative {alternative!r}")
+    _check_perm_method(perm_method)
     if precision == "int8":
         return _banded_getis_p_i8(
             plan.order, plan.rank, plan.local_idx, plan.w_local,
@@ -2073,6 +2089,7 @@ def banded_lees_l(
         raise ValueError(
             f"banded_lees_l supports precision 'bf16', 'f32' or 'int8', "
             f"got {precision!r}")
+    _check_perm_method(perm_method)
     if precision == "int8":
         return _banded_lees_p_i8(
             plan.order, plan.rank, plan.local_idx, plan.w_local,
@@ -2115,6 +2132,7 @@ def banded_local_moran(
     """
     from .moran import LocalMoranResult, local_moran
 
+    _check_perm_method(perm_method)
     obs = local_moran(graph, Z, seed, 0)
     if n_permutations == 0:
         return obs
@@ -2122,9 +2140,15 @@ def banded_local_moran(
         interpret = jax.default_backend() != "tpu"
         if band_impl == "auto":
             # fused Pallas draw step on real TPUs (the int32 lag stays in
-            # VMEM); XLA einsums elsewhere AND under a mesh — a pallas_call
-            # does not partition, so the gene-sharded wrapper passes "xla"
-            band_impl = "xla" if interpret else "pallas"
+            # VMEM, so one gene tile must fit: same G <= 4096 ceiling as
+            # the global int8 kernel); XLA einsums elsewhere, at wider G,
+            # AND on multi-device inputs — a pallas_call does not
+            # partition (the gene-sharded wrapper pins "xla" explicitly;
+            # this guard covers direct ops-level calls under a mesh)
+            shd = getattr(Z, "sharding", None)
+            multi_dev = shd is not None and len(shd.device_set) > 1
+            band_impl = ("pallas" if not interpret and not multi_dev
+                         and Z.shape[1] <= 4096 else "xla")
         p = _banded_local_moran_p_i8(
             plan.order, plan.rank, plan.local_idx, plan.w_local,
             plan.far_src, plan.far_dst, plan.far_w, Z, jnp.uint32(seed),

@@ -142,7 +142,10 @@ def _get_graph(adata, n_neighbors, spatial_key, use_existing_graph) -> SpatialGr
             logger.warning(
                 "use_existing_graph=True but no stored graph; rebuilding")
     else:
-        params = (adata.uns.get(GRAPH_UNS_KEY) or {}).get("params") or {}
+        stored = adata.uns.get(GRAPH_UNS_KEY)
+        params = ((stored or {}).get("params") or {}
+                  if isinstance(stored, dict) and "neighbor_idx" in stored
+                  else {})
         if (params.get("n_neighbors") == n_neighbors
                 and params.get("spatial_key") == spatial_key
                 and not params.get("include_self", False)
@@ -905,8 +908,11 @@ def lees_l(
     kernel at >= 100k cells (one row gather + band matmuls per draw
     instead of k gathers — at k=50 that is 50× fewer gathered rows);
     "banded"/"direct" force either path; "banded_int8" opts into the int8
-    quantized-operator null (fastest; k <= 1000). Same draw stream either
-    way; observed L is always the exact direct kernel.
+    quantized-operator null (fastest; k <= 1000). The banded paths draw
+    from their own seeded Feistel stream (``ops.banded.banded_lees_l``
+    with ``perm_method="sort"`` reproduces the direct kernel's draws);
+    either way p-values agree to Monte-Carlo tie level and the observed L
+    is always the exact direct kernel.
     """
     start = time.time()
     if spatial_key not in adata.obsm:

@@ -636,6 +636,29 @@ def test_banded_family_invalid_precision():
         banded_getis(None, None, 0, 10, precision="fp4")
 
 
+def test_banded_family_invalid_perm_method(setup):
+    """A perm_method typo must fail loudly — every kernel branches
+    `== "sort" else feistel`, so 'Sort'/'sorted' would silently switch
+    the draw stream."""
+    from spatialcore_tpu.ops.banded import (
+        banded_getis, banded_lees_l, banded_local_geary,
+        banded_local_moran, banded_permutation_test)
+
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    with pytest.raises(ValueError, match="perm_method"):
+        banded_lees_l(plan, Z[:, :1], Z[:, 1:2], 0, 10, perm_method="Sort")
+    with pytest.raises(ValueError, match="perm_method"):
+        banded_local_geary(plan, Z[:, :1], 0, 10, perm_method="sorted")
+    with pytest.raises(ValueError, match="perm_method"):
+        banded_getis(plan, Z[:, :1], 0, 10, perm_method="fiestel")
+    with pytest.raises(ValueError, match="perm_method"):
+        banded_local_moran(plan, graph, Z[:, :1], 0, 10, perm_method="")
+    with pytest.raises(ValueError, match="perm_method"):
+        banded_permutation_test(plan, Z, 1.0, jnp.zeros(Z.shape[1]), 0,
+                                10, perm_method="feistal")
+
+
 def test_banded_lees_l_int8(setup):
     """int8 Lee nulls: quantized-operator decisions track the direct f32
     kernel at tie level under the same (sort) draw stream."""
