@@ -430,7 +430,9 @@ def config8(scale):
     per draw. The [N, G] p-matrix stays device-resident (reading 2 GB
     back over the remote tunnel measures the tunnel, not the kernel);
     one scalar readback validates the result. BENCH8_GENES / BENCH8_PERMS
-    / BENCH8_VARIANT=int8|bf16|direct override."""
+    / BENCH8_VARIANT=int8|pallas|xla8|bf16|direct override (int8 = the
+    production fused-Pallas windowed-far path; pallas = dense-far fused
+    kernel; xla8 = int8 einsum+scatter)."""
     import os
 
     import jax
@@ -471,8 +473,12 @@ def config8(scale):
         plan = build_null_plan(graph, coords, block=256)
         jax.block_until_ready(plan.w_local)
         t_plan = time.time() - t0
-        if variant in ("int8", "pallas"):
-            impl = "pallas" if variant == "pallas" else "xla"
+        if variant in ("int8", "pallas", "xla8"):
+            # "int8" = the production path (fused Pallas step, windowed
+            # far via plan.far_starts); "pallas" kept for comparing the
+            # dense-far kernel
+            impl = "xla" if variant == "xla8" else "pallas"
+            win = variant == "int8"
 
             def run():
                 return _banded_local_moran_p_i8(
@@ -480,7 +486,9 @@ def config8(scale):
                     plan.far_src, plan.far_dst, plan.far_w, Z,
                     jnp.uint32(0), block=plan.block, n=plan.n,
                     n_permutations=perms, perm_method="feistel",
-                    band_impl=impl)
+                    band_impl=impl,
+                    far_starts=plan.far_starts if win else None,
+                    far_bmax=plan.far_bmax if win else 0)
         else:
             from spatialcore_tpu.ops.graph import spatial_lag
 

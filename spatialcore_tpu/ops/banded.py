@@ -183,6 +183,31 @@ def _plan_far(idx_r, w_r, far, block: int, cap: int):
     return far_src, far_dst, far_w
 
 
+@functools.partial(jax.jit, static_argnames=("nb", "block"))
+def _plan_far_runs(far_src, far_w, nb: int, block: int):
+    """Run starts of each destination block in the compact far list.
+
+    The compact far list is grouped by destination block by construction
+    (row-major ``nonzero`` order; padding at the tail), so block ``n``'s
+    edges occupy the contiguous run ``[starts[n], starts[n+1])``. The
+    windowed far kernel (:func:`_band_lag_count_pallas_i8` with
+    ``far_starts``) DMAs two S-row windows covering that run per grid
+    step instead of scatter-adding a dense ``[Npad, G]`` far layer — the
+    measured wall of the int8 LISA draw (docs/performance.md).
+
+    Returns ``(starts [nb+1] int32, max_run int32 scalar)``.
+    """
+    live = far_w > 0
+    bn = jnp.where(live, (far_src - block) // block, nb).astype(jnp.int32)
+    starts = jnp.searchsorted(bn, jnp.arange(nb + 1, dtype=jnp.int32),
+                              ).astype(jnp.int32)
+    return starts, jnp.max(starts[1:] - starts[:-1])
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 # ---------------------------------------------------------------------------
 # Plan
 # ---------------------------------------------------------------------------
@@ -206,6 +231,13 @@ class NullPlan(NamedTuple):
     block: int              # B (static); the band covers ±B positions
     n: int                  # true cell count (static)
     rank: jax.Array = None  # int32 [N] — new position of each original cell
+    # Far-edge run structure (the compact list is grouped by destination
+    # block): block n's edges are far_*[far_starts[n]:far_starts[n+1]].
+    # far_bmax is the max run length (static; sizes the windowed far
+    # kernel's DMA). None/0 on hand-built plans → kernels fall back to
+    # the dense far scatter.
+    far_starts: jax.Array = None  # int32 [nb+1]
+    far_bmax: int = 0
 
     @property
     def n_padded(self) -> int:
@@ -248,9 +280,12 @@ def build_null_plan(
             f"far_edges={n_far:,} ({n_far / (n * k):.2%})")
         cap = 1 << max(int(np.ceil(np.log2(max(n_far, 1)))), 7)
         far_src, far_dst, far_w = _plan_far(idx_r, w_r, far, block, cap)
+        nb = local_idx.shape[0] // block
+        far_starts, bmax_t = _plan_far_runs(far_src, far_w, nb, block)
         return NullPlan(order=order, local_idx=local_idx, w_local=w_local,
                         far_src=far_src, far_dst=far_dst, far_w=far_w,
-                        rc_sum=rc, block=block, n=n, rank=rank)
+                        rc_sum=rc, block=block, n=n, rank=rank,
+                        far_starts=far_starts, far_bmax=int(bmax_t))
 
     idx = np.asarray(graph.neighbor_idx)
     w = np.asarray(graph.neighbor_w, np.float32)
@@ -301,6 +336,11 @@ def build_null_plan(
         w_local = np.pad(w_local, ((0, n_pad), (0, 0)))
         rc = np.pad(rc, (0, n_pad))
 
+    nb = local_idx.shape[0] // block
+    bcnt = np.bincount((far_src[:n_far] - block) // block, minlength=nb)
+    far_starts = np.concatenate(
+        [[0], np.cumsum(bcnt)]).astype(np.int32)
+
     return NullPlan(
         order=jnp.asarray(order),
         local_idx=jnp.asarray(local_idx),
@@ -312,6 +352,8 @@ def build_null_plan(
         block=block,
         n=n,
         rank=jnp.asarray(rank),
+        far_starts=jnp.asarray(far_starts),
+        far_bmax=int(bcnt.max()) if n_far else 0,
     )
 
 
@@ -902,6 +944,136 @@ def _band_lag_count_pallas_i8(A8, far, obs, cnt, Zp8,
     )(A8, far, obs, cnt, Zp8)
 
 
+def _band_lag_count_kernel_i8_win(widx_ref, start_ref, cnt_run_ref, a_ref,
+                                  obs_ref, cnt_ref, zp_any,
+                                  zf0_ref, zf1_ref, row0_ref, row1_ref,
+                                  q0_ref, q1_ref, out_ref, win_ref, sem_ref):
+    """Fused LISA draw step with WINDOWED far edges (no dense far layer).
+
+    The compact far list is grouped by destination block (NullPlan run
+    structure); block ``i``'s run lives in the two S-row windows
+    ``w0 = starts[i] // S`` and ``w0+1`` of the pre-gathered far values
+    ``Zf`` (S ≥ the max run length, so two windows always cover a run).
+    The kernel rebuilds the one-hot far operator on-chip from the
+    windowed (row-in-block, weight-code) vectors — masked to the run —
+    and applies it as two extra int8 MXU dots. This replaces the dense
+    ``[Npad, G]`` int32 far scatter+reread of the draw loop, the single
+    largest stage of the measured per-draw budget (11.2 of 32.5 ms at
+    G=512 — benchmarks/probe_lisa_stages.py). Exact: integer adds
+    commute, so counts are bitwise-equal to the scatter path.
+    """
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    def dma(slab):
+        return pltpu.make_async_copy(zp_any.at[slab], win_ref.at[slab % 4],
+                                     sem_ref.at[slab % 4])
+
+    @pl.when(i == 0)
+    def _():
+        dma(0).start()
+        dma(1).start()
+        dma(2).start()
+        dma(0).wait()
+        dma(1).wait()
+
+    @pl.when(i + 3 < nsteps + 2)
+    def _():
+        dma(i + 3).start()
+
+    dma(i + 2).wait()
+
+    B = win_ref.shape[1]
+    S = zf0_ref.shape[1]
+    a = a_ref[0]
+    z0 = win_ref[i % 4]
+    z1 = win_ref[(i + 1) % 4]
+    z2 = win_ref[(i + 2) % 4]
+    lag = jnp.dot(a[:, :B], z0, preferred_element_type=jnp.int32)
+    lag = lag + jnp.dot(a[:, B:2 * B], z1, preferred_element_type=jnp.int32)
+    lag = lag + jnp.dot(a[:, 2 * B:], z2, preferred_element_type=jnp.int32)
+
+    start = start_ref[i]
+    count = cnt_run_ref[i]
+    base_gc = widx_ref[i] * S
+
+    def wmat(row_ref, q_ref, gc0):
+        # one-hot far operator [B, S] for this window, masked to the run
+        # (a window can hold tails/heads of NEIGHBORING blocks' runs —
+        # without the mask their rows would alias into this block).
+        # Pure int32 arithmetic + final narrowing cast: an i1-masked int8
+        # select would need a (8,128)->(32,128) mask relayout Mosaic
+        # cannot form.
+        gc = gc0 + jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+        live = ((gc >= start) & (gc < start + count)).astype(jnp.int32)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (B, S), 0)
+               == row_ref[0]).astype(jnp.int32)
+        return (sel * (live * q_ref[0].astype(jnp.int32))).astype(jnp.int8)
+
+    lag = lag + jnp.dot(wmat(row0_ref, q0_ref, base_gc), zf0_ref[0],
+                        preferred_element_type=jnp.int32)
+    lag = lag + jnp.dot(wmat(row1_ref, q1_ref, base_gc + S), zf1_ref[0],
+                        preferred_element_type=jnp.int32)
+
+    val = jnp.abs(z1.astype(jnp.int32) * lag)   # exact: <= k*127^3 < 2^31
+    inc = (val >= obs_ref[0]).astype(jnp.int32)
+    out_ref[0] = (cnt_ref[0].astype(jnp.int32) + inc).astype(cnt_ref.dtype)
+
+
+def _band_lag_count_pallas_i8_win(w_idx, starts, runs, A8, obs, cnt, Zp8,
+                                  Zf, rowp, qp,
+                                  interpret: bool) -> jax.Array:
+    """count += (|z·(band_lag + far)| >= obs), far edges via windows.
+
+    ``w_idx``/``starts``/``runs`` int32 [nb] = (window index
+    starts[n]//S, run start, run length) per block — three separate 1-D
+    scalar-prefetch arrays (a packed [nb, 3] operand lane-pads to 128
+    columns in SMEM and blows its 1 MB budget at 1M cells);
+    ``Zf`` int8 [nw, S, G] are the draw's far-target
+    values in compact-list order; ``rowp``/``qp`` [nw, 1, S] carry each
+    edge's destination row-in-block and weight code (the middle unit dim
+    satisfies Mosaic's block-shape divisibility rule). ``cnt`` aliases
+    the output. Unlike :func:`_band_lag_count_pallas_i8` there is no
+    [nb, B, G] int32 far operand — the far layer never exists in HBM.
+    """
+    nb, B, _ = A8.shape
+    G = Zp8.shape[2]
+    S = rowp.shape[2]
+    blk = lambda i, w, s, c: (i, 0, 0)  # noqa: E731
+    w0 = lambda i, w, s, c: (w[i], 0, 0)  # noqa: E731
+    w1 = lambda i, w, s, c: (w[i] + 1, 0, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, B, 3 * B), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, G), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, G), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, S, G), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, G), w1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), w1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), w1, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, B, G), blk, memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((4, B, G), jnp.int8),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    return pl.pallas_call(
+        _band_lag_count_kernel_i8_win,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, B, G), cnt.dtype),
+        input_output_aliases={5: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(w_idx, starts, runs, A8, obs, cnt, Zp8, Zf, Zf, rowp, rowp, qp, qp)
+
+
 def _band_cross_i8_xla(A8, sw, Zp8) -> jax.Array:
     """XLA reference path for the int8 band (tests / non-TPU backends):
     identical integer arithmetic, batched einsums."""
@@ -1294,11 +1466,12 @@ def _banded_lag(A, Zp, far_src, far_dst, far_w, *, block: int):
 
 @functools.partial(jax.jit, static_argnames=(
     "block", "n", "n_permutations", "perm_method", "band_impl",
-    "interpret"))
+    "far_bmax", "interpret"))
 def _banded_local_moran_p_i8(order, rank, local_idx, w_local, far_src,
                              far_dst, far_w, Z, seed, *, block: int, n: int,
                              n_permutations: int, perm_method: str,
                              band_impl: str = "xla",
+                             far_starts=None, far_bmax: int = 0,
                              interpret: bool = False):
     """LISA permutation p via the int8 null system.
 
@@ -1373,7 +1546,50 @@ def _banded_local_moran_p_i8(order, rank, local_idx, w_local, far_src,
     cdt = (jnp.int8 if n_permutations <= 127
            else jnp.int16 if n_permutations <= 32767 else jnp.int32)
 
-    if band_impl == "pallas":
+    use_win = (band_impl == "pallas" and far_starts is not None
+               and 0 < far_bmax and _round_up(far_bmax, 128) <= 1024)
+    if use_win:
+        # fused draw step with WINDOWED far edges: no dense [Npad, G]
+        # int32 far layer (its zeros+scatter+reread was 11.2 of the
+        # 32.5 ms/draw budget at G=512 — probe_lisa_stages.py). Far
+        # values gather COMPACTLY ([F] rows) straight from Zq at
+        # composed indices; the kernel covers each block's run with two
+        # S-row windows. Integer adds commute → p is bitwise-equal to
+        # the scatter paths.
+        obs3 = abs_obs.reshape(nb, B, G)
+        S = _round_up(far_bmax, 128)
+        F = far_src.shape[0]
+        nw = -(-F // S) + 2
+        pad = nw * S - F
+        rowp = jnp.pad(jnp.where(far_w > 0, (far_src - B) % B, 0)
+                       .astype(jnp.int32), (0, pad)).reshape(nw, 1, S)
+        qp = jnp.pad(far_q.astype(jnp.int8), (0, pad)).reshape(nw, 1, S)
+        # original-space rows of each far target (fixed relabel
+        # composition — the same trick as rows_idx): padding gathers
+        # row 0 but carries weight code 0
+        rif = rows_idx[jnp.pad(far_dst, (0, pad))]
+        w_idx = (far_starts[:-1] // S).astype(jnp.int32)
+        starts0 = far_starts[:-1].astype(jnp.int32)
+        runs = (far_starts[1:] - far_starts[:-1]).astype(jnp.int32)
+
+        def body(count, step):
+            key = jax.random.fold_in(base, step)
+            if perm_method == "sort":
+                perm = jax.random.permutation(key, n)
+                rows, rowsf = perm[rows_idx], perm[rif]
+            else:
+                rows = feistel_apply(key, rows_idx, n)
+                rowsf = feistel_apply(key, rif, n)
+            Zp = Zq[rows].reshape(nb + 2, B, G)
+            Zf = Zq[rowsf].reshape(nw, S, G)
+            return _band_lag_count_pallas_i8_win(
+                w_idx, starts0, runs, A8, obs3, count, Zp, Zf, rowp, qp,
+                interpret), None
+
+        count, _ = jax.lax.scan(body, jnp.zeros((nb, B, G), cdt),
+                                jnp.arange(n_permutations))
+        count = count.reshape(n_padded, G)
+    elif band_impl == "pallas":
         # fused draw step (_band_lag_count_kernel_i8): the int32 lag (and
         # the int32 casts of band/window the einsum path materializes)
         # never touch HBM — only the gather output, the dense far-edge
@@ -2154,6 +2370,7 @@ def banded_local_moran(
             plan.far_src, plan.far_dst, plan.far_w, Z, jnp.uint32(seed),
             block=plan.block, n=plan.n, n_permutations=n_permutations,
             perm_method=perm_method, band_impl=band_impl,
+            far_starts=plan.far_starts, far_bmax=plan.far_bmax,
             interpret=interpret)
         return LocalMoranResult(obs.local_I, obs.z, obs.lag, p)
     n_padded = plan.local_idx.shape[0]

@@ -1010,3 +1010,52 @@ def test_lisa_i8_pallas_band_impl_bitwise(setup):
                               precision="int8", band_impl="pallas")
     np.testing.assert_array_equal(np.asarray(got2.p_value),
                                   np.asarray(ref2.p_value))
+
+
+def test_lisa_i8_windowed_far_bitwise(setup):
+    """The windowed-far fused kernel (no dense [Npad, G] far layer; far
+    runs covered by two scalar-prefetched S-row windows) is bitwise-equal
+    to both scatter paths — integer adds commute, so regrouping far-edge
+    contributions per block cannot change any count."""
+    import jax.numpy as jnp
+
+    from spatialcore_tpu.ops.banded import (
+        _banded_local_moran_p_i8, banded_local_moran)
+
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    assert plan.far_starts is not None
+    assert plan.far_bmax > 0          # the fixture graph has far edges
+    # run starts describe the compact list exactly
+    starts = np.asarray(plan.far_starts)
+    live = np.asarray(plan.far_w) > 0
+    assert starts[-1] == live.sum()
+    bn = (np.asarray(plan.far_src)[live] - plan.block) // plan.block
+    np.testing.assert_array_equal(np.diff(starts),
+                                  np.bincount(bn, minlength=len(starts) - 1))
+
+    def run_p(band_impl, windowed, perm_method="feistel"):
+        return np.asarray(_banded_local_moran_p_i8(
+            plan.order, plan.rank, plan.local_idx, plan.w_local,
+            plan.far_src, plan.far_dst, plan.far_w, Z, jnp.uint32(3),
+            block=plan.block, n=plan.n, n_permutations=37,
+            perm_method=perm_method, band_impl=band_impl,
+            far_starts=plan.far_starts if windowed else None,
+            far_bmax=plan.far_bmax if windowed else 0,
+            interpret=True))
+
+    p_xla = run_p("xla", False)
+    p_dense = run_p("pallas", False)     # dense-far fallback kernel
+    p_win = run_p("pallas", True)        # windowed kernel
+    np.testing.assert_array_equal(p_dense, p_xla)
+    np.testing.assert_array_equal(p_win, p_xla)
+    # the legacy sort stream flows through the windowed far gather too
+    np.testing.assert_array_equal(run_p("pallas", True, "sort"),
+                                  run_p("xla", False, "sort"))
+    # public API routes through the windowed path and agrees with xla
+    got = banded_local_moran(plan, graph, Z, seed=3, n_permutations=37,
+                             precision="int8", band_impl="pallas")
+    ref = banded_local_moran(plan, graph, Z, seed=3, n_permutations=37,
+                             precision="int8", band_impl="xla")
+    np.testing.assert_array_equal(np.asarray(got.p_value),
+                                  np.asarray(ref.p_value))
