@@ -432,7 +432,9 @@ def config8(scale):
     one scalar readback validates the result. BENCH8_GENES / BENCH8_PERMS
     / BENCH8_VARIANT=int8|pallas|xla8|bf16|direct override (int8 = the
     production fused-Pallas windowed-far path; pallas = dense-far fused
-    kernel; xla8 = int8 einsum+scatter)."""
+    kernel; xla8 = int8 einsum+scatter). BENCH8_STAT=moran|geary|getis|
+    lee picks the statistic (non-moran only for int8/xla8: the fused
+    windowed family vs its einsum body)."""
     import os
 
     import jax
@@ -446,6 +448,7 @@ def config8(scale):
     g = int(os.environ.get("BENCH8_GENES", 512))
     perms = int(os.environ.get("BENCH8_PERMS", 100))
     variant = os.environ.get("BENCH8_VARIANT", "int8")
+    stat = os.environ.get("BENCH8_STAT", "moran")
 
     kc, kx = jax.random.split(jax.random.key(0))
     coords = jax.random.uniform(kc, (n, 2), jnp.float32, 0.0, 6000.0)
@@ -479,16 +482,38 @@ def config8(scale):
             # dense-far kernel
             impl = "xla" if variant == "xla8" else "pallas"
             win = variant == "int8"
+            wkw = dict(band_impl=impl,
+                       far_starts=plan.far_starts if win else None,
+                       far_bmax=plan.far_bmax if win else 0)
+            pargs = (plan.order, plan.rank, plan.local_idx, plan.w_local,
+                     plan.far_src, plan.far_dst, plan.far_w)
+            ckw = dict(block=plan.block, n=plan.n, n_permutations=perms,
+                       perm_method="feistel")
+            if stat == "geary":
+                from spatialcore_tpu.ops.banded import (
+                    _banded_local_geary_p_i8)
 
-            def run():
-                return _banded_local_moran_p_i8(
-                    plan.order, plan.rank, plan.local_idx, plan.w_local,
-                    plan.far_src, plan.far_dst, plan.far_w, Z,
-                    jnp.uint32(0), block=plan.block, n=plan.n,
-                    n_permutations=perms, perm_method="feistel",
-                    band_impl=impl,
-                    far_starts=plan.far_starts if win else None,
-                    far_bmax=plan.far_bmax if win else 0)
+                def run():
+                    return _banded_local_geary_p_i8(
+                        *pargs, Z, jnp.uint32(0), **ckw, **wkw)[1]
+            elif stat == "getis":
+                from spatialcore_tpu.ops.banded import _banded_getis_p_i8
+
+                def run():
+                    return _banded_getis_p_i8(
+                        *pargs, Z, jnp.uint32(0), star=True,
+                        alternative="two-sided", **ckw, **wkw)
+            elif stat == "lee":
+                from spatialcore_tpu.ops.banded import _banded_lees_p_i8
+
+                def run():
+                    return _banded_lees_p_i8(
+                        *pargs, Z, Z, jnp.uint32(0),
+                        compute_cell_pvalues=True, **ckw, **wkw)[1]
+            else:
+                def run():
+                    return _banded_local_moran_p_i8(
+                        *pargs, Z, jnp.uint32(0), **ckw, **wkw)
         else:
             from spatialcore_tpu.ops.graph import spatial_lag
 
@@ -515,10 +540,11 @@ def config8(scale):
     dt = time.time() - t0
     pmin = float(p.min())          # scalar readback validates the result
     assert 0.0 < pmin <= 1.0
-    _emit(8, "lisa_genes_perms_per_s_1M_cells", g * perms / dt,
+    name = ("lisa" if stat == "moran" else f"local_{stat}")
+    _emit(8, f"{name}_genes_perms_per_s_1M_cells", g * perms / dt,
           "genes*perms/s", n_cells=n, n_genes=g, n_perms=perms,
-          variant=variant, warm_s=round(dt, 2), graph_s=round(t_graph, 1),
-          p_min=round(pmin, 5))
+          variant=variant, stat=stat, warm_s=round(dt, 2),
+          graph_s=round(t_graph, 1), p_min=round(pmin, 5))
 
 
 def config9(scale):

@@ -208,6 +208,25 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+#: rough per-(B·G) VMEM byte coefficients of the fused windowed kernel
+#: (win slabs + obs + counts + lag temps + stat extras); used with the
+#: 2·S·G window bytes to gate the "auto" band_impl selection.
+_WIN_VMEM_COEF = {"moran": 16, "geary": 24, "lee": 18, "getis": 20}
+
+
+def _win_fits_vmem(stat: str, G: int, block: int, far_bmax: int,
+                   budget: int = 10 * 2 ** 20) -> bool:
+    """Estimate whether the fused windowed kernel's working set fits VMEM.
+
+    Conservative static estimate for the ``band_impl="auto"`` selection
+    only — an explicit ``band_impl="pallas"`` bypasses it (and fails
+    loudly in Mosaic if the tile really is too big). Measured fits:
+    G=512, B=256 at 1M cells (config 8) uses ~4 MB.
+    """
+    S = _round_up(max(int(far_bmax), 1), 128)
+    return G * (_WIN_VMEM_COEF[stat] * block + 2 * S) <= budget
+
+
 # ---------------------------------------------------------------------------
 # Plan
 # ---------------------------------------------------------------------------
@@ -944,13 +963,30 @@ def _band_lag_count_pallas_i8(A8, far, obs, cnt, Zp8,
     )(A8, far, obs, cnt, Zp8)
 
 
-def _band_lag_count_kernel_i8_win(widx_ref, start_ref, cnt_run_ref, a_ref,
-                                  obs_ref, cnt_ref, zp_any,
-                                  zf0_ref, zf1_ref, row0_ref, row1_ref,
-                                  q0_ref, q1_ref, out_ref, win_ref, sem_ref):
-    """Fused LISA draw step with WINDOWED far edges (no dense far layer).
+def _n_win_extras(stat: str, alternative: str) -> int:
+    """Extra per-stat VMEM operands of the fused windowed kernel,
+    appended after the common (A8, obs, cnt, Zp, Zf×2, rowp×2, qp×2)
+    list:
 
-    The compact far list is grouped by destination block (NullPlan run
+    * moran       —
+    * geary       wq     [nb, B, 1] int32 (per-row total quantized weight)
+    * lee         zx     [nb, B, G] int8  (fixed x codes, relabeled order)
+    *             sw     [nb, B, 1] f32   (per-row weight scale, global L)
+    * getis_star  c2     [nb, B, G] f32   (= (tot/m)·(W+1); two-sided only)
+    * getis_g     lag_o  [nb, B, G] int32, me_o [nb, B, G] int8,
+    *             wrow   [nb, B, 1] f32, tot [1, 1, G] f32, sq [1, 1, G] f32
+    """
+    if stat == "getis_star":
+        return 1 if alternative == "two-sided" else 0
+    return {"moran": 0, "geary": 1, "lee": 2, "getis_g": 5}[stat]
+
+
+def _make_fused_win_kernel(stat: str, alternative: str, m: float):
+    """Build the fused windowed-far draw-step kernel for one statistic.
+
+    Shared machinery (identical across the family): the 4-slab DMA ring
+    over ``Zp``, three int8 MXU band dots, and the windowed far layer —
+    the compact far list is grouped by destination block (NullPlan run
     structure); block ``i``'s run lives in the two S-row windows
     ``w0 = starts[i] // S`` and ``w0+1`` of the pre-gathered far values
     ``Zf`` (S ≥ the max run length, so two windows always cover a run).
@@ -959,71 +995,174 @@ def _band_lag_count_kernel_i8_win(widx_ref, start_ref, cnt_run_ref, a_ref,
     and applies it as two extra int8 MXU dots. This replaces the dense
     ``[Npad, G]`` int32 far scatter+reread of the draw loop, the single
     largest stage of the measured per-draw budget (11.2 of 32.5 ms at
-    G=512 — benchmarks/probe_lisa_stages.py). Exact: integer adds
-    commute, so counts are bitwise-equal to the scatter path.
+    G=512 — benchmarks/probe_lisa_stages.py).
+
+    Per-stat tail (all decisions exact where the comparison domain is
+    integer — integer adds commute, so those counts are bitwise-equal to
+    the scatter/einsum paths):
+
+    * ``moran``      count += |z·lag| ≥ obs                    (int32)
+    * ``geary``      count += z²·W + lag(z²) − 2z·lag ≤ obs    (int32;
+      lag(z²) via the two-plane split z² = 128a + b, planes derived
+      from the int8 windows ON-CHIP — no extra gathers)
+    * ``lee``        count += |x·lag| ≥ obs (int32) and a second output
+      with the per-block f32 partial Σ_rows sw·x·lag of the global L
+    * ``getis_star`` cp = (lag + x) − tm·(W+1), f32 elementwise — same
+      expression tree as the XLA path
+    * ``getis_g``    leave-one-out centering with the draw's own value,
+      f32 elementwise (``m`` = n−1 static)
     """
-    i = pl.program_id(0)
-    nsteps = pl.num_programs(0)
+    n_extra = _n_win_extras(stat, alternative)
+    n_out = 2 if stat == "lee" else 1
 
-    def dma(slab):
-        return pltpu.make_async_copy(zp_any.at[slab], win_ref.at[slab % 4],
-                                     sem_ref.at[slab % 4])
+    def kernel(widx_ref, start_ref, cnt_run_ref, a_ref, obs_ref, cnt_ref,
+               zp_any, zf0_ref, zf1_ref, row0_ref, row1_ref, q0_ref, q1_ref,
+               *rest):
+        extras = rest[:n_extra]
+        outs = rest[n_extra:n_extra + n_out]
+        win_ref, sem_ref = rest[n_extra + n_out:]
+        i = pl.program_id(0)
+        nsteps = pl.num_programs(0)
 
-    @pl.when(i == 0)
-    def _():
-        dma(0).start()
-        dma(1).start()
-        dma(2).start()
-        dma(0).wait()
-        dma(1).wait()
+        def dma(slab):
+            return pltpu.make_async_copy(zp_any.at[slab],
+                                         win_ref.at[slab % 4],
+                                         sem_ref.at[slab % 4])
 
-    @pl.when(i + 3 < nsteps + 2)
-    def _():
-        dma(i + 3).start()
+        @pl.when(i == 0)
+        def _():
+            dma(0).start()
+            dma(1).start()
+            dma(2).start()
+            dma(0).wait()
+            dma(1).wait()
 
-    dma(i + 2).wait()
+        @pl.when(i + 3 < nsteps + 2)
+        def _():
+            dma(i + 3).start()
 
-    B = win_ref.shape[1]
-    S = zf0_ref.shape[1]
-    a = a_ref[0]
-    z0 = win_ref[i % 4]
-    z1 = win_ref[(i + 1) % 4]
-    z2 = win_ref[(i + 2) % 4]
-    lag = jnp.dot(a[:, :B], z0, preferred_element_type=jnp.int32)
-    lag = lag + jnp.dot(a[:, B:2 * B], z1, preferred_element_type=jnp.int32)
-    lag = lag + jnp.dot(a[:, 2 * B:], z2, preferred_element_type=jnp.int32)
+        dma(i + 2).wait()
 
-    start = start_ref[i]
-    count = cnt_run_ref[i]
-    base_gc = widx_ref[i] * S
+        B = win_ref.shape[1]
+        S = zf0_ref.shape[1]
+        a = a_ref[0]
+        z0 = win_ref[i % 4]
+        z1 = win_ref[(i + 1) % 4]
+        z2 = win_ref[(i + 2) % 4]
 
-    def wmat(row_ref, q_ref, gc0):
-        # one-hot far operator [B, S] for this window, masked to the run
-        # (a window can hold tails/heads of NEIGHBORING blocks' runs —
-        # without the mask their rows would alias into this block).
-        # Pure int32 arithmetic + final narrowing cast: an i1-masked int8
-        # select would need a (8,128)->(32,128) mask relayout Mosaic
-        # cannot form.
-        gc = gc0 + jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-        live = ((gc >= start) & (gc < start + count)).astype(jnp.int32)
-        sel = (jax.lax.broadcasted_iota(jnp.int32, (B, S), 0)
-               == row_ref[0]).astype(jnp.int32)
-        return (sel * (live * q_ref[0].astype(jnp.int32))).astype(jnp.int8)
+        start = start_ref[i]
+        count = cnt_run_ref[i]
+        base_gc = widx_ref[i] * S
 
-    lag = lag + jnp.dot(wmat(row0_ref, q0_ref, base_gc), zf0_ref[0],
-                        preferred_element_type=jnp.int32)
-    lag = lag + jnp.dot(wmat(row1_ref, q1_ref, base_gc + S), zf1_ref[0],
-                        preferred_element_type=jnp.int32)
+        def wmat(row_ref, q_ref, gc0):
+            # one-hot far operator [B, S] for this window, masked to the
+            # run (a window can hold tails/heads of NEIGHBORING blocks'
+            # runs — without the mask their rows would alias into this
+            # block). Pure int32 arithmetic + final narrowing cast: an
+            # i1-masked int8 select would need a (8,128)->(32,128) mask
+            # relayout Mosaic cannot form.
+            gc = gc0 + jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+            live = ((gc >= start) & (gc < start + count)).astype(jnp.int32)
+            sel = (jax.lax.broadcasted_iota(jnp.int32, (B, S), 0)
+                   == row_ref[0]).astype(jnp.int32)
+            return (sel * (live * q_ref[0].astype(jnp.int32))).astype(
+                jnp.int8)
 
-    val = jnp.abs(z1.astype(jnp.int32) * lag)   # exact: <= k*127^3 < 2^31
-    inc = (val >= obs_ref[0]).astype(jnp.int32)
-    out_ref[0] = (cnt_ref[0].astype(jnp.int32) + inc).astype(cnt_ref.dtype)
+        W0 = wmat(row0_ref, q0_ref, base_gc)
+        W1 = wmat(row1_ref, q1_ref, base_gc + S)
+
+        def lag_of(plane):
+            # band + windowed far lag of one int8 plane of the values
+            lag = jnp.dot(a[:, :B], plane(z0),
+                          preferred_element_type=jnp.int32)
+            lag = lag + jnp.dot(a[:, B:2 * B], plane(z1),
+                                preferred_element_type=jnp.int32)
+            lag = lag + jnp.dot(a[:, 2 * B:], plane(z2),
+                                preferred_element_type=jnp.int32)
+            lag = lag + jnp.dot(W0, plane(zf0_ref[0]),
+                                preferred_element_type=jnp.int32)
+            return lag + jnp.dot(W1, plane(zf1_ref[0]),
+                                 preferred_element_type=jnp.int32)
+
+        lag = lag_of(lambda z: z)
+        me = z1.astype(jnp.int32)
+        if stat == "moran":
+            # exact: |z·lag| <= k*127^3 < 2^31
+            inc = (jnp.abs(me * lag) >= obs_ref[0]).astype(jnp.int32)
+        elif stat == "geary":
+            wq_ref, = extras
+
+            def aplane(z):
+                zz = z.astype(jnp.int32)
+                return ((zz * zz) >> 7).astype(jnp.int8)    # <= 126
+
+            def bplane(z):
+                zz = z.astype(jnp.int32)
+                return ((zz * zz) & 127).astype(jnp.int8)
+
+            lag_z2 = 128 * lag_of(aplane) + lag_of(bplane)
+            gq = (me * me) * wq_ref[0] + lag_z2 - 2 * me * lag
+            inc = (gq <= obs_ref[0]).astype(jnp.int32)
+        elif stat == "lee":
+            zx_ref, sw_ref = extras
+            Lq = zx_ref[0].astype(jnp.int32) * lag          # exact int32
+            inc = (jnp.abs(Lq) >= obs_ref[0]).astype(jnp.int32)
+            outs[1][0] = jnp.sum(sw_ref[0] * Lq.astype(jnp.float32),
+                                 axis=0, keepdims=True)
+        elif stat == "getis_star":
+            # A* = lag + own is exact int32; the centering constant
+            # c = (tot/m)·(W+1) is draw-invariant, so one-sided decisions
+            # reduce to pure integer comparisons, and two-sided to the
+            # sign test (A_d−A_o)·(A_d+A_o−2c) ≥ 0 — the only f32 op is
+            # one sub+mul on inputs bitwise-shared with the XLA body
+            # (a product's sign is exact), so decisions match it bitwise.
+            A = lag + me
+            if alternative == "greater":
+                ext = A >= obs_ref[0]
+            elif alternative == "less":
+                ext = A <= obs_ref[0]
+            else:
+                c2_ref, = extras
+                d = (A - obs_ref[0]).astype(jnp.float32)
+                s_ = (A + obs_ref[0]).astype(jnp.float32)
+                ext = d * (s_ - 2.0 * c2_ref[0]) >= 0.0
+            inc = ext.astype(jnp.int32)
+        else:                                               # getis_g
+            # leave-one-out centering depends on the draw's own value —
+            # f32 is unavoidable, but an exact (lag, own) pair tie means
+            # the draw statistic EQUALS the observed one, so it counts
+            # as extreme under every alternative regardless of how the
+            # two programs round cp. Same rule in the XLA body.
+            lag_o_ref, me_o_ref, wrow_ref, tot_ref, sq_ref = extras
+            mef = me.astype(jnp.float32)
+            lagf = lag.astype(jnp.float32)
+            xbar_i = (tot_ref[0] - mef) / m
+            s2 = jnp.maximum((sq_ref[0] - mef * mef) / m
+                             - xbar_i * xbar_i, 0.0)
+            s = jnp.sqrt(jnp.where(s2 > 0.0, s2, 1.0))
+            cp = (lagf - xbar_i * wrow_ref[0]) / s
+            if alternative == "greater":
+                ext = cp >= obs_ref[0]
+            elif alternative == "less":
+                ext = cp <= obs_ref[0]
+            else:
+                ext = jnp.abs(cp) >= jnp.abs(obs_ref[0])
+            tie = ((lag == lag_o_ref[0])
+                   & (me == me_o_ref[0].astype(jnp.int32)))
+            inc = (ext | tie).astype(jnp.int32)
+        # Mosaic has no i8 vector add — widen to i32 for the +1, store
+        # narrow
+        outs[0][0] = (cnt_ref[0].astype(jnp.int32) + inc).astype(
+            cnt_ref.dtype)
+
+    return kernel
 
 
-def _band_lag_count_pallas_i8_win(w_idx, starts, runs, A8, obs, cnt, Zp8,
-                                  Zf, rowp, qp,
-                                  interpret: bool) -> jax.Array:
-    """count += (|z·(band_lag + far)| >= obs), far edges via windows.
+def _fused_win_pallas_i8(stat, w_idx, starts, runs, A8, obs, cnt, Zp8,
+                         Zf, rowp, qp, extras=(), *,
+                         alternative: str = "two-sided", m: float = 0.0,
+                         interpret: bool):
+    """Fused windowed-far draw step — see :func:`_make_fused_win_kernel`.
 
     ``w_idx``/``starts``/``runs`` int32 [nb] = (window index
     starts[n]//S, run start, run length) per block — three separate 1-D
@@ -1033,8 +1172,11 @@ def _band_lag_count_pallas_i8_win(w_idx, starts, runs, A8, obs, cnt, Zp8,
     values in compact-list order; ``rowp``/``qp`` [nw, 1, S] carry each
     edge's destination row-in-block and weight code (the middle unit dim
     satisfies Mosaic's block-shape divisibility rule). ``cnt`` aliases
-    the output. Unlike :func:`_band_lag_count_pallas_i8` there is no
-    [nb, B, G] int32 far operand — the far layer never exists in HBM.
+    the first output. Unlike :func:`_band_lag_count_pallas_i8` there is
+    no [nb, B, G] far operand — the far layer never exists in HBM.
+
+    Returns the updated counts, plus the [nb, 1, G] f32 per-block global
+    partial for ``stat="lee"``.
     """
     nb, B, _ = A8.shape
     G = Zp8.shape[2]
@@ -1042,6 +1184,23 @@ def _band_lag_count_pallas_i8_win(w_idx, starts, runs, A8, obs, cnt, Zp8,
     blk = lambda i, w, s, c: (i, 0, 0)  # noqa: E731
     w0 = lambda i, w, s, c: (w[i], 0, 0)  # noqa: E731
     w1 = lambda i, w, s, c: (w[i] + 1, 0, 0)  # noqa: E731
+    one = lambda i, w, s, c: (0, 0, 0)  # noqa: E731
+    vec = pl.BlockSpec((1, B, 1), blk, memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, 1, G), one, memory_space=pltpu.VMEM)
+    big = pl.BlockSpec((1, B, G), blk, memory_space=pltpu.VMEM)
+    extra_specs = {
+        "moran": [],
+        "geary": [vec],
+        "lee": [big, vec],
+        "getis_star": [big] if alternative == "two-sided" else [],
+        "getis_g": [big, big, vec, row, row],
+    }[stat]
+    out_shape = [jax.ShapeDtypeStruct((nb, B, G), cnt.dtype)]
+    out_specs = [pl.BlockSpec((1, B, G), blk, memory_space=pltpu.VMEM)]
+    if stat == "lee":
+        out_shape.append(jax.ShapeDtypeStruct((nb, 1, G), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, G), blk,
+                                      memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nb,),
@@ -1056,22 +1215,48 @@ def _band_lag_count_pallas_i8_win(w_idx, starts, runs, A8, obs, cnt, Zp8,
             pl.BlockSpec((1, 1, S), w1, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, S), w0, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, S), w1, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, B, G), blk, memory_space=pltpu.VMEM),
+        ] + extra_specs,
+        out_specs=out_specs if stat == "lee" else out_specs[0],
         scratch_shapes=[
             pltpu.VMEM((4, B, G), jnp.int8),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     return pl.pallas_call(
-        _band_lag_count_kernel_i8_win,
+        _make_fused_win_kernel(stat, alternative, m),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, B, G), cnt.dtype),
+        out_shape=out_shape if stat == "lee" else out_shape[0],
         input_output_aliases={5: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(w_idx, starts, runs, A8, obs, cnt, Zp8, Zf, Zf, rowp, rowp, qp, qp)
+    )(w_idx, starts, runs, A8, obs, cnt, Zp8, Zf, Zf, rowp, rowp, qp, qp,
+      *extras)
+
+
+def _win_far_pack(far_src, far_dst, far_w, far_q, far_starts, rows_idx,
+                  B: int, far_bmax: int):
+    """Pack the compact far list into the windowed-kernel operands.
+
+    Returns ``(S, nw, rowp, qp, rif, w_idx, starts0, runs)`` — see
+    :func:`_fused_win_pallas_i8`. ``rif`` are the ORIGINAL-space rows of
+    each far target (fixed relabel composition, same trick as rows_idx):
+    per draw the caller gathers ``Zq[perm∘rif]`` — padding gathers row 0
+    but carries weight code 0, contributing nothing.
+    """
+    S = _round_up(max(int(far_bmax), 1), 128)
+    F = far_src.shape[0]
+    nw = -(-F // S) + 2
+    pad = nw * S - F
+    rowp = jnp.pad(jnp.where(far_w > 0, (far_src - B) % B, 0)
+                   .astype(jnp.int32), (0, pad)).reshape(nw, 1, S)
+    qp = jnp.pad(jnp.clip(far_q, 0, 127).astype(jnp.int8),
+                 (0, pad)).reshape(nw, 1, S)
+    rif = rows_idx[jnp.pad(far_dst, (0, pad))]
+    w_idx = (far_starts[:-1] // S).astype(jnp.int32)
+    starts0 = far_starts[:-1].astype(jnp.int32)
+    runs = (far_starts[1:] - far_starts[:-1]).astype(jnp.int32)
+    return S, nw, rowp, qp, rif, w_idx, starts0, runs
 
 
 def _band_cross_i8_xla(A8, sw, Zp8) -> jax.Array:
@@ -1557,20 +1742,9 @@ def _banded_local_moran_p_i8(order, rank, local_idx, w_local, far_src,
         # S-row windows. Integer adds commute → p is bitwise-equal to
         # the scatter paths.
         obs3 = abs_obs.reshape(nb, B, G)
-        S = _round_up(far_bmax, 128)
-        F = far_src.shape[0]
-        nw = -(-F // S) + 2
-        pad = nw * S - F
-        rowp = jnp.pad(jnp.where(far_w > 0, (far_src - B) % B, 0)
-                       .astype(jnp.int32), (0, pad)).reshape(nw, 1, S)
-        qp = jnp.pad(far_q.astype(jnp.int8), (0, pad)).reshape(nw, 1, S)
-        # original-space rows of each far target (fixed relabel
-        # composition — the same trick as rows_idx): padding gathers
-        # row 0 but carries weight code 0
-        rif = rows_idx[jnp.pad(far_dst, (0, pad))]
-        w_idx = (far_starts[:-1] // S).astype(jnp.int32)
-        starts0 = far_starts[:-1].astype(jnp.int32)
-        runs = (far_starts[1:] - far_starts[:-1]).astype(jnp.int32)
+        S, nw, rowp, qp, rif, w_idx, starts0, runs = _win_far_pack(
+            far_src, far_dst, far_w, far_q, far_starts, rows_idx, B,
+            far_bmax)
 
         def body(count, step):
             key = jax.random.fold_in(base, step)
@@ -1582,9 +1756,9 @@ def _banded_local_moran_p_i8(order, rank, local_idx, w_local, far_src,
                 rowsf = feistel_apply(key, rif, n)
             Zp = Zq[rows].reshape(nb + 2, B, G)
             Zf = Zq[rowsf].reshape(nw, S, G)
-            return _band_lag_count_pallas_i8_win(
-                w_idx, starts0, runs, A8, obs3, count, Zp, Zf, rowp, qp,
-                interpret), None
+            return _fused_win_pallas_i8(
+                "moran", w_idx, starts0, runs, A8, obs3, count, Zp, Zf,
+                rowp, qp, interpret=interpret), None
 
         count, _ = jax.lax.scan(body, jnp.zeros((nb, B, G), cdt),
                                 jnp.arange(n_permutations))
@@ -1759,11 +1933,13 @@ def _banded_lees_p(order, rank, local_idx, w_local, far_src, far_dst,
 
 @functools.partial(jax.jit, static_argnames=(
     "block", "n", "n_permutations", "perm_method",
-    "compute_cell_pvalues"))
+    "compute_cell_pvalues", "band_impl", "far_bmax", "interpret"))
 def _banded_lees_p_i8(order, rank, local_idx, w_local, far_src, far_dst,
                       far_w, Zx, Zy, seed, *, block: int, n: int,
                       n_permutations: int, perm_method: str,
-                      compute_cell_pvalues: bool):
+                      compute_cell_pvalues: bool, band_impl: str = "xla",
+                      far_starts=None, far_bmax: int = 0,
+                      interpret: bool = False):
     """Lee's L nulls in the int8 quantized-operator system.
 
     Both columns quantize per gene-pair (:func:`_quantize_z`), weights
@@ -1829,24 +2005,74 @@ def _banded_lees_p_i8(order, rank, local_idx, w_local, far_src, far_dst,
     cdt = (jnp.int8 if n_permutations <= 127
            else jnp.int16 if n_permutations <= 32767 else jnp.int32)
 
-    def body(carry, step):
-        cg, cl = carry
-        key = jax.random.fold_in(base, step)
-        if perm_method == "sort":
-            rows = jax.random.permutation(key, n)[rows_idx]
-        else:
-            rows = feistel_apply(key, rows_idx, n)
-        Lq, Lg = lees_q(rows)
-        cg = cg + (jnp.abs(Lg) >= abs_g).astype(jnp.int32)
-        if compute_cell_pvalues:
-            cl = (cl.astype(jnp.int32)
-                  + (jnp.abs(Lq) >= abs_l).astype(jnp.int32)).astype(cdt)
-        return (cg, cl), None
+    use_win = (band_impl == "pallas" and compute_cell_pvalues
+               and far_starts is not None and 0 < far_bmax
+               and _round_up(far_bmax, 128) <= 1024)
+    if use_win:
+        # fused windowed draw step (cell p-values only — the global-only
+        # case has no [N, G] traffic worth fusing). Per-cell counts are
+        # exact int32 → bitwise-equal to the XLA body. The GLOBAL L sums
+        # per-block f32 partials emitted by the kernel; the observed Lg
+        # uses the same blockwise order, computed in XLA — decisions can
+        # differ from the einsum path only at an exact f32 tie between
+        # |Lg_perm| and |Lg_obs| (never observed; both are valid draws
+        # of the same null).
+        zx8 = Zxq[order]
+        if n_padded > n:
+            zx8 = jnp.pad(zx8, ((0, n_padded - n), (0, 0)))
+        zx3 = zx8.reshape(nb, B, Pn)
+        sw3 = sw_row.astype(jnp.float32).reshape(nb, B, 1)
+        obs3 = abs_l.reshape(nb, B, Pn)
+        part_obs = jnp.sum(sw3 * obs_l.reshape(nb, B, Pn)
+                           .astype(jnp.float32), axis=1, keepdims=True)
+        abs_g_win = jnp.abs(jnp.sum(part_obs, axis=(0, 1)))
+        S, nw, rowp, qp, rif, w_idx, starts0, runs = _win_far_pack(
+            far_src, far_dst, far_w, far_q, far_starts, rows_idx, B,
+            far_bmax)
 
-    cl_shape = (n_padded, Pn) if compute_cell_pvalues else (1, Pn)
-    (cg, cl), _ = jax.lax.scan(
-        body, (jnp.zeros((Pn,), jnp.int32), jnp.zeros(cl_shape, cdt)),
-        jnp.arange(n_permutations))
+        def body(carry, step):
+            cg, cl = carry
+            key = jax.random.fold_in(base, step)
+            if perm_method == "sort":
+                perm = jax.random.permutation(key, n)
+                rows, rowsf = perm[rows_idx], perm[rif]
+            else:
+                rows = feistel_apply(key, rows_idx, n)
+                rowsf = feistel_apply(key, rif, n)
+            Yp = Zyq[rows].reshape(nb + 2, B, Pn)
+            Yf = Zyq[rowsf].reshape(nw, S, Pn)
+            cl, part = _fused_win_pallas_i8(
+                "lee", w_idx, starts0, runs, A8, obs3, cl, Yp, Yf,
+                rowp, qp, extras=(zx3, sw3), interpret=interpret)
+            Lg = jnp.sum(part, axis=(0, 1))
+            cg = cg + (jnp.abs(Lg) >= abs_g_win).astype(jnp.int32)
+            return (cg, cl), None
+
+        (cg, cl), _ = jax.lax.scan(
+            body, (jnp.zeros((Pn,), jnp.int32),
+                   jnp.zeros((nb, B, Pn), cdt)),
+            jnp.arange(n_permutations))
+        cl = cl.reshape(n_padded, Pn)
+    else:
+        def body(carry, step):
+            cg, cl = carry
+            key = jax.random.fold_in(base, step)
+            if perm_method == "sort":
+                rows = jax.random.permutation(key, n)[rows_idx]
+            else:
+                rows = feistel_apply(key, rows_idx, n)
+            Lq, Lg = lees_q(rows)
+            cg = cg + (jnp.abs(Lg) >= abs_g).astype(jnp.int32)
+            if compute_cell_pvalues:
+                cl = (cl.astype(jnp.int32)
+                      + (jnp.abs(Lq) >= abs_l).astype(jnp.int32)
+                      ).astype(cdt)
+            return (cg, cl), None
+
+        cl_shape = (n_padded, Pn) if compute_cell_pvalues else (1, Pn)
+        (cg, cl), _ = jax.lax.scan(
+            body, (jnp.zeros((Pn,), jnp.int32), jnp.zeros(cl_shape, cdt)),
+            jnp.arange(n_permutations))
     p_g = (cg + 1.0) / (n_permutations + 1.0)
     if compute_cell_pvalues:
         p_l = ((cl.astype(jnp.float32) + 1.0) / (n_permutations + 1.0))[rank]
@@ -1922,10 +2148,13 @@ def _banded_local_geary_p(order, rank, local_idx, w_local, far_src, far_dst,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "block", "n", "n_permutations", "perm_method"))
+    "block", "n", "n_permutations", "perm_method", "band_impl", "far_bmax",
+    "interpret"))
 def _banded_local_geary_p_i8(order, rank, local_idx, w_local, far_src,
                              far_dst, far_w, Z, seed, *, block: int, n: int,
-                             n_permutations: int, perm_method: str):
+                             n_permutations: int, perm_method: str,
+                             band_impl: str = "xla", far_starts=None,
+                             far_bmax: int = 0, interpret: bool = False):
     """Local Geary total nulls, fully integer.
 
     The expansion c_i = z_i²·W_i + Σ w z_j² − 2 z_i Σ w z_j evaluates
@@ -2000,17 +2229,48 @@ def _banded_local_geary_p_i8(order, rank, local_idx, w_local, far_src,
     cdt = (jnp.int8 if n_permutations <= 127
            else jnp.int16 if n_permutations <= 32767 else jnp.int32)
 
-    def body(count, step):
-        key = jax.random.fold_in(base, step)
-        if perm_method == "sort":
-            rows = jax.random.permutation(key, n)[rows_idx]
-        else:
-            rows = feistel_apply(key, rows_idx, n)
-        inc = (geary_q(rows) <= c_obs).astype(jnp.int32)
-        return (count.astype(jnp.int32) + inc).astype(cdt), None
+    use_win = (band_impl == "pallas" and far_starts is not None
+               and 0 < far_bmax and _round_up(far_bmax, 128) <= 1024)
+    if use_win:
+        # fused windowed draw step: no dense far layer, no [Npad, G]
+        # int32 lag_z/lag_z2 (nor the three int32 einsum-cast temps) in
+        # HBM — the z²-plane split happens on-chip from the int8 windows.
+        # All-integer → p bitwise-equal to the XLA body.
+        obs3 = c_obs.reshape(nb, B, G)
+        wq3 = Wq_row.reshape(nb, B, 1)
+        S, nw, rowp, qp, rif, w_idx, starts0, runs = _win_far_pack(
+            far_src, far_dst, far_w, far_q, far_starts, rows_idx, B,
+            far_bmax)
 
-    count, _ = jax.lax.scan(body, jnp.zeros((n_padded, G), cdt),
-                            jnp.arange(n_permutations))
+        def body(count, step):
+            key = jax.random.fold_in(base, step)
+            if perm_method == "sort":
+                perm = jax.random.permutation(key, n)
+                rows, rowsf = perm[rows_idx], perm[rif]
+            else:
+                rows = feistel_apply(key, rows_idx, n)
+                rowsf = feistel_apply(key, rif, n)
+            Zp = Zq[rows].reshape(nb + 2, B, G)
+            Zf = Zq[rowsf].reshape(nw, S, G)
+            return _fused_win_pallas_i8(
+                "geary", w_idx, starts0, runs, A8, obs3, count, Zp, Zf,
+                rowp, qp, extras=(wq3,), interpret=interpret), None
+
+        count, _ = jax.lax.scan(body, jnp.zeros((nb, B, G), cdt),
+                                jnp.arange(n_permutations))
+        count = count.reshape(n_padded, G)
+    else:
+        def body(count, step):
+            key = jax.random.fold_in(base, step)
+            if perm_method == "sort":
+                rows = jax.random.permutation(key, n)[rows_idx]
+            else:
+                rows = feistel_apply(key, rows_idx, n)
+            inc = (geary_q(rows) <= c_obs).astype(jnp.int32)
+            return (count.astype(jnp.int32) + inc).astype(cdt), None
+
+        count, _ = jax.lax.scan(body, jnp.zeros((n_padded, G), cdt),
+                                jnp.arange(n_permutations))
     p = (count.astype(jnp.float32) + 1.0) / (n_permutations + 1.0)
     return c_obs[rank], p[rank]
 
@@ -2022,6 +2282,7 @@ def banded_local_geary(
     n_permutations: int,
     precision: str = "f32",
     perm_method: str = "feistel",
+    band_impl: str = "auto",
 ):
     """Local Geary total-null p-values via the banded plan — see
     :func:`_banded_local_geary_p`. Returns ``(c_obs_operator, p)`` in
@@ -2031,18 +2292,34 @@ def banded_local_geary(
     ``perm_method="sort"`` reproduces the direct kernel's draw stream.
     ``precision="int8"`` runs the fully-integer quantized-operator
     system (two-plane z² split, k <= 256) — see
-    :func:`_banded_local_geary_p_i8`."""
+    :func:`_banded_local_geary_p_i8`; on real TPUs ``band_impl="auto"``
+    selects the fused windowed-far Pallas draw step when the plan's far
+    structure and the gene tile fit VMEM (bitwise-equal to the XLA
+    body)."""
     if precision not in ("bf16", "f32", "int8"):
         raise ValueError(
             f"banded_local_geary supports precision 'bf16', 'f32' or "
             f"'int8', got {precision!r}")
     _check_perm_method(perm_method)
     if precision == "int8":
+        interpret = jax.default_backend() != "tpu"
+        if band_impl == "auto":
+            shd = getattr(Z, "sharding", None)
+            multi_dev = shd is not None and len(shd.device_set) > 1
+            win_ready = (plan.far_starts is not None
+                         and 0 < plan.far_bmax <= 1024)
+            band_impl = ("pallas" if not interpret and not multi_dev
+                         and win_ready
+                         and _win_fits_vmem("geary", Z.shape[1],
+                                            plan.block, plan.far_bmax)
+                         else "xla")
         return _banded_local_geary_p_i8(
             plan.order, plan.rank, plan.local_idx, plan.w_local,
             plan.far_src, plan.far_dst, plan.far_w, Z, jnp.uint32(seed),
             block=plan.block, n=plan.n, n_permutations=n_permutations,
-            perm_method=perm_method)
+            perm_method=perm_method, band_impl=band_impl,
+            far_starts=plan.far_starts, far_bmax=plan.far_bmax,
+            interpret=interpret)
     return _banded_local_geary_p(
         plan.order, plan.rank, plan.local_idx, plan.w_local, plan.far_src,
         plan.far_dst, plan.far_w, Z, jnp.uint32(seed), block=plan.block,
@@ -2162,11 +2439,14 @@ def _check_perm_method(perm_method: str) -> None:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "block", "n", "n_permutations", "star", "alternative", "perm_method"))
+    "block", "n", "n_permutations", "star", "alternative", "perm_method",
+    "band_impl", "far_bmax", "interpret"))
 def _banded_getis_p_i8(order, rank, local_idx, w_local, far_src, far_dst,
                        far_w, X, seed, *, block: int, n: int,
                        n_permutations: int, star: bool, alternative: str,
-                       perm_method: str):
+                       perm_method: str, band_impl: str = "xla",
+                       far_starts=None, far_bmax: int = 0,
+                       interpret: bool = False):
     """Getis-Ord Gi/Gi* permutation p_sim, int8 quantized operator.
 
     Getis adjacency is BINARY (0/1 — exact in int8), so the only
@@ -2196,7 +2476,7 @@ def _banded_getis_p_i8(order, rank, local_idx, w_local, far_src, far_dst,
     sq = jnp.sum(Xf * Xf, axis=0, keepdims=True)
     m = jnp.float32(n if star else n - 1)
 
-    def center_q(rows):
+    def lag_me_q(rows):
         Xp = Xq[rows].reshape(nb + 2, B, G)             # ONE int8 gather
         lag = jnp.zeros((nb, B, G), jnp.int32)
         for s in range(3):
@@ -2207,16 +2487,32 @@ def _banded_getis_p_i8(order, rank, local_idx, w_local, far_src, far_dst,
         lag = lag.reshape(n_padded, G)
         xf = Xp.reshape(-1, G).astype(jnp.int32)
         lag = lag.at[far_src - B].add(xf[far_dst] * fb[:, None], mode="drop")
-        me = xf[B:B + n_padded].astype(jnp.float32)
+        return lag, xf[B:B + n_padded]
+
+    def cp_of(lag, me):
+        # Gi leave-one-out centering (f32 — depends on the draw's own
+        # value; same expression tree in the fused kernel)
+        mef = me.astype(jnp.float32)
         lagf = lag.astype(jnp.float32)
-        if star:
-            return (lagf + me) - (tot / m) * (W_row + 1.0)
-        xbar_i = (tot - me) / m
-        s2 = jnp.maximum((sq - me * me) / m - xbar_i * xbar_i, 0.0)
+        xbar_i = (tot - mef) / m
+        s2 = jnp.maximum((sq - mef * mef) / m - xbar_i * xbar_i, 0.0)
         s = jnp.sqrt(jnp.where(s2 > 0, s2, 1.0))
         return (lagf - xbar_i * W_row) / s
 
-    obs_c = center_q(rows_idx)
+    lag_o, me_o = lag_me_q(rows_idx)
+    if star:
+        # Gi*'s centering constant c = (tot/m)·(W+1) is draw-invariant:
+        # one-sided decisions reduce to EXACT integer comparisons of
+        # A* = lag + own; two-sided to the sign test
+        # (A_d−A_o)·(A_d+A_o−2c) ≥ 0 whose only f32 inputs (c, and the
+        # exactly-representable small ints d, s) are shared bitwise
+        # between the XLA and Pallas impls — draw decisions are
+        # therefore bitwise-equal across band_impl even at exact ties
+        # (common: integer code sums collide constantly).
+        A_o = lag_o + me_o
+        c2 = (tot / m) * (W_row + 1.0)                  # [n_padded, G]
+    else:
+        cp_o = cp_of(lag_o, me_o)
     if perm_method == "sort":
         base = key_for(seed, "perm_getis", 0)
     else:
@@ -2224,24 +2520,85 @@ def _banded_getis_p_i8(order, rank, local_idx, w_local, far_src, far_dst,
     cdt = (jnp.int8 if n_permutations <= 127
            else jnp.int16 if n_permutations <= 32767 else jnp.int32)
 
-    def body(count, step):
-        key = jax.random.fold_in(base, step)
-        if perm_method == "sort":
-            rows = jax.random.permutation(key, n)[rows_idx]
-        else:
-            rows = feistel_apply(key, rows_idx, n)
-        cp = center_q(rows)
+    def decide(lag_d, me_d):
+        if star:
+            A_d = lag_d + me_d
+            if alternative == "greater":
+                return A_d >= A_o
+            if alternative == "less":
+                return A_d <= A_o
+            d = (A_d - A_o).astype(jnp.float32)
+            s_ = (A_d + A_o).astype(jnp.float32)
+            return d * (s_ - 2.0 * c2) >= 0.0
+        cp_d = cp_of(lag_d, me_d)
         if alternative == "greater":
-            extreme = cp >= obs_c
+            ext = cp_d >= cp_o
         elif alternative == "less":
-            extreme = cp <= obs_c
+            ext = cp_d <= cp_o
         else:
-            extreme = jnp.abs(cp) >= jnp.abs(obs_c)
-        return (count.astype(jnp.int32)
-                + extreme.astype(jnp.int32)).astype(cdt), None
+            ext = jnp.abs(cp_d) >= jnp.abs(cp_o)
+        # an exact (lag, own) pair tie means the draw statistic EQUALS
+        # the observed in exact arithmetic — extreme under every
+        # alternative, independent of each impl's f32 rounding
+        return ext | ((lag_d == lag_o) & (me_d == me_o))
 
-    count, _ = jax.lax.scan(body, jnp.zeros((n_padded, G), cdt),
-                            jnp.arange(n_permutations))
+    use_win = (band_impl == "pallas" and far_starts is not None
+               and 0 < far_bmax and _round_up(far_bmax, 128) <= 1024)
+    if use_win:
+        # fused windowed draw step: no dense far layer; the int32 binary
+        # lag and the comparison never touch HBM. Decisions are
+        # bitwise-equal to the XLA body: exact-integer for Gi* (see
+        # above), and for Gi the pair-tie short-circuit covers every
+        # exact tie (a remaining flip would need DIFFERENT integer pairs
+        # landing on f32-equal cp values while the impls round
+        # differently — distinct pairs are separated by ~1/s ≫ ulp).
+        wrow3 = W_row.reshape(nb, B, 1)
+        if star:
+            obs3 = A_o.reshape(nb, B, G)
+            extras = ((c2.reshape(nb, B, G),)
+                      if alternative == "two-sided" else ())
+        else:
+            obs3 = cp_o.reshape(nb, B, G)
+            extras = (lag_o.reshape(nb, B, G),
+                      me_o.astype(jnp.int8).reshape(nb, B, G), wrow3,
+                      tot.reshape(1, 1, G), sq.reshape(1, 1, G))
+        S, nw, rowp, qp, rif, w_idx, starts0, runs = _win_far_pack(
+            far_src, far_dst, far_w, fb, far_starts, rows_idx, B,
+            far_bmax)
+
+        def body(count, step):
+            key = jax.random.fold_in(base, step)
+            if perm_method == "sort":
+                perm = jax.random.permutation(key, n)
+                rows, rowsf = perm[rows_idx], perm[rif]
+            else:
+                rows = feistel_apply(key, rows_idx, n)
+                rowsf = feistel_apply(key, rif, n)
+            Xp = Xq[rows].reshape(nb + 2, B, G)
+            Xf = Xq[rowsf].reshape(nw, S, G)
+            return _fused_win_pallas_i8(
+                "getis_star" if star else "getis_g", w_idx, starts0,
+                runs, A8, obs3, count, Xp, Xf, rowp, qp, extras=extras,
+                alternative=alternative,
+                m=float(n if star else n - 1), interpret=interpret
+            ), None
+
+        count, _ = jax.lax.scan(body, jnp.zeros((nb, B, G), cdt),
+                                jnp.arange(n_permutations))
+        count = count.reshape(n_padded, G)
+    else:
+        def body(count, step):
+            key = jax.random.fold_in(base, step)
+            if perm_method == "sort":
+                rows = jax.random.permutation(key, n)[rows_idx]
+            else:
+                rows = feistel_apply(key, rows_idx, n)
+            extreme = decide(*lag_me_q(rows))
+            return (count.astype(jnp.int32)
+                    + extreme.astype(jnp.int32)).astype(cdt), None
+
+        count, _ = jax.lax.scan(body, jnp.zeros((n_padded, G), cdt),
+                                jnp.arange(n_permutations))
     p = (count.astype(jnp.float32) + 1.0) / (n_permutations + 1.0)
     return p[rank]
 
@@ -2255,13 +2612,16 @@ def banded_getis(
     alternative: str = "two-sided",
     precision: str = "f32",
     perm_method: str = "feistel",
+    band_impl: str = "auto",
 ):
     """Getis-Ord permutation p_sim via the banded plan — see
     :func:`_banded_getis_p`. Observed G/z/analytic p should come from the
     exact direct kernel (``ops.getis.getis_ord`` with P=0).
     ``perm_method="sort"`` reproduces the direct kernel's draw stream.
     ``precision="int8"`` quantizes X per gene against the exact binary
-    adjacency — see :func:`_banded_getis_p_i8`."""
+    adjacency — see :func:`_banded_getis_p_i8`; on real TPUs
+    ``band_impl="auto"`` selects the fused windowed-far Pallas draw step
+    when the plan's far structure and the gene tile fit VMEM."""
     if precision not in ("bf16", "f32", "int8"):
         raise ValueError(
             f"banded_getis supports precision 'bf16', 'f32' or 'int8', "
@@ -2270,11 +2630,24 @@ def banded_getis(
         raise ValueError(f"invalid alternative {alternative!r}")
     _check_perm_method(perm_method)
     if precision == "int8":
+        interpret = jax.default_backend() != "tpu"
+        if band_impl == "auto":
+            shd = getattr(X, "sharding", None)
+            multi_dev = shd is not None and len(shd.device_set) > 1
+            win_ready = (plan.far_starts is not None
+                         and 0 < plan.far_bmax <= 1024)
+            band_impl = ("pallas" if not interpret and not multi_dev
+                         and win_ready
+                         and _win_fits_vmem("getis", X.shape[1],
+                                            plan.block, plan.far_bmax)
+                         else "xla")
         return _banded_getis_p_i8(
             plan.order, plan.rank, plan.local_idx, plan.w_local,
             plan.far_src, plan.far_dst, plan.far_w, X, jnp.uint32(seed),
             block=plan.block, n=plan.n, n_permutations=n_permutations,
-            star=star, alternative=alternative, perm_method=perm_method)
+            star=star, alternative=alternative, perm_method=perm_method,
+            band_impl=band_impl, far_starts=plan.far_starts,
+            far_bmax=plan.far_bmax, interpret=interpret)
     return _banded_getis_p(
         plan.order, plan.rank, plan.local_idx, plan.w_local, plan.far_src,
         plan.far_dst, plan.far_w, X, jnp.uint32(seed), block=plan.block,
@@ -2292,6 +2665,7 @@ def banded_lees_l(
     precision: str = "bf16",
     compute_cell_pvalues: bool = False,
     perm_method: str = "feistel",
+    band_impl: str = "auto",
 ):
     """Lee's L permutation p-values (global + optional per-cell) via the
     banded plan — see :func:`_banded_lees_p`. Observed L values should
@@ -2300,19 +2674,36 @@ def banded_lees_l(
     ``perm_method="sort"`` reproduces the direct kernel's draw stream.
     ``precision="int8"`` runs the quantized-operator system (exact int8
     MXU band dots, int32 per-cell comparisons, k <= 1000) — see
-    :func:`_banded_lees_p_i8`."""
+    :func:`_banded_lees_p_i8`; with ``compute_cell_pvalues`` on real
+    TPUs, ``band_impl="auto"`` selects the fused windowed-far Pallas
+    draw step when the plan's far structure and the pair tile fit VMEM
+    (per-cell p bitwise-equal; the global p can differ from the XLA
+    einsum only at an exact f32 tie)."""
     if precision not in ("bf16", "f32", "int8"):
         raise ValueError(
             f"banded_lees_l supports precision 'bf16', 'f32' or 'int8', "
             f"got {precision!r}")
     _check_perm_method(perm_method)
     if precision == "int8":
+        interpret = jax.default_backend() != "tpu"
+        if band_impl == "auto":
+            shd = getattr(Zy, "sharding", None)
+            multi_dev = shd is not None and len(shd.device_set) > 1
+            win_ready = (plan.far_starts is not None
+                         and 0 < plan.far_bmax <= 1024)
+            band_impl = ("pallas" if not interpret and not multi_dev
+                         and win_ready and compute_cell_pvalues
+                         and _win_fits_vmem("lee", Zy.shape[1],
+                                            plan.block, plan.far_bmax)
+                         else "xla")
         return _banded_lees_p_i8(
             plan.order, plan.rank, plan.local_idx, plan.w_local,
             plan.far_src, plan.far_dst, plan.far_w, Zx, Zy,
             jnp.uint32(seed), block=plan.block, n=plan.n,
             n_permutations=n_permutations, perm_method=perm_method,
-            compute_cell_pvalues=compute_cell_pvalues)
+            compute_cell_pvalues=compute_cell_pvalues,
+            band_impl=band_impl, far_starts=plan.far_starts,
+            far_bmax=plan.far_bmax, interpret=interpret)
     return _banded_lees_p(
         plan.order, plan.rank, plan.local_idx, plan.w_local, plan.far_src,
         plan.far_dst, plan.far_w, Zx, Zy, jnp.uint32(seed),
@@ -2356,15 +2747,22 @@ def banded_local_moran(
         interpret = jax.default_backend() != "tpu"
         if band_impl == "auto":
             # fused Pallas draw step on real TPUs (the int32 lag stays in
-            # VMEM, so one gene tile must fit: same G <= 4096 ceiling as
-            # the global int8 kernel); XLA einsums elsewhere, at wider G,
-            # AND on multi-device inputs — a pallas_call does not
-            # partition (the gene-sharded wrapper pins "xla" explicitly;
-            # this guard covers direct ops-level calls under a mesh)
+            # VMEM, so one gene tile must fit: the windowed kernel's
+            # working set is estimated against plan.far_bmax, the dense
+            # fallback keeps the G <= 4096 ceiling of the global int8
+            # kernel); XLA einsums elsewhere, at wider G, AND on
+            # multi-device inputs — a pallas_call does not partition
+            # (the gene-sharded wrapper pins "xla" explicitly; this
+            # guard covers direct ops-level calls under a mesh)
             shd = getattr(Z, "sharding", None)
             multi_dev = shd is not None and len(shd.device_set) > 1
+            win_ready = (plan.far_starts is not None
+                         and 0 < plan.far_bmax <= 1024)
+            fits = (_win_fits_vmem("moran", Z.shape[1], plan.block,
+                                   plan.far_bmax)
+                    if win_ready else Z.shape[1] <= 4096)
             band_impl = ("pallas" if not interpret and not multi_dev
-                         and Z.shape[1] <= 4096 else "xla")
+                         and fits else "xla")
         p = _banded_local_moran_p_i8(
             plan.order, plan.rank, plan.local_idx, plan.w_local,
             plan.far_src, plan.far_dst, plan.far_w, Z, jnp.uint32(seed),

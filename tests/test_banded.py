@@ -1059,3 +1059,90 @@ def test_lisa_i8_windowed_far_bitwise(setup):
                              precision="int8", band_impl="xla")
     np.testing.assert_array_equal(np.asarray(got.p_value),
                                   np.asarray(ref.p_value))
+
+
+def test_geary_i8_windowed_far_bitwise(setup):
+    """Fused windowed local-Geary draws (z² two-plane split derived
+    on-chip from the int8 windows) are all-integer — bitwise-equal to
+    the XLA einsum body on both draw streams."""
+    from spatialcore_tpu.ops.banded import _banded_local_geary_p_i8
+
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    assert plan.far_bmax > 0
+
+    def run_p(band_impl, windowed, perm_method="feistel"):
+        _, p = _banded_local_geary_p_i8(
+            plan.order, plan.rank, plan.local_idx, plan.w_local,
+            plan.far_src, plan.far_dst, plan.far_w, Z, jnp.uint32(11),
+            block=plan.block, n=plan.n, n_permutations=29,
+            perm_method=perm_method, band_impl=band_impl,
+            far_starts=plan.far_starts if windowed else None,
+            far_bmax=plan.far_bmax if windowed else 0,
+            interpret=True)
+        return np.asarray(p)
+
+    np.testing.assert_array_equal(run_p("pallas", True), run_p("xla", False))
+    np.testing.assert_array_equal(run_p("pallas", True, "sort"),
+                                  run_p("xla", False, "sort"))
+
+
+@pytest.mark.parametrize("star", [True, False])
+@pytest.mark.parametrize("alternative", ["two-sided", "greater", "less"])
+def test_getis_i8_windowed_far_bitwise(setup, star, alternative):
+    """Fused windowed Getis draws match the XLA body bitwise: Gi*
+    decisions are exact-integer (one-sided) or a sign test on shared f32
+    inputs (two-sided); Gi adds the exact pair-tie short-circuit, which
+    covers every mathematical tie (the fixture's integer code sums
+    collide constantly — this is what the rule exists for)."""
+    from spatialcore_tpu.ops.banded import _banded_getis_p_i8
+
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.poisson(3.0, Z.shape).astype(np.float32))
+
+    def run_p(band_impl, windowed, perm_method="feistel"):
+        return np.asarray(_banded_getis_p_i8(
+            plan.order, plan.rank, plan.local_idx, plan.w_local,
+            plan.far_src, plan.far_dst, plan.far_w, X, jnp.uint32(5),
+            block=plan.block, n=plan.n, n_permutations=29, star=star,
+            alternative=alternative, perm_method=perm_method,
+            band_impl=band_impl,
+            far_starts=plan.far_starts if windowed else None,
+            far_bmax=plan.far_bmax if windowed else 0,
+            interpret=True))
+
+    np.testing.assert_array_equal(run_p("pallas", True), run_p("xla", False))
+    np.testing.assert_array_equal(run_p("pallas", True, "sort"),
+                                  run_p("xla", False, "sort"))
+
+
+def test_lee_i8_windowed_far_bitwise(setup):
+    """Fused windowed Lee draws: per-cell counts are exact int32 →
+    bitwise; the global p sums per-block f32 partials with the observed
+    side computed in the same blockwise order (equal on this fixture)."""
+    from spatialcore_tpu.ops.banded import _banded_lees_p_i8
+
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    rng = np.random.default_rng(5)
+    Zx = jnp.asarray(rng.normal(size=Z.shape).astype(np.float32))
+
+    def run_p(band_impl, windowed, perm_method="feistel"):
+        pg, pl_ = _banded_lees_p_i8(
+            plan.order, plan.rank, plan.local_idx, plan.w_local,
+            plan.far_src, plan.far_dst, plan.far_w, Zx, Z, jnp.uint32(7),
+            block=plan.block, n=plan.n, n_permutations=29,
+            perm_method=perm_method, compute_cell_pvalues=True,
+            band_impl=band_impl,
+            far_starts=plan.far_starts if windowed else None,
+            far_bmax=plan.far_bmax if windowed else 0,
+            interpret=True)
+        return np.asarray(pg), np.asarray(pl_)
+
+    for pm in ("feistel", "sort"):
+        pg_w, pl_w = run_p("pallas", True, pm)
+        pg_x, pl_x = run_p("xla", False, pm)
+        np.testing.assert_array_equal(pl_w, pl_x)
+        np.testing.assert_array_equal(pg_w, pg_x)
