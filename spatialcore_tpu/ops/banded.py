@@ -224,7 +224,8 @@ def _win_fits_vmem(stat: str, G: int, block: int, far_bmax: int,
     G=512, B=256 at 1M cells (config 8) uses ~4 MB.
     """
     S = _round_up(max(int(far_bmax), 1), 128)
-    return G * (_WIN_VMEM_COEF[stat] * block + 2 * S) <= budget
+    Gp = _round_up(max(int(G), 1), 128)   # kernels pad lanes to 128
+    return Gp * (_WIN_VMEM_COEF[stat] * block + 2 * S) <= budget
 
 
 # ---------------------------------------------------------------------------
@@ -1741,7 +1742,15 @@ def _banded_local_moran_p_i8(order, rank, local_idx, w_local, far_src,
         # composed indices; the kernel covers each block's run with two
         # S-row windows. Integer adds commute → p is bitwise-equal to
         # the scatter paths.
-        obs3 = abs_obs.reshape(nb, B, G)
+        # the windowed kernel needs 128-multiple lane widths (G=100
+        # fails Mosaic on hardware; G=128 compiles) — pad the gene axis
+        # once outside the scan, slice the counts after. Padded columns
+        # are all-zero codes whose comparisons can't affect real genes.
+        Gp = _round_up(G, 128)
+        if Gp != G:
+            Zq = jnp.pad(Zq, ((0, 0), (0, Gp - G)))
+            abs_obs = jnp.pad(abs_obs, ((0, 0), (0, Gp - G)))
+        obs3 = abs_obs.reshape(nb, B, Gp)
         S, nw, rowp, qp, rif, w_idx, starts0, runs = _win_far_pack(
             far_src, far_dst, far_w, far_q, far_starts, rows_idx, B,
             far_bmax)
@@ -1754,15 +1763,15 @@ def _banded_local_moran_p_i8(order, rank, local_idx, w_local, far_src,
             else:
                 rows = feistel_apply(key, rows_idx, n)
                 rowsf = feistel_apply(key, rif, n)
-            Zp = Zq[rows].reshape(nb + 2, B, G)
-            Zf = Zq[rowsf].reshape(nw, S, G)
+            Zp = Zq[rows].reshape(nb + 2, B, Gp)
+            Zf = Zq[rowsf].reshape(nw, S, Gp)
             return _fused_win_pallas_i8(
                 "moran", w_idx, starts0, runs, A8, obs3, count, Zp, Zf,
                 rowp, qp, interpret=interpret), None
 
-        count, _ = jax.lax.scan(body, jnp.zeros((nb, B, G), cdt),
+        count, _ = jax.lax.scan(body, jnp.zeros((nb, B, Gp), cdt),
                                 jnp.arange(n_permutations))
-        count = count.reshape(n_padded, G)
+        count = count.reshape(n_padded, Gp)[:, :G]
     elif band_impl == "pallas":
         # fused draw step (_band_lag_count_kernel_i8): the int32 lag (and
         # the int32 casts of band/window the einsum path materializes)
@@ -2017,13 +2026,19 @@ def _banded_lees_p_i8(order, rank, local_idx, w_local, far_src, far_dst,
         # differ from the einsum path only at an exact f32 tie between
         # |Lg_perm| and |Lg_obs| (never observed; both are valid draws
         # of the same null).
+        # 128-multiple lane padding — see the moran windowed branch.
+        # Padded pair columns carry zero codes → zero partials → their
+        # cg counts are meaningless and sliced away with cl.
+        Gp = _round_up(Pn, 128)
+        gpad = ((0, 0), (0, Gp - Pn))
+        Zyq_w = jnp.pad(Zyq, gpad) if Gp != Pn else Zyq
         zx8 = Zxq[order]
         if n_padded > n:
             zx8 = jnp.pad(zx8, ((0, n_padded - n), (0, 0)))
-        zx3 = zx8.reshape(nb, B, Pn)
+        zx3 = jnp.pad(zx8, gpad).reshape(nb, B, Gp)
         sw3 = sw_row.astype(jnp.float32).reshape(nb, B, 1)
-        obs3 = abs_l.reshape(nb, B, Pn)
-        part_obs = jnp.sum(sw3 * obs_l.reshape(nb, B, Pn)
+        obs3 = jnp.pad(abs_l, gpad).reshape(nb, B, Gp)
+        part_obs = jnp.sum(sw3 * jnp.pad(obs_l, gpad).reshape(nb, B, Gp)
                            .astype(jnp.float32), axis=1, keepdims=True)
         abs_g_win = jnp.abs(jnp.sum(part_obs, axis=(0, 1)))
         S, nw, rowp, qp, rif, w_idx, starts0, runs = _win_far_pack(
@@ -2039,8 +2054,8 @@ def _banded_lees_p_i8(order, rank, local_idx, w_local, far_src, far_dst,
             else:
                 rows = feistel_apply(key, rows_idx, n)
                 rowsf = feistel_apply(key, rif, n)
-            Yp = Zyq[rows].reshape(nb + 2, B, Pn)
-            Yf = Zyq[rowsf].reshape(nw, S, Pn)
+            Yp = Zyq_w[rows].reshape(nb + 2, B, Gp)
+            Yf = Zyq_w[rowsf].reshape(nw, S, Gp)
             cl, part = _fused_win_pallas_i8(
                 "lee", w_idx, starts0, runs, A8, obs3, cl, Yp, Yf,
                 rowp, qp, extras=(zx3, sw3), interpret=interpret)
@@ -2049,10 +2064,11 @@ def _banded_lees_p_i8(order, rank, local_idx, w_local, far_src, far_dst,
             return (cg, cl), None
 
         (cg, cl), _ = jax.lax.scan(
-            body, (jnp.zeros((Pn,), jnp.int32),
-                   jnp.zeros((nb, B, Pn), cdt)),
+            body, (jnp.zeros((Gp,), jnp.int32),
+                   jnp.zeros((nb, B, Gp), cdt)),
             jnp.arange(n_permutations))
-        cl = cl.reshape(n_padded, Pn)
+        cg = cg[:Pn]
+        cl = cl.reshape(n_padded, Gp)[:, :Pn]
     else:
         def body(carry, step):
             cg, cl = carry
@@ -2236,7 +2252,10 @@ def _banded_local_geary_p_i8(order, rank, local_idx, w_local, far_src,
         # int32 lag_z/lag_z2 (nor the three int32 einsum-cast temps) in
         # HBM — the z²-plane split happens on-chip from the int8 windows.
         # All-integer → p bitwise-equal to the XLA body.
-        obs3 = c_obs.reshape(nb, B, G)
+        # 128-multiple lane padding — see the moran windowed branch
+        Gp = _round_up(G, 128)
+        Zq_w = jnp.pad(Zq, ((0, 0), (0, Gp - G))) if Gp != G else Zq
+        obs3 = jnp.pad(c_obs, ((0, 0), (0, Gp - G))).reshape(nb, B, Gp)
         wq3 = Wq_row.reshape(nb, B, 1)
         S, nw, rowp, qp, rif, w_idx, starts0, runs = _win_far_pack(
             far_src, far_dst, far_w, far_q, far_starts, rows_idx, B,
@@ -2250,15 +2269,15 @@ def _banded_local_geary_p_i8(order, rank, local_idx, w_local, far_src,
             else:
                 rows = feistel_apply(key, rows_idx, n)
                 rowsf = feistel_apply(key, rif, n)
-            Zp = Zq[rows].reshape(nb + 2, B, G)
-            Zf = Zq[rowsf].reshape(nw, S, G)
+            Zp = Zq_w[rows].reshape(nb + 2, B, Gp)
+            Zf = Zq_w[rowsf].reshape(nw, S, Gp)
             return _fused_win_pallas_i8(
                 "geary", w_idx, starts0, runs, A8, obs3, count, Zp, Zf,
                 rowp, qp, extras=(wq3,), interpret=interpret), None
 
-        count, _ = jax.lax.scan(body, jnp.zeros((nb, B, G), cdt),
+        count, _ = jax.lax.scan(body, jnp.zeros((nb, B, Gp), cdt),
                                 jnp.arange(n_permutations))
-        count = count.reshape(n_padded, G)
+        count = count.reshape(n_padded, Gp)[:, :G]
     else:
         def body(count, step):
             key = jax.random.fold_in(base, step)
@@ -2552,16 +2571,22 @@ def _banded_getis_p_i8(order, rank, local_idx, w_local, far_src, far_dst,
         # exact tie (a remaining flip would need DIFFERENT integer pairs
         # landing on f32-equal cp values while the impls round
         # differently — distinct pairs are separated by ~1/s ≫ ulp).
+        # 128-multiple lane padding — see the moran windowed branch
+        Gp = _round_up(G, 128)
+        gpad = ((0, 0), (0, Gp - G))
+        Xq_w = jnp.pad(Xq, gpad) if Gp != G else Xq
         wrow3 = W_row.reshape(nb, B, 1)
         if star:
-            obs3 = A_o.reshape(nb, B, G)
-            extras = ((c2.reshape(nb, B, G),)
+            obs3 = jnp.pad(A_o, gpad).reshape(nb, B, Gp)
+            extras = ((jnp.pad(c2, gpad).reshape(nb, B, Gp),)
                       if alternative == "two-sided" else ())
         else:
-            obs3 = cp_o.reshape(nb, B, G)
-            extras = (lag_o.reshape(nb, B, G),
-                      me_o.astype(jnp.int8).reshape(nb, B, G), wrow3,
-                      tot.reshape(1, 1, G), sq.reshape(1, 1, G))
+            obs3 = jnp.pad(cp_o, gpad).reshape(nb, B, Gp)
+            extras = (jnp.pad(lag_o, gpad).reshape(nb, B, Gp),
+                      jnp.pad(me_o.astype(jnp.int8),
+                              gpad).reshape(nb, B, Gp), wrow3,
+                      jnp.pad(tot, gpad).reshape(1, 1, Gp),
+                      jnp.pad(sq, gpad).reshape(1, 1, Gp))
         S, nw, rowp, qp, rif, w_idx, starts0, runs = _win_far_pack(
             far_src, far_dst, far_w, fb, far_starts, rows_idx, B,
             far_bmax)
@@ -2574,8 +2599,8 @@ def _banded_getis_p_i8(order, rank, local_idx, w_local, far_src, far_dst,
             else:
                 rows = feistel_apply(key, rows_idx, n)
                 rowsf = feistel_apply(key, rif, n)
-            Xp = Xq[rows].reshape(nb + 2, B, G)
-            Xf = Xq[rowsf].reshape(nw, S, G)
+            Xp = Xq_w[rows].reshape(nb + 2, B, Gp)
+            Xf = Xq_w[rowsf].reshape(nw, S, Gp)
             return _fused_win_pallas_i8(
                 "getis_star" if star else "getis_g", w_idx, starts0,
                 runs, A8, obs3, count, Xp, Xf, rowp, qp, extras=extras,
@@ -2583,9 +2608,9 @@ def _banded_getis_p_i8(order, rank, local_idx, w_local, far_src, far_dst,
                 m=float(n if star else n - 1), interpret=interpret
             ), None
 
-        count, _ = jax.lax.scan(body, jnp.zeros((nb, B, G), cdt),
+        count, _ = jax.lax.scan(body, jnp.zeros((nb, B, Gp), cdt),
                                 jnp.arange(n_permutations))
-        count = count.reshape(n_padded, G)
+        count = count.reshape(n_padded, Gp)[:, :G]
     else:
         def body(count, step):
             key = jax.random.fold_in(base, step)

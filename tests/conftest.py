@@ -25,7 +25,22 @@ assert jax.default_backend() == "cpu", (
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 # Persistent compilation cache: compile-bound on this single-core host.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# Key the dir by the host's CPU feature flags: XLA:CPU AOT executables
+# from a DIFFERENT microarchitecture load with a feature-mismatch
+# warning and then SEGFAULT mid-suite (observed 2026-08-19 after a host
+# swap: crash in compilation_cache.get_executable_and_time), so a host
+# change must start a fresh cache rather than reuse a stale one.
+import hashlib
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _flags = next((ln for ln in _f if ln.startswith("flags")), "")
+except OSError:  # non-Linux fallback: per-platform cache
+    import platform
+
+    _flags = platform.processor()
+_tag = hashlib.sha1(_flags.encode()).hexdigest()[:10]
+jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_{_tag}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
