@@ -1628,6 +1628,40 @@ def banded_permutation_test(
 # ---------------------------------------------------------------------------
 
 
+#: gene-column chunk width for one-time observed-statistic passes
+_OBS_CHUNK = 256
+
+
+def _chunked_cols(fn, arrs, G, width=None):
+    """Evaluate ``fn`` over gene-column chunks of its ``[:, G]`` operands.
+
+    The local kernels' OBSERVED pass runs the full-width XLA einsum body
+    once — which materializes several int32/f32 ``[Npad, G]`` temps at
+    the same time (value casts, z² planes, per-family lags). Measured at
+    1M cells × G=512 the local-Geary observed pass faults with
+    RESOURCE_EXHAUSTED where its draw *scan* fits comfortably (the scan
+    keeps the lag in VMEM via the fused kernel). Chunking the one-time
+    pass caps the peak at one chunk's temps next to the accumulated
+    output; the barrier stops XLA from re-batching chunks into the very
+    full-width temps this exists to avoid. Outputs concatenate on the
+    last (gene) axis; ``fn`` may return one array or a tuple.
+    """
+    if width is None:
+        width = _OBS_CHUNK   # module attr, so tests can patch it
+    if G <= width:
+        return fn(*arrs)
+    single = False
+    parts = []
+    for s in range(0, G, width):
+        res = fn(*(a[:, s:s + width] for a in arrs))
+        if not isinstance(res, tuple):
+            single, res = True, (res,)
+        parts.append(jax.lax.optimization_barrier(res))
+    outs = tuple(jnp.concatenate([p[i] for p in parts], axis=-1)
+                 for i in range(len(parts[0])))
+    return outs[0] if single else outs
+
+
 def _banded_lag(A, Zp, far_src, far_dst, far_w, *, block: int):
     """Full spatial lag [Npad, G] of the permuted values, banded + far.
 
@@ -1707,23 +1741,26 @@ def _banded_local_moran_p_i8(order, rank, local_idx, w_local, far_src,
     gidx0 = jnp.clip(jnp.arange((nb + 2) * B, dtype=jnp.int32) - B, 0, n - 1)
     rows_idx = order[gidx0]      # fixed relabel composition (see _banded_test)
 
-    def abs_ip(rows):
-        Zp = Zq[rows].reshape(nb + 2, B, G)          # ONE int8 row gather
-        lag = jnp.zeros((nb, B, G), jnp.int32)
+    def abs_ip(rows, Zcols):
+        Gc = Zcols.shape[1]
+        Zp = Zcols[rows].reshape(nb + 2, B, Gc)      # ONE int8 row gather
+        lag = jnp.zeros((nb, B, Gc), jnp.int32)
         for s in range(3):
             lag = lag + jnp.einsum(
                 "nbw,nwg->nbg", A8[:, :, s * B:(s + 1) * B].astype(jnp.int32),
                 Zp[s:s + nb].astype(jnp.int32))
             lag = jax.lax.optimization_barrier(lag)
-        lag = lag.reshape(n_padded, G)
+        lag = lag.reshape(n_padded, Gc)
         # far edges in the same integer domain (padded entries: far_q
         # rounds 0-weight to 0, contributing nothing)
-        vals = Zp.reshape(-1, G)[far_dst].astype(jnp.int32) * far_q[:, None]
+        vals = Zp.reshape(-1, Gc)[far_dst].astype(jnp.int32) * far_q[:, None]
         lag = lag.at[far_src - B].add(vals, mode="drop")
-        z1 = Zp.reshape(-1, G)[B:B + n_padded].astype(jnp.int32)
+        z1 = Zp.reshape(-1, Gc)[B:B + n_padded].astype(jnp.int32)
         return jnp.abs(z1 * lag)                      # exact int32
 
-    abs_obs = abs_ip(rows_idx)   # observed via the SAME quantized operator
+    # observed via the SAME quantized operator; chunked — the one-time
+    # full-width pass peaks several int32 [Npad, G] temps (_chunked_cols)
+    abs_obs = _chunked_cols(lambda zc: abs_ip(rows_idx, zc), (Zq,), G)
 
     if perm_method == "sort":
         base = key_for(seed, "perm_local", 0)   # legacy local draw stream
@@ -1805,7 +1842,7 @@ def _banded_local_moran_p_i8(order, rank, local_idx, w_local, far_src,
                 rows = jax.random.permutation(key, n)[rows_idx]
             else:
                 rows = feistel_apply(key, rows_idx, n)
-            return count + (abs_ip(rows) >= abs_obs).astype(cdt), None
+            return count + (abs_ip(rows, Zq) >= abs_obs).astype(cdt), None
 
         count, _ = jax.lax.scan(body, jnp.zeros((n_padded, G), cdt),
                                 jnp.arange(n_permutations))
@@ -1985,27 +2022,31 @@ def _banded_lees_p_i8(order, rank, local_idx, w_local, far_src, far_dst,
                      127).astype(jnp.int32)
     gidx0 = jnp.clip(jnp.arange((nb + 2) * B, dtype=jnp.int32) - B, 0, n - 1)
     rows_idx = order[gidx0]
-    zx_new = Zxq[order].astype(jnp.int32)
+    zx_new = Zxq[order]          # int8 resident; cast per use below
     if n_padded > n:
         zx_new = jnp.pad(zx_new, ((0, n_padded - n), (0, 0)))
 
-    def lees_q(rows):
-        Yp = Zyq[rows].reshape(nb + 2, B, Pn)
-        lag = jnp.zeros((nb, B, Pn), jnp.int32)
+    def lees_q(rows, Ycols, xcols):
+        Gc = Ycols.shape[1]
+        Yp = Ycols[rows].reshape(nb + 2, B, Gc)
+        lag = jnp.zeros((nb, B, Gc), jnp.int32)
         for s in range(3):
             lag = lag + jnp.einsum(
                 "nbw,nwg->nbg", A8[:, :, s * B:(s + 1) * B].astype(jnp.int32),
                 Yp[s:s + nb].astype(jnp.int32))
             lag = jax.lax.optimization_barrier(lag)
-        lag = lag.reshape(n_padded, Pn)
-        vals = Yp.reshape(-1, Pn)[far_dst].astype(jnp.int32) * far_q[:, None]
+        lag = lag.reshape(n_padded, Gc)
+        vals = Yp.reshape(-1, Gc)[far_dst].astype(jnp.int32) * far_q[:, None]
         lag = lag.at[far_src - B].add(vals, mode="drop")
-        Lq = zx_new * lag                               # exact int32
+        Lq = xcols.astype(jnp.int32) * lag              # exact int32
         Lg = jnp.einsum("np,n->p", Lq.astype(jnp.float32), sw_row,
                         preferred_element_type=jnp.float32)
         return Lq, Lg
 
-    obs_l, obs_g = lees_q(rows_idx)
+    # one-time observed pass, gene-chunked (see _chunked_cols: the
+    # full-width pass faults at 1M where the draw scan fits)
+    obs_l, obs_g = _chunked_cols(
+        lambda yc, xc: lees_q(rows_idx, yc, xc), (Zyq, zx_new), Pn)
     abs_l, abs_g = jnp.abs(obs_l), jnp.abs(obs_g)
     if perm_method == "sort":
         base = key_for(seed, "perm_lee", 0)
@@ -2032,10 +2073,7 @@ def _banded_lees_p_i8(order, rank, local_idx, w_local, far_src, far_dst,
         Gp = _round_up(Pn, 128)
         gpad = ((0, 0), (0, Gp - Pn))
         Zyq_w = jnp.pad(Zyq, gpad) if Gp != Pn else Zyq
-        zx8 = Zxq[order]
-        if n_padded > n:
-            zx8 = jnp.pad(zx8, ((0, n_padded - n), (0, 0)))
-        zx3 = jnp.pad(zx8, gpad).reshape(nb, B, Gp)
+        zx3 = jnp.pad(zx_new, gpad).reshape(nb, B, Gp)
         sw3 = sw_row.astype(jnp.float32).reshape(nb, B, 1)
         obs3 = jnp.pad(abs_l, gpad).reshape(nb, B, Gp)
         part_obs = jnp.sum(sw3 * jnp.pad(obs_l, gpad).reshape(nb, B, Gp)
@@ -2077,7 +2115,7 @@ def _banded_lees_p_i8(order, rank, local_idx, w_local, far_src, far_dst,
                 rows = jax.random.permutation(key, n)[rows_idx]
             else:
                 rows = feistel_apply(key, rows_idx, n)
-            Lq, Lg = lees_q(rows)
+            Lq, Lg = lees_q(rows, Zyq, zx_new)
             cg = cg + (jnp.abs(Lg) >= abs_g).astype(jnp.int32)
             if compute_cell_pvalues:
                 cl = (cl.astype(jnp.int32)
@@ -2210,25 +2248,26 @@ def _banded_local_geary_p_i8(order, rank, local_idx, w_local, far_src,
     gidx0 = jnp.clip(jnp.arange((nb + 2) * B, dtype=jnp.int32) - B, 0, n - 1)
     rows_idx = order[gidx0]
 
-    def band_lag_i32(W3, Zp_any):
-        lag = jnp.zeros((nb, B, G), jnp.int32)
+    def band_lag_i32(W3, Zp_any, Gc):
+        lag = jnp.zeros((nb, B, Gc), jnp.int32)
         for s in range(3):
             lag = lag + jnp.einsum(
                 "nbw,nwg->nbg", W3[:, :, s * B:(s + 1) * B].astype(jnp.int32),
                 Zp_any[s:s + nb].astype(jnp.int32))
             lag = jax.lax.optimization_barrier(lag)
-        return lag.reshape(n_padded, G)
+        return lag.reshape(n_padded, Gc)
 
-    def geary_q(rows):
-        Zp = Zq[rows].reshape(nb + 2, B, G)             # ONE int8 gather
+    def geary_q(rows, Zcols):
+        Gc = Zcols.shape[1]
+        Zp = Zcols[rows].reshape(nb + 2, B, Gc)         # ONE int8 gather
         zi32 = Zp.astype(jnp.int32)
         z2 = zi32 * zi32                                # ≤ 16129
         a8 = (z2 >> 7).astype(jnp.int8)                 # ≤ 126
         b8 = (z2 & 127).astype(jnp.int8)                # ≤ 127
-        lag_z = band_lag_i32(A8, Zp)
-        lag_z2 = 128 * band_lag_i32(A8, a8) + band_lag_i32(A8, b8)
-        zf = zi32.reshape(-1, G)
-        z2f = z2.reshape(-1, G)
+        lag_z = band_lag_i32(A8, Zp, Gc)
+        lag_z2 = 128 * band_lag_i32(A8, a8, Gc) + band_lag_i32(A8, b8, Gc)
+        zf = zi32.reshape(-1, Gc)
+        z2f = z2.reshape(-1, Gc)
         lag_z = lag_z.at[far_src - B].add(
             zf[far_dst] * far_q[:, None], mode="drop")
         lag_z2 = lag_z2.at[far_src - B].add(
@@ -2237,7 +2276,10 @@ def _banded_local_geary_p_i8(order, rank, local_idx, w_local, far_src,
         me2 = z2f[B:B + n_padded]
         return me2 * Wq_row + lag_z2 - 2 * me * lag_z   # exact int32
 
-    c_obs = geary_q(rows_idx)
+    # one-time observed pass, gene-chunked: at 1M × G=512 the full-width
+    # pass (5+ int32 [Npad, G] temps live at once) faults where the draw
+    # scan runs fine — measured 2026-08-19 (_chunked_cols docstring)
+    c_obs = _chunked_cols(lambda zc: geary_q(rows_idx, zc), (Zq,), G)
     if perm_method == "sort":
         base = key_for(seed, "perm_local_geary", 0)
     else:
@@ -2285,7 +2327,7 @@ def _banded_local_geary_p_i8(order, rank, local_idx, w_local, far_src,
                 rows = jax.random.permutation(key, n)[rows_idx]
             else:
                 rows = feistel_apply(key, rows_idx, n)
-            inc = (geary_q(rows) <= c_obs).astype(jnp.int32)
+            inc = (geary_q(rows, Zq) <= c_obs).astype(jnp.int32)
             return (count.astype(jnp.int32) + inc).astype(cdt), None
 
         count, _ = jax.lax.scan(body, jnp.zeros((n_padded, G), cdt),
@@ -2490,21 +2532,27 @@ def _banded_getis_p_i8(order, rank, local_idx, w_local, far_src, far_dst,
     W_row = (jnp.sum(wb.astype(jnp.float32), axis=1)
              .at[far_src - B].add(fb.astype(jnp.float32),
                                   mode="drop"))[:, None]
-    Xf = Xq.astype(jnp.float32)
-    tot = jnp.sum(Xf, axis=0, keepdims=True)            # [1, G] code units
-    sq = jnp.sum(Xf * Xf, axis=0, keepdims=True)
+    def _col_moments(Xcols):
+        Xf = Xcols.astype(jnp.float32)
+        return (jnp.sum(Xf, axis=0, keepdims=True),
+                jnp.sum(Xf * Xf, axis=0, keepdims=True))
+
+    # [1, G] code-unit column sums, gene-chunked: the full-width f32
+    # cast of Xq alone is 4 bytes/cell/gene (see _chunked_cols)
+    tot, sq = _chunked_cols(_col_moments, (Xq,), G)
     m = jnp.float32(n if star else n - 1)
 
-    def lag_me_q(rows):
-        Xp = Xq[rows].reshape(nb + 2, B, G)             # ONE int8 gather
-        lag = jnp.zeros((nb, B, G), jnp.int32)
+    def lag_me_q(rows, Xcols):
+        Gc = Xcols.shape[1]
+        Xp = Xcols[rows].reshape(nb + 2, B, Gc)         # ONE int8 gather
+        lag = jnp.zeros((nb, B, Gc), jnp.int32)
         for s in range(3):
             lag = lag + jnp.einsum(
                 "nbw,nwg->nbg", A8[:, :, s * B:(s + 1) * B].astype(jnp.int32),
                 Xp[s:s + nb].astype(jnp.int32))
             lag = jax.lax.optimization_barrier(lag)
-        lag = lag.reshape(n_padded, G)
-        xf = Xp.reshape(-1, G).astype(jnp.int32)
+        lag = lag.reshape(n_padded, Gc)
+        xf = Xp.reshape(-1, Gc).astype(jnp.int32)
         lag = lag.at[far_src - B].add(xf[far_dst] * fb[:, None], mode="drop")
         return lag, xf[B:B + n_padded]
 
@@ -2518,7 +2566,9 @@ def _banded_getis_p_i8(order, rank, local_idx, w_local, far_src, far_dst,
         s = jnp.sqrt(jnp.where(s2 > 0, s2, 1.0))
         return (lagf - xbar_i * W_row) / s
 
-    lag_o, me_o = lag_me_q(rows_idx)
+    # one-time observed pass, gene-chunked (see _chunked_cols)
+    lag_o, me_o = _chunked_cols(
+        lambda xc: lag_me_q(rows_idx, xc), (Xq,), G)
     if star:
         # Gi*'s centering constant c = (tot/m)·(W+1) is draw-invariant:
         # one-sided decisions reduce to EXACT integer comparisons of
@@ -2618,7 +2668,7 @@ def _banded_getis_p_i8(order, rank, local_idx, w_local, far_src, far_dst,
                 rows = jax.random.permutation(key, n)[rows_idx]
             else:
                 rows = feistel_apply(key, rows_idx, n)
-            extreme = decide(*lag_me_q(rows))
+            extreme = decide(*lag_me_q(rows, Xq))
             return (count.astype(jnp.int32)
                     + extreme.astype(jnp.int32)).astype(cdt), None
 

@@ -1146,3 +1146,45 @@ def test_lee_i8_windowed_far_bitwise(setup):
         pg_x, pl_x = run_p("xla", False, pm)
         np.testing.assert_array_equal(pl_w, pl_x)
         np.testing.assert_array_equal(pg_w, pg_x)
+
+
+def test_chunked_observed_pass_bitwise(setup, monkeypatch):
+    """Gene-chunking the one-time observed pass is bitwise-invisible.
+
+    The i8 local kernels evaluate the observed statistic through
+    _chunked_cols (the full-width pass faults at 1M cells where the draw
+    scan fits — docs/performance.md); every term is exact integer (the
+    lee global L reduces each column independently), so a 4-wide chunked
+    evaluation must reproduce the unchunked p-values bitwise.
+    """
+    import spatialcore_tpu.ops.banded as bd
+
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    pargs = (plan.order, plan.rank, plan.local_idx, plan.w_local,
+             plan.far_src, plan.far_dst, plan.far_w)
+    ckw = dict(block=plan.block, n=plan.n, n_permutations=29,
+               perm_method="feistel")
+    X = jnp.abs(Z) + 0.1
+
+    def family():
+        jax.clear_caches()   # same shapes re-trace under the new width
+        return (
+            np.asarray(bd._banded_local_moran_p_i8(
+                *pargs, Z, jnp.uint32(3), **ckw)),
+            np.asarray(bd._banded_local_geary_p_i8(
+                *pargs, Z, jnp.uint32(3), **ckw)[1]),
+            np.asarray(bd._banded_getis_p_i8(
+                *pargs, X, jnp.uint32(3), star=False,
+                alternative="two-sided", **ckw)),
+            *(np.asarray(a) for a in bd._banded_lees_p_i8(
+                *pargs, Z, Z, jnp.uint32(3),
+                compute_cell_pvalues=True, **ckw)),
+        )
+
+    assert Z.shape[1] > 4          # the patched width actually chunks
+    full = family()                # G=12 <= default width: unchunked
+    monkeypatch.setattr(bd, "_OBS_CHUNK", 4)
+    chunked = family()
+    for a, b in zip(full, chunked):
+        np.testing.assert_array_equal(a, b)
