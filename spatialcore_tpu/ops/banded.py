@@ -884,6 +884,185 @@ def _band_cross_pallas_i8(A8, sw, Zp8, interpret: bool) -> jax.Array:
     return out[0]
 
 
+def _gwin_fits_vmem(G: int, block: int, far_bmax: int,
+                    budget: int = 14 * 2 ** 20) -> bool:
+    """VMEM gate for the GLOBAL windowed-far cross kernel.
+
+    Working set: 4 int8 DMA slabs (4·B·G) + one int32 lag scratch (4·B·G)
+    + two S-row int8 far windows (2·S·G) + A8/sw/acc (small). The
+    measured fit at G=4096, B=256, S=512 is ≈12.6 MB (v5e VMEM ≈16 MB);
+    14 MB leaves headroom for Mosaic's own temporaries.
+    """
+    S = _round_up(max(int(far_bmax), 1), 128)
+    Gp = _round_up(max(int(G), 1), 128)
+    return Gp * (8 * block + 2 * S) + block * 3 * block <= budget
+
+
+def _band_cross_win_kernel_i8(widx_ref, start_ref, cnt_run_ref, a_ref,
+                              sw_ref, zp_any, zf0_ref, zf1_ref, row0_ref,
+                              row1_ref, q0_ref, q1_ref, out_ref, win_ref,
+                              sem_ref, acc_ref, lag_ref):
+    """GLOBAL cross with WINDOWED far edges, fused on-chip.
+
+    :func:`_band_halo_kernel_i8` plus the far machinery of
+    :func:`_make_fused_win_kernel`: block ``i``'s far run (the compact
+    far list is grouped by source block — NullPlan run structure) lives
+    in two S-row windows of the pre-gathered far values; the kernel
+    rebuilds the one-hot far operator on-chip and applies it as two
+    extra int8 MXU dots into the same int32 lag. This removes the draw
+    loop's TWO [F, G] f32 far gathers (4.3 GB of materialized casts each
+    at G=4096) — the far layer never exists in HBM; the only extra HBM
+    traffic is the compact [F] int8 row gather the caller does.
+
+    ``sw_ref`` must carry the FULL-row weight scale (band + far rowmax,
+    as :func:`_banded_local_moran_p_i8`) so far weight codes don't clip;
+    the f32 reduce applies it once per row to the combined lag.
+    """
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    def dma(slab):
+        return pltpu.make_async_copy(zp_any.at[slab], win_ref.at[slab % 4],
+                                     sem_ref.at[slab % 4])
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        dma(0).start()
+        dma(1).start()
+        dma(2).start()
+        dma(0).wait()
+        dma(1).wait()
+
+    @pl.when(i + 3 < nsteps + 2)
+    def _():
+        dma(i + 3).start()
+
+    dma(i + 2).wait()
+
+    B = win_ref.shape[1]
+    S = zf0_ref.shape[1]
+    a = a_ref[0]
+    z0 = win_ref[i % 4]
+    z1 = win_ref[(i + 1) % 4]
+    z2 = win_ref[(i + 2) % 4]
+
+    start = start_ref[i]
+    count = cnt_run_ref[i]
+    base_gc = widx_ref[i] * S
+
+    def wmat(row_ref, q_ref, gc0):
+        # one-hot far operator [B, S] masked to this block's run (same
+        # int32-then-narrow construction as _make_fused_win_kernel)
+        gc = gc0 + jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+        live = ((gc >= start) & (gc < start + count)).astype(jnp.int32)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (B, S), 0)
+               == row_ref[0]).astype(jnp.int32)
+        return (sel * (live * q_ref[0].astype(jnp.int32))).astype(jnp.int8)
+
+    W0 = wmat(row0_ref, q0_ref, base_gc)
+    W1 = wmat(row1_ref, q1_ref, base_gc + S)
+
+    lag_ref[:] = jnp.dot(a[:, :B], z0, preferred_element_type=jnp.int32)
+    lag_ref[:] += jnp.dot(a[:, B:2 * B], z1,
+                          preferred_element_type=jnp.int32)
+    lag_ref[:] += jnp.dot(a[:, 2 * B:], z2,
+                          preferred_element_type=jnp.int32)
+    lag_ref[:] += jnp.dot(W0, zf0_ref[0], preferred_element_type=jnp.int32)
+    lag_ref[:] += jnp.dot(W1, zf1_ref[0], preferred_element_type=jnp.int32)
+    sw = sw_ref[0]
+    acc_ref[:] = acc_ref[:] + jnp.sum(
+        (sw * z1.astype(jnp.float32)) * lag_ref[:].astype(jnp.float32),
+        axis=0, keepdims=True)
+
+    @pl.when(i == nsteps - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def _band_cross_win_pallas_i8(w_idx, starts, runs, A8, sw, Zp8, Zf, rowp,
+                              qp, interpret: bool) -> jax.Array:
+    """cross_q[g] (z_q·w_q units, band + windowed far) — one fused kernel.
+
+    Same operand layout as :func:`_fused_win_pallas_i8` minus the
+    [nb, B, G] obs/count planes (the global statistic reduces to [G]).
+    """
+    nb, B, _ = A8.shape
+    G = Zp8.shape[2]
+    S = rowp.shape[2]
+    blk = lambda i, w, s, c: (i, 0, 0)  # noqa: E731
+    w0 = lambda i, w, s, c: (w[i], 0, 0)  # noqa: E731
+    w1 = lambda i, w, s, c: (w[i] + 1, 0, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, B, 3 * B), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, S, G), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, G), w1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), w1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), w1, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, G), lambda i, w, s, c: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((4, B, G), jnp.int8),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((1, G), jnp.float32),
+            pltpu.VMEM((B, G), jnp.int32),
+        ],
+    )
+    out = pl.pallas_call(
+        _band_cross_win_kernel_i8,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, G), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(w_idx, starts, runs, A8, sw, Zp8, Zf, Zf, rowp, rowp, qp, qp)
+    return out[0]
+
+
+def _band_cross_win_i8_xla(w_idx, starts, runs, A8, sw, Zp8, Zf, rowp,
+                           qp) -> jax.Array:
+    """XLA twin of :func:`_band_cross_win_pallas_i8` (tests / non-TPU):
+    same quantized operator — band codes + per-row full scale + int8 far
+    weight codes — evaluated with einsums + a segment add. Equal up to
+    f32 summation order (the integer dots are exact in both)."""
+    nb, B, _ = A8.shape
+    G = Zp8.shape[2]
+    S = qp.shape[2]
+    n_padded = nb * B
+    lag = jnp.zeros((nb, B, G), jnp.int32)
+    for s in range(3):
+        lag = lag + jnp.einsum(
+            "nbw,nwg->nbg", A8[:, :, s * B:(s + 1) * B].astype(jnp.int32),
+            Zp8[s:s + nb].astype(jnp.int32))
+        lag = jax.lax.optimization_barrier(lag)
+    lag = lag.reshape(n_padded, G)
+    # far: edge e (compact order) adds q_e·zf_e to row (block(e)·B + rowp_e)
+    F = Zf.shape[0] * Zf.shape[1]
+    qf = qp.reshape(-1)[:F].astype(jnp.int32)
+    rowf = rowp.reshape(-1)[:F]
+    # block of each compact-list position: blocks own contiguous runs
+    # (starts[n+1] = starts[n] + runs[n]); duplicate starts (zero runs)
+    # resolve to the LAST block with that start, which is the owner.
+    # Padded tail entries carry weight code 0 — their vals vanish.
+    blk_of = (jnp.cumsum(jnp.zeros(F, jnp.int32).at[starts].add(
+        jnp.ones(nb, jnp.int32), mode="drop")) - 1).astype(jnp.int32)
+    dst = jnp.clip(blk_of, 0, nb - 1) * B + rowf
+    vals = Zf.reshape(-1, G)[:F].astype(jnp.int32) * qf[:, None]
+    lag = lag.at[dst].add(vals, mode="drop")
+    z1 = Zp8.reshape(-1, G)[B:B + n_padded].astype(jnp.float32)
+    swf = sw.reshape(n_padded, 1)
+    return jnp.einsum("ig,ig->g", swf * z1, lag.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+
+
 def _band_lag_count_kernel_i8(a_ref, far_ref, obs_ref, cnt_ref, zp_any,
                               out_ref, win_ref, sem_ref):
     """Fused LISA draw step: int8 MXU band lag + far add + |z·lag| vs
@@ -1332,6 +1511,42 @@ def _banded_stat_i8(A8, sw, far_src, far_dst, far_w, rc_sum, Zq, sz2, den,
     return jnp.stack([(n / S0) * cross / den, geary])
 
 
+def _banded_stat_i8_win(A8, sw, win_ops, rc_sum, Zq, sz2, den, S0, rows,
+                        rowsf, *, block: int, n: int, stat: str,
+                        use_xla: bool = False, interpret: bool = False):
+    """One draw's statistic [G] in the int8 system with WINDOWED far edges.
+
+    Replaces :func:`_banded_stat_i8`'s exact-f32 far stage (two [F, G]
+    f32 gathers per draw) with one compact [F] int8 gather (``rowsf`` is
+    the draw's composed far-target rows) + two on-chip one-hot dots —
+    the far weights quantize per row with the FULL-row scale so the
+    operator stays fixed across draws (VERDICT r3 item 1).
+    """
+    S, nw, rowp, qp, w_idx, starts0, runs = win_ops
+    B = block
+    nb = A8.shape[0]
+    G = Zq.shape[1]
+    Zp = Zq[rows].reshape(nb + 2, B, G)           # int8 row gather
+    Zf = Zq[rowsf].reshape(nw, S, G)              # compact far gather
+    if use_xla:
+        cross_q = _band_cross_win_i8_xla(w_idx, starts0, runs, A8, sw, Zp,
+                                         Zf, rowp, qp)
+    else:
+        cross_q = _band_cross_win_pallas_i8(w_idx, starts0, runs, A8, sw,
+                                            Zp, Zf, rowp, qp,
+                                            interpret=interpret)
+    cross = cross_q * sz2
+    if stat == "moran":
+        return (n / S0) * cross / den
+    flat = Zp.reshape(-1, G)
+    zp2 = jnp.square(flat[B:B + nb * B].astype(jnp.float32)) * sz2
+    sq = jnp.einsum("i,ig->g", rc_sum, zp2)
+    geary = (n - 1) * (sq - 2.0 * cross) / (2.0 * S0 * den)
+    if stat == "geary":
+        return geary
+    return jnp.stack([(n / S0) * cross / den, geary])
+
+
 def _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab, den, S0, rows,
                  *, block: int, n: int, stat: str, band_impl: str = "xla",
                  interpret: bool = False):
@@ -1390,12 +1605,13 @@ def _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab, den, S0, rows,
 
 @functools.partial(jax.jit, static_argnames=(
     "block", "n", "stat", "alternative", "n_permutations", "precision",
-    "perm_method", "band_impl", "interpret"))
+    "perm_method", "band_impl", "far_mode", "far_bmax", "interpret"))
 def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
                  Z, S0, observed, seed, den, sz=None,
-                 draw0=jnp.uint32(0), *, block: int, n: int,
+                 draw0=jnp.uint32(0), far_starts=None, *, block: int, n: int,
                  n_permutations: int, stat: str, alternative: str,
                  precision: str, perm_method: str, band_impl: str = "xla",
+                 far_mode: str = "exact", far_bmax: int = 0,
                  interpret: bool = False):
     if den is None:
         den = jnp.sum(Z.astype(jnp.float32) ** 2, axis=0)
@@ -1415,6 +1631,7 @@ def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
     gidx = jnp.clip(jnp.arange((nbb + 2) * block, dtype=jnp.int32) - block,
                     0, n - 1)
     rows_idx = order[gidx]
+    rif = None
     if precision == "int8":
         if Z.dtype == jnp.int8:
             if sz is None:
@@ -1423,17 +1640,41 @@ def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
         else:
             Zq, s_z = _quantize_z(Z)
         sz2 = s_z * s_z
-        A8, sw = _build_band_i8(local_idx, w_local, block)
+        if far_mode == "win":
+            # full-row weight scale (band + far rowmax) so far codes
+            # don't clip — same convention as _banded_local_moran_p_i8
+            n_padded = local_idx.shape[0]
+            local_max = jnp.max(w_local.astype(jnp.float32), axis=1)
+            far_max = jnp.zeros((n_padded,), jnp.float32).at[
+                far_src - block].max(far_w.astype(jnp.float32), mode="drop")
+            rowmax = jnp.maximum(local_max, far_max)
+            sw_row = jnp.where(rowmax > 0, rowmax / 127.0, 1.0)
+            A8, sw = _build_band_i8(local_idx, w_local, block,
+                                    row_scale=sw_row.reshape(nbb, block, 1))
+            far_q = jnp.clip(jnp.round(far_w / sw_row[far_src - block]),
+                             0, 127)
+            S, nw, rowp, qp, rif, w_idx, starts0, runs = _win_far_pack(
+                far_src, far_dst, far_w, far_q, far_starts, rows_idx,
+                block, far_bmax)
+            win_ops = (S, nw, rowp, qp, w_idx, starts0, runs)
 
-        def stat_fn(rows):
-            return _banded_stat_i8(
-                A8, sw, far_src, far_dst, far_w, rc_sum, Zq, sz2, den, S0,
-                rows, block=block, n=n, stat=stat,
-                use_xla=(band_impl == "xla"), interpret=interpret)
+            def stat_fn(rows, rowsf):
+                return _banded_stat_i8_win(
+                    A8, sw, win_ops, rc_sum, Zq, sz2, den, S0, rows, rowsf,
+                    block=block, n=n, stat=stat,
+                    use_xla=(band_impl == "xla"), interpret=interpret)
+        else:
+            A8, sw = _build_band_i8(local_idx, w_local, block)
+
+            def stat_fn(rows, rowsf=None):
+                return _banded_stat_i8(
+                    A8, sw, far_src, far_dst, far_w, rc_sum, Zq, sz2, den,
+                    S0, rows, block=block, n=n, stat=stat,
+                    use_xla=(band_impl == "xla"), interpret=interpret)
 
         # compare draws against the observed value of the SAME quantized
         # operator (identity placement: rows = order[gidx])
-        observed = stat_fn(rows_idx)
+        observed = stat_fn(rows_idx, rif)
     else:
         wdt = jnp.bfloat16 if precision == "bf16" else Z.dtype
         if band_impl == "pallas_halo4":
@@ -1442,7 +1683,7 @@ def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
             A = _build_band(local_idx, w_local, block, wdt)
         Ztab = Z if Z.dtype == wdt else Z.astype(wdt)
 
-        def stat_fn(rows):
+        def stat_fn(rows, rowsf=None):
             return _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab,
                                 den, S0, rows, block=block, n=n, stat=stat,
                                 band_impl=band_impl, interpret=interpret)
@@ -1463,10 +1704,13 @@ def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
             # compose with the relabeling so each draw assigns values to
             # cells EXACTLY as the legacy path does: new position p gets
             # Z[perm[order[p]]]
-            rows = jax.random.permutation(key, n)[rows_idx]
+            perm = jax.random.permutation(key, n)
+            rows = perm[rows_idx]
+            rowsf = perm[rif] if rif is not None else None
         else:
             rows = feistel_apply(key, rows_idx, n)
-        vals = stat_fn(rows)
+            rowsf = feistel_apply(key, rif, n) if rif is not None else None
+        vals = stat_fn(rows, rowsf)
 
         def _extreme(v, o, alt):
             if alt == "greater":
@@ -1520,6 +1764,7 @@ def banded_permutation_test(
     den: Optional[jax.Array] = None,
     sz: Optional[jax.Array] = None,
     draw_offset: int = 0,
+    far_mode: str = "auto",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Drop-in replacement for ``permutation_test_global`` using a NullPlan.
 
@@ -1567,15 +1812,44 @@ def banded_permutation_test(
     _check_perm_method(perm_method)
     interpret = jax.default_backend() != "tpu"
     G = Z.shape[1]
+    if precision != "int8" and far_mode == "win":
+        raise ValueError("far_mode='win' requires precision='int8' (the "
+                         "windowed far operator is int8-quantized)")
     if precision == "int8":
         if band_impl == "auto":
             band_impl = "xla" if interpret else "pallas_halo"
-        pad_g = 0 if band_impl == "xla" else (-G) % 128
-        if band_impl != "xla" and G + pad_g > 4096:
+        if far_mode == "auto":
+            # windowed far: removes the two [F, G] f32 far gathers per
+            # draw; needs the plan's run structure + a VMEM fit (the win
+            # kernel holds 2 S-row far windows next to the band slabs)
+            far_mode = ("win" if plan.far_starts is not None
+                        and plan.far_bmax > 0
+                        and _gwin_fits_vmem(_round_up(G, 128), plan.block,
+                                            plan.far_bmax)
+                        else "exact")
+        if far_mode == "win":
+            pad_g = (-G) % 128    # win kernel lanes (also in xla-twin
+            #                       mode: keep the two impls bit-shaped)
+        else:
+            pad_g = 0 if band_impl == "xla" else (-G) % 128
+        if (far_mode != "win" and band_impl != "xla"
+                and G + pad_g > 4096):
             raise ValueError(
                 f"int8 band kernel holds one gene tile in VMEM (G <= 4096); "
                 f"got G={G}. Tile the gene axis (ops/streaming.py) or pass "
                 f"band_impl='xla'.")
+        if (far_mode == "win" and band_impl != "xla" and not interpret
+                and not _gwin_fits_vmem(G + pad_g, plan.block,
+                                        plan.far_bmax)):
+            raise ValueError(
+                f"windowed int8 band kernel VMEM estimate exceeds budget at "
+                f"G={G}, block={plan.block}, far_bmax={plan.far_bmax}; tile "
+                f"the gene axis (ops/streaming.py) or pass far_mode='exact'.")
+        if far_mode == "win" and (plan.far_starts is None
+                                  or plan.far_bmax <= 0):
+            raise ValueError("far_mode='win' needs a NullPlan with far-run "
+                             "structure (far_starts/far_bmax); rebuild the "
+                             "plan with ops.banded.build_null_plan")
     elif band_impl == "auto":
         band_impl = ("pallas_halo"
                      if Z.shape[1] >= 1536 and not interpret else "xla")
@@ -1614,9 +1888,13 @@ def banded_permutation_test(
     p, mean, std = _banded_test(
         plan.order, plan.local_idx, plan.w_local, plan.far_src, plan.far_dst,
         plan.far_w, plan.rc_sum, Z, S0, observed, jnp.uint32(seed), den, sz,
-        jnp.uint32(draw_offset), block=plan.block, n=plan.n,
+        jnp.uint32(draw_offset),
+        plan.far_starts if far_mode == "win" else None,
+        block=plan.block, n=plan.n,
         n_permutations=n_permutations, stat=stat, alternative=alternative,
         precision=precision, perm_method=perm_method, band_impl=band_impl,
+        far_mode=far_mode if precision == "int8" else "exact",
+        far_bmax=plan.far_bmax if far_mode == "win" else 0,
         interpret=interpret)
     if pad_g:
         p, mean, std = p[..., :G], mean[..., :G], std[..., :G]

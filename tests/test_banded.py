@@ -1188,3 +1188,124 @@ def test_chunked_observed_pass_bitwise(setup, monkeypatch):
     chunked = family()
     for a, b in zip(full, chunked):
         np.testing.assert_array_equal(a, b)
+
+
+def test_global_win_far_matches_exact_decisions(setup):
+    """GLOBAL windowed-far int8 nulls (far_mode="win"): the quantized far
+    weights coincide with the exact ones for row-normalized kNN (equal
+    weights quantize to exactly 127), so p/mean/std match the exact-far
+    operator at f32-summation tolerance, and decisions match the f32
+    oracle exactly (VERDICT r3 item 1)."""
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    assert plan.far_bmax > 0
+    S0 = float(np.asarray(graph.neighbor_w).sum())
+    obs = moran_observed(graph, Z, S0)
+    p32, _, _ = banded_permutation_test(
+        plan, Z, S0, obs, seed=5, n_permutations=99, precision="f32")
+    pw, mw, sw = banded_permutation_test(
+        plan, Z, S0, obs, seed=5, n_permutations=99, precision="int8",
+        far_mode="win")
+    pe, me, se = banded_permutation_test(
+        plan, Z, S0, obs, seed=5, n_permutations=99, precision="int8",
+        far_mode="exact")
+    np.testing.assert_allclose(np.asarray(pw), np.asarray(pe), atol=0.03)
+    np.testing.assert_allclose(np.asarray(mw), np.asarray(me),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sw), np.asarray(se),
+                               rtol=1e-3, atol=1e-5)
+    assert ((np.asarray(pw) < 0.05) == (np.asarray(p32) < 0.05)).all()
+
+
+def test_global_win_far_pallas_matches_xla_twin(setup):
+    """The fused windowed-far cross kernel and its XLA twin evaluate the
+    SAME quantized operator — identical integer band/far dots — and agree
+    to f32-summation tolerance on every output."""
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    S0 = float(np.asarray(graph.neighbor_w).sum())
+    obs = moran_observed(graph, Z, S0)
+    for stat, o, alt in (("moran", obs, "greater"),
+                         ("geary", geary_observed(graph, Z, S0), "less")):
+        p_k, m_k, _ = banded_permutation_test(
+            plan, Z, S0, o, seed=2, n_permutations=29, precision="int8",
+            stat=stat, alternative=alt, far_mode="win",
+            band_impl="pallas_halo")
+        p_x, m_x, _ = banded_permutation_test(
+            plan, Z, S0, o, seed=2, n_permutations=29, precision="int8",
+            stat=stat, alternative=alt, far_mode="win", band_impl="xla")
+        np.testing.assert_allclose(np.asarray(p_k), np.asarray(p_x),
+                                   atol=0.05)
+        np.testing.assert_allclose(np.asarray(m_k), np.asarray(m_x),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_global_win_far_fused_moran_geary(setup):
+    """far_mode="win" serves the fused moran_geary stat: both statistics
+    from one gather + one fused kernel, matching the separate win runs."""
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    S0 = float(np.asarray(graph.neighbor_w).sum())
+    om = moran_observed(graph, Z, S0)
+    og = geary_observed(graph, Z, S0)
+    pf, mf, sf = banded_permutation_test(
+        plan, Z, S0, jnp.stack([om, og]), seed=4, n_permutations=29,
+        precision="int8", stat="moran_geary",
+        alternative=("greater", "less"), far_mode="win")
+    pm, mm, _ = banded_permutation_test(
+        plan, Z, S0, om, seed=4, n_permutations=29, precision="int8",
+        stat="moran", alternative="greater", far_mode="win")
+    pg, mg, _ = banded_permutation_test(
+        plan, Z, S0, og, seed=4, n_permutations=29, precision="int8",
+        stat="geary", alternative="less", far_mode="win")
+    np.testing.assert_array_equal(np.asarray(pf[0]), np.asarray(pm))
+    np.testing.assert_array_equal(np.asarray(pf[1]), np.asarray(pg))
+    np.testing.assert_allclose(np.asarray(mf[0]), np.asarray(mm), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(mf[1]), np.asarray(mg), rtol=1e-6)
+
+
+def test_global_win_far_draw_offset_chunks(setup):
+    """Chunked draws reproduce the unchunked extreme counts bitwise under
+    far_mode="win" (the compact far gather keys off the same global draw
+    index as the main gather)."""
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    S0 = float(np.asarray(graph.neighbor_w).sum())
+    obs = moran_observed(graph, Z, S0)
+    P = 40
+    p_full, _, _ = banded_permutation_test(
+        plan, Z, S0, obs, seed=6, n_permutations=P, precision="int8",
+        far_mode="win")
+    c_full = np.round(np.asarray(p_full) * (P + 1) - 1)
+    c_sum = 0
+    for off in (0, 15, 30):
+        pc = min(15, P - off)
+        p_c, _, _ = banded_permutation_test(
+            plan, Z, S0, obs, seed=6, n_permutations=pc, precision="int8",
+            far_mode="win", draw_offset=off)
+        c_sum = c_sum + np.round(np.asarray(p_c) * (pc + 1) - 1)
+    np.testing.assert_array_equal(c_full, c_sum)
+
+
+def test_global_win_far_validation():
+    """far_mode="win" input gates: f32 precision and runless plans fail
+    loudly; auto falls back to exact on a runless plan."""
+    rng = np.random.default_rng(3)
+    coords = rng.uniform(0, 50, (300, 2)).astype(np.float32)
+    graph = build_graph(jnp.asarray(coords), n_neighbors=4)
+    plan = build_null_plan(graph, coords, block=64)
+    Z, _ = standardize(jnp.asarray(rng.normal(size=(300, 8)).astype(np.float32)))
+    S0 = float(np.asarray(graph.neighbor_w).sum())
+    obs = moran_observed(graph, Z, S0)
+    with pytest.raises(ValueError, match="precision='int8'"):
+        banded_permutation_test(plan, Z, S0, obs, seed=0, n_permutations=9,
+                                precision="f32", far_mode="win")
+    runless = plan._replace(far_starts=None, far_bmax=0)
+    with pytest.raises(ValueError, match="far-run structure"):
+        banded_permutation_test(runless, Z, S0, obs, seed=0,
+                                n_permutations=9, precision="int8",
+                                far_mode="win")
+    # auto on a runless plan: exact path, still works
+    p, _, _ = banded_permutation_test(runless, Z, S0, obs, seed=0,
+                                      n_permutations=9, precision="int8")
+    assert np.isfinite(np.asarray(p)).all()
