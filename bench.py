@@ -281,7 +281,7 @@ def main():
                 del Zb, den, obs, szv
             return run_chunk
     else:
-        from spatialcore_tpu.ops.banded import _banded_test
+        from spatialcore_tpu.ops.banded import _banded_test, _gwin_fits_vmem
 
         interp = jax.default_backend() != "tpu"
         compiled = {}
@@ -293,6 +293,19 @@ def main():
             if prec == "int8":
                 return "pallas_halo" if on_tpu else "xla"
             return "pallas_halo" if w >= 1536 and on_tpu else "xla"
+
+        def far_mode_for(w):
+            # windowed far (round 4): one compact int8 far gather + two
+            # on-chip one-hot dots instead of two [F, w] f32 gathers per
+            # draw (measured 80.6 vs 82.9 ms/draw at G=4096 —
+            # benchmarks/probe_global_stages.py)
+            fm = os.environ.get("BENCH_FAR", "auto")
+            if fm != "auto":
+                return fm
+            return ("win" if prec == "int8" and plan.far_starts is not None
+                    and plan.far_bmax > 0
+                    and _gwin_fits_vmem(w, plan.block, plan.far_bmax)
+                    else "exact")
 
         def build_run_chunk(widths):
             # AOT-compile every (width, chunk-size) executable OUTSIDE the
@@ -313,15 +326,19 @@ def main():
                         continue
 
                     def build(w=w, pc=pc, Zb=Zb, den=den, obs=obs, szv=szv):
+                        fm = far_mode_for(w)
                         lowered = _banded_test.lower(
                             plan.order, plan.local_idx, plan.w_local,
                             plan.far_src, plan.far_dst, plan.far_w,
                             plan.rc_sum, Zb, S0, obs, jnp.uint32(0), den,
                             szv, jnp.uint32(0),
+                            plan.far_starts if fm == "win" else None,
                             block=plan.block, n=plan.n, n_permutations=pc,
                             stat="moran", alternative="greater",
                             precision=prec, perm_method="feistel",
-                            band_impl=band_impl_for(w), interpret=interp)
+                            band_impl=band_impl_for(w), far_mode=fm,
+                            far_bmax=plan.far_bmax if fm == "win" else 0,
+                            interpret=interp)
                         return lowered.compile()
 
                     compiled[(w, pc)] = compile_with_retry(
@@ -341,10 +358,15 @@ def main():
                   f"{time.time()-t0:.1f}s", file=sys.stderr)
 
             def run_chunk(Zb, den, obs, szv, seed, pc, off=0):
-                return compiled[(Zb.shape[1], pc)](
-                    plan.order, plan.local_idx, plan.w_local, plan.far_src,
-                    plan.far_dst, plan.far_w, plan.rc_sum, Zb, S0, obs,
-                    jnp.uint32(seed), den, szv, jnp.uint32(off))[0]
+                args = [plan.order, plan.local_idx, plan.w_local,
+                        plan.far_src, plan.far_dst, plan.far_w, plan.rc_sum,
+                        Zb, S0, obs, jnp.uint32(seed), den, szv,
+                        jnp.uint32(off)]
+                # the lowered signature always carries the far_starts slot
+                # (None is an empty pytree but still a positional arg)
+                args.append(plan.far_starts
+                            if far_mode_for(Zb.shape[1]) == "win" else None)
+                return compiled[(Zb.shape[1], pc)](*args)[0]
 
             return run_chunk
 

@@ -39,6 +39,8 @@ N = int(os.environ.get("PROBE_CELLS", 1_000_000))
 G = int(os.environ.get("PROBE_GENES", 4096))
 P = int(os.environ.get("PROBE_PERMS", 25))
 K = int(os.environ.get("PROBE_K", 6))
+BLOCK = int(os.environ.get("PROBE_BLOCK", 256))
+RING = int(os.environ.get("SPATIALCORE_WIN_RING", 4))
 VARIANTS = os.environ.get("PROBE_VARIANTS",
                           "gather,band,full,wingather").split(",")
 
@@ -48,9 +50,9 @@ _ = float(coords[0, 0])
 print(f"readback warmup {time.time()-t0:.1f}s", flush=True)
 graph = build_graph(coords, n_neighbors=K)
 jax.block_until_ready(graph.neighbor_w)
-plan = build_null_plan(graph, coords)
+plan = build_null_plan(graph, coords, block=BLOCK)
 jax.block_until_ready(plan.local_idx)
-print(f"plan: Npad={plan.n_padded:,} B={plan.block} "
+print(f"plan: Npad={plan.n_padded:,} B={plan.block} ring={RING} "
       f"F(cap)={plan.far_src.shape[0]:,} bmax={plan.far_bmax}", flush=True)
 
 B = plan.block
@@ -106,6 +108,15 @@ def make(variant):
              A8w, sww, rowp, qp, w_idx, starts0, runs):
         def body(acc, step):
             key = jax.random.fold_in(base, step)
+            if variant == "scatter":
+                # inverse formulation: Zp[f(i)] = Z[i] evaluates the draw
+                # at permutation f^-1 — an equally valid seeded bijection
+                # stream. Writes are random, reads sequential: probes
+                # whether the scatter side beats the 88 GB/s gather wall.
+                dst = feistel_apply(key, jnp.arange(N, dtype=jnp.int32), N)
+                Zp = jnp.zeros(((nb + 2) * B, G), jnp.int8
+                               ).at[dst + B].set(Zq, mode="drop")
+                return acc + jnp.sum(Zp.astype(jnp.int32)) % 3, None
             rows = feistel_apply(key, rows_idx, N)
             Zp = Zq[rows].reshape(nb + 2, B, G)
             if variant == "gather":
@@ -120,7 +131,7 @@ def make(variant):
                 Zf = Zq[rowsf].reshape(nw, S, G)
                 cross = _band_cross_win_pallas_i8(
                     w_idx, starts0, runs, A8w, sww, Zp, Zf, rowp, qp,
-                    interpret=False)
+                    interpret=False, ring=RING)
                 stat = (N / S0) * cross * sz2 / den
                 return acc + jnp.sum(stat).astype(jnp.int32) % 3, None
             cross = _band_cross_pallas_i8(A8, sw, Zp, interpret=False)

@@ -36,9 +36,26 @@ def _enable_persistent_compile_cache() -> None:
             return
         if jax.config.jax_compilation_cache_dir:
             return
+        # key the dir by the host's CPU feature flags: XLA:CPU AOT
+        # executables cached on a DIFFERENT microarchitecture load with a
+        # feature-mismatch warning and then run wrong-machine code
+        # (observed 2026-08-19 after a host swap: f32 summation drift in
+        # the multichip dryrun; tests/conftest.py documents the SIGFAULT
+        # variant). A host change must start a fresh cache.
+        import hashlib
+
+        try:
+            with open("/proc/cpuinfo") as _f:
+                _flags = next(
+                    (ln for ln in _f if ln.startswith("flags")), "")
+        except OSError:
+            import platform
+
+            _flags = platform.processor()
+        _tag = hashlib.sha1(_flags.encode()).hexdigest()[:10]
         cache_dir = _os.path.join(
             _os.path.expanduser("~"), ".cache", "spatialcore_tpu",
-            "jax_cache")
+            f"jax_cache_{_tag}")
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # never block import on cache setup

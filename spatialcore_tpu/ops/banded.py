@@ -884,18 +884,31 @@ def _band_cross_pallas_i8(A8, sw, Zp8, interpret: bool) -> jax.Array:
     return out[0]
 
 
+def _win_ring() -> int:
+    """Zp slab-ring depth of the global windowed cross kernel.
+
+    Env-tunable (``SPATIALCORE_WIN_RING``) while the sweet spot is being
+    measured; the kernel is DMA-bound at the B=256/G=4096 default, so a
+    deeper ring trades VMEM for more in-flight slab DMAs.
+    """
+    import os
+
+    return max(4, int(os.environ.get("SPATIALCORE_WIN_RING", "4")))
+
+
 def _gwin_fits_vmem(G: int, block: int, far_bmax: int,
                     budget: int = 14 * 2 ** 20) -> bool:
     """VMEM gate for the GLOBAL windowed-far cross kernel.
 
-    Working set: 4 int8 DMA slabs (4·B·G) + one int32 lag scratch (4·B·G)
-    + two S-row int8 far windows (2·S·G) + A8/sw/acc (small). The
-    measured fit at G=4096, B=256, S=512 is ≈12.6 MB (v5e VMEM ≈16 MB);
-    14 MB leaves headroom for Mosaic's own temporaries.
+    Working set: ``ring`` int8 DMA slabs (R·B·G) + one int32 lag scratch
+    (4·B·G) + two S-row int8 far windows (2·S·G) + A8/sw/acc (small).
+    The measured fit at G=4096, B=256, S=256, R=4 is ≈10.7 MB (v5e VMEM
+    ≈16 MB); 14 MB leaves headroom for Mosaic's own temporaries.
     """
     S = _round_up(max(int(far_bmax), 1), 128)
     Gp = _round_up(max(int(G), 1), 128)
-    return Gp * (8 * block + 2 * S) + block * 3 * block <= budget
+    R = _win_ring()
+    return Gp * ((R + 4) * block + 2 * S) + block * 3 * block <= budget
 
 
 def _band_cross_win_kernel_i8(widx_ref, start_ref, cnt_run_ref, a_ref,
@@ -917,35 +930,39 @@ def _band_cross_win_kernel_i8(widx_ref, start_ref, cnt_run_ref, a_ref,
     ``sw_ref`` must carry the FULL-row weight scale (band + far rowmax,
     as :func:`_banded_local_moran_p_i8`) so far weight codes don't clip;
     the f32 reduce applies it once per row to the combined lag.
+
+    The slab ring depth comes from ``win_ref.shape[0]`` (the scratch the
+    wrapper allocates): a deeper ring keeps more Zp DMAs in flight —
+    the kernel is DMA-bound at the default B=256/G=4096 point.
     """
     i = pl.program_id(0)
     nsteps = pl.num_programs(0)
+    R = win_ref.shape[0]
 
     def dma(slab):
-        return pltpu.make_async_copy(zp_any.at[slab], win_ref.at[slab % 4],
-                                     sem_ref.at[slab % 4])
+        return pltpu.make_async_copy(zp_any.at[slab], win_ref.at[slab % R],
+                                     sem_ref.at[slab % R])
 
     @pl.when(i == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        dma(0).start()
-        dma(1).start()
-        dma(2).start()
+        for s in range(R - 1):
+            dma(s).start()
         dma(0).wait()
         dma(1).wait()
 
-    @pl.when(i + 3 < nsteps + 2)
+    @pl.when(i + R - 1 < nsteps + 2)
     def _():
-        dma(i + 3).start()
+        dma(i + R - 1).start()
 
     dma(i + 2).wait()
 
     B = win_ref.shape[1]
     S = zf0_ref.shape[1]
     a = a_ref[0]
-    z0 = win_ref[i % 4]
-    z1 = win_ref[(i + 1) % 4]
-    z2 = win_ref[(i + 2) % 4]
+    z0 = win_ref[i % R]
+    z1 = win_ref[(i + 1) % R]
+    z2 = win_ref[(i + 2) % R]
 
     start = start_ref[i]
     count = cnt_run_ref[i]
@@ -981,11 +998,13 @@ def _band_cross_win_kernel_i8(widx_ref, start_ref, cnt_run_ref, a_ref,
 
 
 def _band_cross_win_pallas_i8(w_idx, starts, runs, A8, sw, Zp8, Zf, rowp,
-                              qp, interpret: bool) -> jax.Array:
+                              qp, interpret: bool,
+                              ring: int = 4) -> jax.Array:
     """cross_q[g] (z_q·w_q units, band + windowed far) — one fused kernel.
 
     Same operand layout as :func:`_fused_win_pallas_i8` minus the
     [nb, B, G] obs/count planes (the global statistic reduces to [G]).
+    ``ring`` sets the Zp slab-ring depth (DMA pipelining; >=4).
     """
     nb, B, _ = A8.shape
     G = Zp8.shape[2]
@@ -1010,8 +1029,8 @@ def _band_cross_win_pallas_i8(w_idx, starts, runs, A8, sw, Zp8, Zf, rowp,
         out_specs=pl.BlockSpec((1, G), lambda i, w, s, c: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((4, B, G), jnp.int8),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((ring, B, G), jnp.int8),
+            pltpu.SemaphoreType.DMA((ring,)),
             pltpu.VMEM((1, G), jnp.float32),
             pltpu.VMEM((B, G), jnp.int32),
         ],
@@ -1534,7 +1553,8 @@ def _banded_stat_i8_win(A8, sw, win_ops, rc_sum, Zq, sz2, den, S0, rows,
     else:
         cross_q = _band_cross_win_pallas_i8(w_idx, starts0, runs, A8, sw,
                                             Zp, Zf, rowp, qp,
-                                            interpret=interpret)
+                                            interpret=interpret,
+                                            ring=_win_ring())
     cross = cross_q * sz2
     if stat == "moran":
         return (n / S0) * cross / den

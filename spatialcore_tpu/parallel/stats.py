@@ -196,9 +196,14 @@ def sharded_banded_getis(
     mesh: Mesh,
     star: bool = True,
     alternative: str = "two-sided",
+    precision: str = "f32",
 ):
     """Banded Getis-Ord nulls, gene-sharded: the column stats, gather,
-    band matmuls and counters all act columnwise — zero collectives."""
+    band matmuls and counters all act columnwise — zero collectives.
+    ``precision="int8"`` decides in exact integer domains, making the
+    sharded p BITWISE equal to single-device at any shard width (f32
+    comparisons are ulp-stable only at matching widths — XLA picks dot
+    tilings per width)."""
     from ..ops.banded import NullPlan, banded_getis
 
     rep = replicated(mesh)
@@ -207,7 +212,7 @@ def sharded_banded_getis(
     _, X = _place(graph, X, mesh)
     with mesh:
         return banded_getis(plan, X, seed, n_permutations, star=star,
-                            alternative=alternative)
+                            alternative=alternative, precision=precision)
 
 
 def sharded_banded_lees_l(

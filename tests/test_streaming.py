@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from spatialcore_tpu.ops.banded import banded_permutation_test, build_null_plan
 from spatialcore_tpu.ops.graph import build_graph
@@ -144,3 +145,94 @@ def test_streaming_geary_observed_is_geary():
     assert p[0] <= 2.0 / 31.0
     # null centered near E[C] = 1
     assert abs(m[1:].mean() - 1.0) < 0.05
+
+
+class TestStreamingLocal:
+    """streaming_local_null: tile-split invariance + sink contracts."""
+
+    @pytest.fixture(scope="class")
+    def world(self):
+        rng = np.random.default_rng(11)
+        n, g = 500, 24
+        coords = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+        X = rng.normal(size=(n, g)).astype(np.float32)
+        X[:, 3] = 0.0                       # zero-variance gene
+        graph = build_graph(jnp.asarray(coords), n_neighbors=5)
+        plan = build_null_plan(graph, coords, block=64)
+        return graph, plan, X
+
+    def test_tile_split_invariance_all_stats(self, world):
+        """Draw d is keyed by (seed, d) for every tile, so any tile split
+        reproduces the unsplit p-values bitwise (CLAUDE.md hard rule)."""
+        from spatialcore_tpu.ops.streaming import (
+            host_local_sink, streaming_local_null)
+
+        graph, plan, X = world
+        n, g = X.shape
+        for stat, pkey in (("moran", "p"), ("geary", "p"),
+                           ("getis", "p_sim")):
+            outs = []
+            for tile in (g, 7):
+                sink, store = host_local_sink(n, g)
+                streaming_local_null(
+                    graph, plan, lambda s, w: X[:, s:s + w], g, sink,
+                    stat=stat, seed=3, n_permutations=19, tile=tile)
+                outs.append(store)
+            np.testing.assert_array_equal(outs[0][pkey], outs[1][pkey])
+
+    def test_moran_matches_unstreamed_public_kernel(self, world):
+        """Streamed LISA == banded_local_moran run unstreamed (observed
+        exact, p from the int8 quantized operator), plus FDR/quadrants."""
+        from spatialcore_tpu.ops.banded import banded_local_moran
+        from spatialcore_tpu.ops.fdr import apply_fdr
+        from spatialcore_tpu.ops.moran import classify_quadrants, standardize
+        from spatialcore_tpu.ops.streaming import (
+            host_local_sink, streaming_local_null)
+
+        graph, plan, X = world
+        n, g = X.shape
+        sink, store = host_local_sink(n, g)
+        streaming_local_null(graph, plan, lambda s, w: X[:, s:s + w], g,
+                             sink, stat="moran", seed=5,
+                             n_permutations=19, tile=7)
+        Z, zv = standardize(jnp.asarray(X))
+        res = banded_local_moran(plan, graph, Z, 5, 19, precision="int8")
+        p_ref = np.asarray(jnp.where(zv[None, :], 1.0, res.p_value))
+        np.testing.assert_array_equal(store["p"], p_ref)
+        np.testing.assert_allclose(
+            store["I"], np.where(np.asarray(zv)[None, :], 0.0,
+                                 np.asarray(res.local_I)), rtol=1e-6)
+        p_adj_ref = np.asarray(apply_fdr(jnp.asarray(p_ref), "fdr_bh",
+                                         axis=0))
+        np.testing.assert_allclose(store["p_adj"], p_adj_ref, rtol=1e-6)
+        zv_np = np.asarray(zv)
+        assert (store["p"][:, zv_np] == 1.0).all()
+        assert (store["quadrant"][:, zv_np] == 0).all()
+
+    def test_device_sink_compact_dtypes(self, world):
+        from spatialcore_tpu.ops.streaming import (
+            device_local_sink, streaming_local_null)
+
+        graph, plan, X = world
+        n, g = X.shape
+        sink, finalize = device_local_sink(g, keys=("I", "p_adj",
+                                                    "quadrant"))
+        streaming_local_null(graph, plan, lambda s, w: X[:, s:s + w], g,
+                             sink, stat="moran", seed=5,
+                             n_permutations=19, tile=7)
+        out = finalize()
+        assert set(out) == {"I", "p_adj", "quadrant"}
+        assert out["I"].dtype == jnp.bfloat16
+        assert out["p_adj"].dtype == jnp.float16
+        assert out["quadrant"].dtype == jnp.int8
+        assert out["I"].shape == (n, g)
+
+    def test_invalid_stat(self, world):
+        from spatialcore_tpu.ops.streaming import (
+            host_local_sink, streaming_local_null)
+
+        graph, plan, X = world
+        sink, _ = host_local_sink(*X.shape)
+        with pytest.raises(ValueError, match="stat must be"):
+            streaming_local_null(graph, plan, lambda s, w: X[:, s:s + w],
+                                 X.shape[1], sink, stat="lee")
