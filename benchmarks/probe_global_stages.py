@@ -31,8 +31,9 @@ import jax.numpy as jnp
 
 from spatialcore_tpu.core.rng import feistel_apply, key_for
 from spatialcore_tpu.ops.banded import (
-    _band_cross_pallas_i8, _band_cross_win_pallas_i8, _build_band_i8,
-    _quantize_z, _win_far_pack, build_null_plan)
+    _band_cross_pallas_i8, _band_cross_win_pallas_i4,
+    _band_cross_win_pallas_i8, _build_band_i8, _quantize_z, _quantize_z4,
+    _win_far_pack, build_null_plan)
 from spatialcore_tpu.ops.graph import build_graph
 
 N = int(os.environ.get("PROBE_CELLS", 1_000_000))
@@ -77,6 +78,21 @@ sz2 = jnp.concatenate([p[1] for p in parts])
 den = jnp.concatenate([p[2] for p in parts])
 del parts
 Zq = jax.block_until_ready(Zq)
+
+
+@functools.partial(jax.jit, static_argnames=("g",))
+def make_z4(key, g):
+    Z = jax.random.normal(key, (N, g), jnp.float32)
+    Zpk, s = _quantize_z4(Z)
+    return Zpk
+
+
+# nibble-packed table for the int4 variants: each 1024-chunk packs
+# gene pairs (j, j+512) — the probe only times data movement + kernel,
+# so the pair layout across chunks is irrelevant
+Zpk = jax.block_until_ready(jnp.concatenate(
+    [make_z4(jax.random.key(7 + i), 1024) for i in range(G // 1024)],
+    axis=1))
 A8, sw = jax.block_until_ready(jax.jit(
     functools.partial(_build_band_i8, block=B))(plan.local_idx,
                                                 plan.w_local))
@@ -105,9 +121,21 @@ S0 = float(jnp.sum(graph.neighbor_w))
 def make(variant):
     @jax.jit
     def scan(Zq, A8, sw, far_src, far_dst, far_w, rows_idx, rif, sz2, den,
-             A8w, sww, rowp, qp, w_idx, starts0, runs):
+             A8w, sww, rowp, qp, w_idx, starts0, runs, Zpk):
         def body(acc, step):
             key = jax.random.fold_in(base, step)
+            if variant in ("gather4", "win4"):
+                rows = feistel_apply(key, rows_idx, N)
+                Zp = Zpk[rows].reshape(nb + 2, B, G // 2)
+                if variant == "gather4":
+                    return acc + jnp.sum(Zp.astype(jnp.int32)) % 3, None
+                rowsf = feistel_apply(key, rif, N)
+                Zf = Zpk[rowsf].reshape(nw, S, G // 2)
+                cross = _band_cross_win_pallas_i4(
+                    w_idx, starts0, runs, A8w, sww, Zp, Zf, rowp, qp,
+                    interpret=False, ring=RING)
+                stat = (N / S0) * cross * sz2 / den
+                return acc + jnp.sum(stat).astype(jnp.int32) % 3, None
             if variant == "scatter":
                 # inverse formulation: Zp[f(i)] = Z[i] evaluates the draw
                 # at permutation f^-1 — an equally valid seeded bijection
@@ -162,7 +190,7 @@ def make(variant):
 for variant in VARIANTS:
     scan = make(variant)
     args = (Zq, A8, sw, plan.far_src, plan.far_dst, plan.far_w, rows_idx,
-            rif, sz2, den, A8w, sww, rowp, qp, w_idx, starts0, runs)
+            rif, sz2, den, A8w, sww, rowp, qp, w_idx, starts0, runs, Zpk)
     print(f"compiling {variant}...", flush=True)
     t0 = time.time()
     c = jax.block_until_ready(scan(*args))

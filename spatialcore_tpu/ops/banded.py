@@ -772,6 +772,45 @@ def _quantize_z(Z, clip: float = 8.0):
     return Zq, s
 
 
+def _quantize_z4(Z, clip: float = 8.0):
+    """Per-gene symmetric int4 quantization, NIBBLE-PACKED two genes/byte.
+
+    The global null's per-draw row gather is BYTE-bound at ~90 GB/s for
+    rows over ~2 KB and issue-bound (~45M rows/s) below — so packing two
+    genes per byte serves G=4096 from the same 2 KB row that int8 spent
+    on 2048 (measured: benchmarks/probe_global_stages.py, round 4).
+    Codes c = clip(round(z/s), -7, 7) with s = min(max|z|, clip)/7;
+    gene j (j < G/2) lives in the HIGH nibble of packed column j and
+    gene j + G/2 in the LOW nibble (split-half layout: on-chip unpack +
+    lane-concat restores natural gene order). Bytes store (c+8) nibbles
+    — in-range bit patterns regardless of int8 sign interpretation.
+
+    G must be even (callers pad the gene axis to a 256-multiple so each
+    half stays 128-lane aligned). Returns ``(Zpk int8 [N, G//2],
+    s f32 [G])``.
+    """
+    Zf = Z.astype(jnp.float32)
+    G = Zf.shape[1]
+    if G % 2:
+        raise ValueError(f"int4 packing needs an even gene count, got {G}")
+    s = jnp.minimum(jnp.max(jnp.abs(Zf), axis=0), clip) / 7.0
+    s = jnp.where(s > 0, s, 1.0)
+    c = jnp.clip(jnp.round(Zf / s), -7, 7).astype(jnp.int32) + 8
+    hi, lo = c[:, :G // 2], c[:, G // 2:]
+    return ((hi << 4) | lo).astype(jnp.int8), s
+
+
+def _unpack_nibbles(Zpk):
+    """int8 packed [..., Gp2] -> int8 codes [..., 2*Gp2], natural order.
+
+    Arithmetic-shift + mask reads the nibble bit patterns correctly for
+    any int8 sign; the -8 offset restores signed codes in [-7, 7].
+    """
+    hi = ((Zpk >> 4) & jnp.int8(15)) - jnp.int8(8)
+    lo = (Zpk & jnp.int8(15)) - jnp.int8(8)
+    return jnp.concatenate([hi, lo], axis=-1)
+
+
 def _build_band_i8(local_idx, w_local, block: int, row_scale=None):
     """Band tensor in int8 with a PER-ROW weight scale.
 
@@ -1043,6 +1082,139 @@ def _band_cross_win_pallas_i8(w_idx, starts, runs, A8, sw, Zp8, Zf, rowp,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(w_idx, starts, runs, A8, sw, Zp8, Zf, Zf, rowp, rowp, qp, qp)
+    return out[0]
+
+
+def _band_cross_win_kernel_i4(widx_ref, start_ref, cnt_run_ref, a_ref,
+                              sw_ref, zp_any, zf0_ref, zf1_ref, row0_ref,
+                              row1_ref, q0_ref, q1_ref, out_ref, win_ref,
+                              sem_ref, acc_ref, lag_ref):
+    """NIBBLE-PACKED variant of :func:`_band_cross_win_kernel_i8`.
+
+    ``zp_any``/``zf*`` carry two int4 gene codes per byte (split-half
+    layout, :func:`_quantize_z4`): the DMA ring and both gathers move
+    HALF the bytes of the int8 system — the draw's dominant cost at
+    G>=4096 (the row gather is byte-bound past ~2 KB rows). Slabs unpack
+    on the VPU right before each MXU dot (arithmetic shift + mask +
+    lane-concat; ~int8-cheap) so the unpacked [B, G] codes exist only as
+    register/VMEM temporaries.
+    """
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    R = win_ref.shape[0]
+
+    def dma(slab):
+        return pltpu.make_async_copy(zp_any.at[slab], win_ref.at[slab % R],
+                                     sem_ref.at[slab % R])
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        for s in range(R - 1):
+            dma(s).start()
+        dma(0).wait()
+        dma(1).wait()
+
+    @pl.when(i + R - 1 < nsteps + 2)
+    def _():
+        dma(i + R - 1).start()
+
+    dma(i + 2).wait()
+
+    def unpack(pk):
+        # int32 domain: Mosaic has no int8 vector shift (arith.shrsi on
+        # vXi8 fails to legalize) — widen, shift, narrow
+        zz = pk.astype(jnp.int32)
+        hi = ((zz >> 4) & 15) - 8
+        lo = (zz & 15) - 8
+        return jnp.concatenate([hi, lo], axis=-1).astype(jnp.int8)
+
+    B = win_ref.shape[1]
+    S = zf0_ref.shape[1]
+    a = a_ref[0]
+    z0 = unpack(win_ref[i % R])
+    z1 = unpack(win_ref[(i + 1) % R])
+    z2 = unpack(win_ref[(i + 2) % R])
+
+    start = start_ref[i]
+    count = cnt_run_ref[i]
+    base_gc = widx_ref[i] * S
+
+    def wmat(row_ref, q_ref, gc0):
+        gc = gc0 + jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+        live = ((gc >= start) & (gc < start + count)).astype(jnp.int32)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (B, S), 0)
+               == row_ref[0]).astype(jnp.int32)
+        return (sel * (live * q_ref[0].astype(jnp.int32))).astype(jnp.int8)
+
+    W0 = wmat(row0_ref, q0_ref, base_gc)
+    W1 = wmat(row1_ref, q1_ref, base_gc + S)
+
+    lag_ref[:] = jnp.dot(a[:, :B], z0, preferred_element_type=jnp.int32)
+    lag_ref[:] += jnp.dot(a[:, B:2 * B], z1,
+                          preferred_element_type=jnp.int32)
+    lag_ref[:] += jnp.dot(a[:, 2 * B:], z2,
+                          preferred_element_type=jnp.int32)
+    lag_ref[:] += jnp.dot(W0, unpack(zf0_ref[0]),
+                          preferred_element_type=jnp.int32)
+    lag_ref[:] += jnp.dot(W1, unpack(zf1_ref[0]),
+                          preferred_element_type=jnp.int32)
+    sw = sw_ref[0]
+    acc_ref[:] = acc_ref[:] + jnp.sum(
+        (sw * z1.astype(jnp.float32)) * lag_ref[:].astype(jnp.float32),
+        axis=0, keepdims=True)
+
+    @pl.when(i == nsteps - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def _band_cross_win_pallas_i4(w_idx, starts, runs, A8, sw, Zppk, Zfpk,
+                              rowp, qp, interpret: bool,
+                              ring: int = 4) -> jax.Array:
+    """cross_q[g] for the nibble-packed system — one fused kernel.
+
+    ``Zppk`` [nb+2, B, Gp2] and ``Zfpk`` [nw, S, Gp2] hold packed bytes;
+    the output is [Gp] = [2*Gp2] f32 in natural gene order.
+    """
+    nb, B, _ = A8.shape
+    Gp2 = Zppk.shape[2]
+    G = 2 * Gp2
+    S = rowp.shape[2]
+    blk = lambda i, w, s, c: (i, 0, 0)  # noqa: E731
+    w0 = lambda i, w, s, c: (w[i], 0, 0)  # noqa: E731
+    w1 = lambda i, w, s, c: (w[i] + 1, 0, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, B, 3 * B), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, S, Gp2), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, Gp2), w1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), w1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), w1, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, G), lambda i, w, s, c: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((ring, B, Gp2), jnp.int8),
+            pltpu.SemaphoreType.DMA((ring,)),
+            pltpu.VMEM((1, G), jnp.float32),
+            pltpu.VMEM((B, G), jnp.int32),
+        ],
+    )
+    out = pl.pallas_call(
+        _band_cross_win_kernel_i4,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, G), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(w_idx, starts, runs, A8, sw, Zppk, Zfpk, Zfpk, rowp, rowp, qp, qp)
     return out[0]
 
 
@@ -1567,6 +1739,42 @@ def _banded_stat_i8_win(A8, sw, win_ops, rc_sum, Zq, sz2, den, S0, rows,
     return jnp.stack([(n / S0) * cross / den, geary])
 
 
+def _banded_stat_i4_win(A8, sw, win_ops, rc_sum, Zpk, sz2, den, S0, rows,
+                        rowsf, *, block: int, n: int, stat: str,
+                        use_xla: bool = False, interpret: bool = False):
+    """One draw's statistic [G] in the NIBBLE-PACKED int4 system.
+
+    Both gathers move packed bytes (half the int8 system's bytes — the
+    byte-bound row gather is the draw's wall at G>=4096); the fused
+    kernel unpacks on-chip. Same windowed-far operator structure as
+    :func:`_banded_stat_i8_win`.
+    """
+    S, nw, rowp, qp, w_idx, starts0, runs = win_ops
+    B = block
+    nb = A8.shape[0]
+    Gp2 = Zpk.shape[1]
+    Zp = Zpk[rows].reshape(nb + 2, B, Gp2)        # packed row gather
+    Zf = Zpk[rowsf].reshape(nw, S, Gp2)           # packed far gather
+    if use_xla:
+        cross_q = _band_cross_win_i8_xla(
+            w_idx, starts0, runs, A8, sw, _unpack_nibbles(Zp),
+            _unpack_nibbles(Zf), rowp, qp)
+    else:
+        cross_q = _band_cross_win_pallas_i4(
+            w_idx, starts0, runs, A8, sw, Zp, Zf, rowp, qp,
+            interpret=interpret, ring=_win_ring())
+    cross = cross_q * sz2
+    if stat == "moran":
+        return (n / S0) * cross / den
+    flat = _unpack_nibbles(Zp.reshape(-1, Gp2))
+    zp2 = jnp.square(flat[B:B + nb * B].astype(jnp.float32)) * sz2
+    sq = jnp.einsum("i,ig->g", rc_sum, zp2)
+    geary = (n - 1) * (sq - 2.0 * cross) / (2.0 * S0 * den)
+    if stat == "geary":
+        return geary
+    return jnp.stack([(n / S0) * cross / den, geary])
+
+
 def _banded_stat(A, far_src, far_dst, far_w, rc_sum, Ztab, den, S0, rows,
                  *, block: int, n: int, stat: str, band_impl: str = "xla",
                  interpret: bool = False):
@@ -1633,16 +1841,27 @@ def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
                  precision: str, perm_method: str, band_impl: str = "xla",
                  far_mode: str = "exact", far_bmax: int = 0,
                  interpret: bool = False):
+    prepacked = precision == "int4" and Z.dtype == jnp.int8
     if den is None:
-        den = jnp.sum(Z.astype(jnp.float32) ** 2, axis=0)
-        if precision == "int8" and Z.dtype == jnp.int8:
-            # Z holds quantized CODES: Σ code² is den/s_g² — rescale to
-            # z units so the returned null mean/std keep statistic units
+        if prepacked:
+            # packed bytes: den from the unpacked CODES (consistent with
+            # the quantized operator: Σ (c·s)² per gene)
             if sz is None:
-                raise ValueError("int8 Z requires its per-gene scale `sz`")
-            den = den * sz * sz
+                raise ValueError("int4 Z requires its per-gene scale `sz`")
+            codes = _unpack_nibbles(Z).astype(jnp.float32)
+            den = jnp.sum(codes * codes, axis=0) * sz * sz
+        else:
+            den = jnp.sum(Z.astype(jnp.float32) ** 2, axis=0)
+            if precision == "int8" and Z.dtype == jnp.int8:
+                # Z holds quantized CODES: Σ code² is den/s_g² — rescale
+                # to z units so the returned null mean/std keep
+                # statistic units
+                if sz is None:
+                    raise ValueError(
+                        "int8 Z requires its per-gene scale `sz`")
+                den = den * sz * sz
         den = jnp.where(den > 0, den, 1.0)
-    G = Z.shape[1]
+    G = Z.shape[1] * (2 if prepacked else 1)
     nbb = local_idx.shape[0] // block
     # padded row-relabel indices, fixed across draws: per draw the value
     # rows are Z[perm[rows_idx]] — with the Feistel stream that composes
@@ -1652,7 +1871,37 @@ def _banded_test(order, local_idx, w_local, far_src, far_dst, far_w, rc_sum,
                     0, n - 1)
     rows_idx = order[gidx]
     rif = None
-    if precision == "int8":
+    if precision == "int4":
+        # NIBBLE-PACKED system: always windowed far (the exact-far path
+        # has no packed form); validated by banded_permutation_test
+        if prepacked:
+            Zpk, s_z = Z, sz
+        else:
+            Zpk, s_z = _quantize_z4(Z)
+        sz2 = s_z * s_z
+        n_padded = local_idx.shape[0]
+        local_max = jnp.max(w_local.astype(jnp.float32), axis=1)
+        far_max = jnp.zeros((n_padded,), jnp.float32).at[
+            far_src - block].max(far_w.astype(jnp.float32), mode="drop")
+        rowmax = jnp.maximum(local_max, far_max)
+        sw_row = jnp.where(rowmax > 0, rowmax / 127.0, 1.0)
+        A8, sw = _build_band_i8(local_idx, w_local, block,
+                                row_scale=sw_row.reshape(nbb, block, 1))
+        far_q = jnp.clip(jnp.round(far_w / sw_row[far_src - block]),
+                         0, 127)
+        S, nw, rowp, qp, rif, w_idx, starts0, runs = _win_far_pack(
+            far_src, far_dst, far_w, far_q, far_starts, rows_idx,
+            block, far_bmax)
+        win_ops = (S, nw, rowp, qp, w_idx, starts0, runs)
+
+        def stat_fn(rows, rowsf):
+            return _banded_stat_i4_win(
+                A8, sw, win_ops, rc_sum, Zpk, sz2, den, S0, rows, rowsf,
+                block=block, n=n, stat=stat,
+                use_xla=(band_impl == "xla"), interpret=interpret)
+
+        observed = stat_fn(rows_idx, rif)
+    elif precision == "int8":
         if Z.dtype == jnp.int8:
             if sz is None:
                 raise ValueError("int8 Z requires its per-gene scale `sz`")
@@ -1831,11 +2080,44 @@ def banded_permutation_test(
     """
     _check_perm_method(perm_method)
     interpret = jax.default_backend() != "tpu"
-    G = Z.shape[1]
-    if precision != "int8" and far_mode == "win":
-        raise ValueError("far_mode='win' requires precision='int8' (the "
-                         "windowed far operator is int8-quantized)")
-    if precision == "int8":
+    prepacked = precision == "int4" and Z.dtype == jnp.int8
+    G = Z.shape[1] * (2 if prepacked else 1)
+    if precision not in ("int8", "int4") and far_mode == "win":
+        raise ValueError("far_mode='win' requires precision='int8'/'int4' "
+                         "(the windowed far operator is int8-quantized)")
+    if precision == "int4":
+        # nibble-packed: two genes per byte halve BOTH per-draw gathers
+        # (the byte-bound wall past ~2 KB rows); windowed far only
+        if plan.far_starts is None or plan.far_bmax <= 0:
+            raise ValueError(
+                "precision='int4' needs a NullPlan with far-run structure "
+                "(far_starts/far_bmax); rebuild via build_null_plan")
+        if far_mode == "exact":
+            raise ValueError("precision='int4' has no exact-far path; use "
+                             "far_mode='win' (or 'auto')")
+        far_mode = "win"
+        if band_impl == "auto":
+            band_impl = "xla" if interpret else "pallas_halo"
+        # each packed half must stay 128-lane aligned -> 256-multiple G
+        pad_g = (-G) % 256
+        if prepacked and pad_g:
+            raise ValueError(
+                f"pre-packed int4 tables must cover a 256-multiple gene "
+                f"count, got G={G}")
+        if band_impl != "xla" and not interpret:
+            Gp = G + pad_g
+            S4 = _round_up(max(plan.far_bmax, 1), 128)
+            R4 = _win_ring()
+            # packed ring + int32 lag + 2 double-buffered packed windows
+            # + ~3 unpacked [B, G] value temps
+            vmem = Gp * ((R4 * plan.block) // 2 + 4 * plan.block
+                         + 2 * S4 + 3 * plan.block)
+            if vmem > 14 * 2 ** 20:
+                raise ValueError(
+                    f"int4 windowed kernel VMEM estimate {vmem/2**20:.1f}M "
+                    f"exceeds budget at G={G}, block={plan.block}; tile "
+                    f"the gene axis (ops/streaming.py)")
+    elif precision == "int8":
         if band_impl == "auto":
             band_impl = "xla" if interpret else "pallas_halo"
         if far_mode == "auto":
@@ -1874,7 +2156,7 @@ def banded_permutation_test(
         band_impl = ("pallas_halo"
                      if Z.shape[1] >= 1536 and not interpret else "xla")
         pad_g = 0
-    if precision != "int8":
+    if precision not in ("int8", "int4"):
         if band_impl == "pallas_halo" and not interpret:
             ngt, Gt = _halo_tiles(G)
             pad_g = ngt * Gt - G    # equal lane-aligned g-tiles (VMEM cap)
@@ -1913,7 +2195,7 @@ def banded_permutation_test(
         block=plan.block, n=plan.n,
         n_permutations=n_permutations, stat=stat, alternative=alternative,
         precision=precision, perm_method=perm_method, band_impl=band_impl,
-        far_mode=far_mode if precision == "int8" else "exact",
+        far_mode=far_mode if precision in ("int8", "int4") else "exact",
         far_bmax=plan.far_bmax if far_mode == "win" else 0,
         interpret=interpret)
     if pad_g:

@@ -1309,3 +1309,129 @@ def test_global_win_far_validation():
     p, _, _ = banded_permutation_test(runless, Z, S0, obs, seed=0,
                                       n_permutations=9, precision="int8")
     assert np.isfinite(np.asarray(p)).all()
+
+
+def test_quantize_z4_roundtrip():
+    """Nibble pack/unpack is lossless on the int4 codes and keeps the
+    natural gene order (split-half layout)."""
+    from spatialcore_tpu.ops.banded import _quantize_z4, _unpack_nibbles
+
+    rng = np.random.default_rng(0)
+    Z = jnp.asarray(rng.normal(size=(60, 10)).astype(np.float32) * 3)
+    pk, s = _quantize_z4(Z)
+    assert pk.shape == (60, 5) and pk.dtype == jnp.int8
+    codes = np.asarray(_unpack_nibbles(pk))
+    ref = np.clip(np.round(np.asarray(Z) / np.asarray(s)), -7, 7)
+    np.testing.assert_array_equal(codes, ref.astype(np.int8))
+    # zero column -> scale 1, code 0
+    Z0 = Z.at[:, 3].set(0.0)
+    pk0, s0 = _quantize_z4(Z0)
+    assert float(s0[3]) == 1.0
+    assert (np.asarray(_unpack_nibbles(pk0))[:, 3] == 0).all()
+    with pytest.raises(ValueError, match="even gene count"):
+        _quantize_z4(Z[:, :3])
+
+
+def test_int4_decisions_match_f32(setup):
+    """precision='int4' (nibble-packed quantized operator): decisions at
+    alpha=0.05 match the f32 oracle on the fixture; p within the coarser
+    int4 quantization tolerance."""
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    S0 = float(np.asarray(graph.neighbor_w).sum())
+    for stat, alt, obs in (
+            ("moran", "greater", moran_observed(graph, Z, S0)),
+            ("geary", "less", geary_observed(graph, Z, S0))):
+        p32, m32, _ = banded_permutation_test(
+            plan, Z, S0, obs, seed=5, n_permutations=99, precision="f32",
+            stat=stat, alternative=alt)
+        p4, m4, _ = banded_permutation_test(
+            plan, Z, S0, obs, seed=5, n_permutations=99, precision="int4",
+            stat=stat, alternative=alt)
+        # the int4 operator's null mean carries an O(s²) quantization
+        # bias (z² terms, visible on Geary ~4%); DECISIONS are the pin —
+        # draws compare against the observed value of the same operator
+        np.testing.assert_allclose(np.asarray(m4), np.asarray(m32),
+                                   rtol=0.06, atol=0.02)
+        assert ((np.asarray(p4) < 0.05) == (np.asarray(p32) < 0.05)).all()
+
+
+def test_int4_pallas_matches_xla_twin(setup):
+    """Interpret-mode int4 win kernel vs its XLA twin: identical integer
+    dots, f32-summation-order tolerance on the outputs."""
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    S0 = float(np.asarray(graph.neighbor_w).sum())
+    obs = moran_observed(graph, Z, S0)
+    p_k, m_k, _ = banded_permutation_test(
+        plan, Z, S0, obs, seed=2, n_permutations=29, precision="int4",
+        band_impl="pallas_halo")
+    p_x, m_x, _ = banded_permutation_test(
+        plan, Z, S0, obs, seed=2, n_permutations=29, precision="int4",
+        band_impl="xla")
+    np.testing.assert_allclose(np.asarray(p_k), np.asarray(p_x), atol=0.05)
+    np.testing.assert_allclose(np.asarray(m_k), np.asarray(m_x),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_int4_draw_offset_chunks(setup):
+    """Chunked int4 draws reproduce the unchunked counts bitwise."""
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    S0 = float(np.asarray(graph.neighbor_w).sum())
+    obs = moran_observed(graph, Z, S0)
+    P = 40
+    p_full, _, _ = banded_permutation_test(
+        plan, Z, S0, obs, seed=6, n_permutations=P, precision="int4")
+    c_full = np.round(np.asarray(p_full) * (P + 1) - 1)
+    c_sum = 0
+    for off in (0, 15, 30):
+        pc = min(15, P - off)
+        p_c, _, _ = banded_permutation_test(
+            plan, Z, S0, obs, seed=6, n_permutations=pc, precision="int4",
+            draw_offset=off)
+        c_sum = c_sum + np.round(np.asarray(p_c) * (pc + 1) - 1)
+    np.testing.assert_array_equal(c_full, c_sum)
+
+
+def test_int4_prepacked_matches_inline(setup):
+    """Streaming preps pass (Zpk, sz) pre-packed; must equal the inline
+    _quantize_z4 route bit-for-bit. Pre-packed tables must cover a
+    256-multiple gene count (half-alignment rule)."""
+    from spatialcore_tpu.ops.banded import _quantize_z4
+
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    S0 = float(np.asarray(graph.neighbor_w).sum())
+    G = Z.shape[1]
+    Zp = jnp.pad(Z, ((0, 0), (0, 256 - G)))
+    obs = jnp.pad(moran_observed(graph, Z, S0), (0, 256 - G))
+    Zpk, s4 = _quantize_z4(Zp)
+    p_in, m_in, _ = banded_permutation_test(
+        plan, Zp, S0, obs, seed=3, n_permutations=29, precision="int4")
+    p_pk, m_pk, _ = banded_permutation_test(
+        plan, Zpk, S0, obs, seed=3, n_permutations=29, precision="int4",
+        sz=s4)
+    np.testing.assert_array_equal(np.asarray(p_in), np.asarray(p_pk))
+    # mean differs only through the den convention: the inline route
+    # normalizes by Σz² (f32), pre-packed by Σ(c·s)² (quantized codes) —
+    # a per-gene positive factor that cancels in every p comparison
+    np.testing.assert_allclose(np.asarray(m_in), np.asarray(m_pk),
+                               rtol=0.06, atol=1e-7)
+    with pytest.raises(ValueError, match="256-multiple"):
+        banded_permutation_test(plan, Zpk[:, :70], S0, obs[:140], seed=3,
+                                n_permutations=9, precision="int4", sz=s4)
+
+
+def test_int4_validation(setup):
+    coords, graph, Z = setup
+    plan = build_null_plan(graph, coords, block=64)
+    S0 = float(np.asarray(graph.neighbor_w).sum())
+    obs = moran_observed(graph, Z, S0)
+    with pytest.raises(ValueError, match="no exact-far"):
+        banded_permutation_test(plan, Z, S0, obs, seed=0, n_permutations=9,
+                                precision="int4", far_mode="exact")
+    runless = plan._replace(far_starts=None, far_bmax=0)
+    with pytest.raises(ValueError, match="far-run structure"):
+        banded_permutation_test(runless, Z, S0, obs, seed=0,
+                                n_permutations=9, precision="int4")
