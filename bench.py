@@ -69,7 +69,8 @@ def main():
     k = int(os.environ.get("BENCH_K", 6))
     mode = os.environ.get("BENCH_MODE", "sustained")
     prec = os.environ.get("BENCH_PREC", "int8")
-    tile = int(os.environ.get("BENCH_TILE", 4096 if prec == "int8" else 2048))
+    tile = int(os.environ.get(
+        "BENCH_TILE", 4096 if prec in ("int8", "int4") else 2048))
     chunk = int(os.environ.get("BENCH_CHUNK", 200))
     impl = os.environ.get("BENCH_IMPL", "auto")
     mesh_spec = os.environ.get("BENCH_MESH", "")
@@ -89,7 +90,7 @@ def main():
         # scan queue (308.9 s total vs 308.1 s scans-only at 5120 genes),
         # so tail width was the entire remaining sustained-vs-burst gap.
         n_genes = int(os.environ.get(
-            "BENCH_GENES", 8192 if prec == "int8" else 6144))
+            "BENCH_GENES", 8192 if prec in ("int8", "int4") else 6144))
     chunk = min(chunk, n_perms)
 
     # Backend-init watchdog: when the axon tunnel is down, jax.devices()
@@ -187,6 +188,12 @@ def main():
             from spatialcore_tpu.ops.banded import _quantize_z
             Zq, s_z = _quantize_z(Z)
             return Zq, den, I_obs, s_z
+        if prec == "int4":
+            # UNPACKED codes per chunk; prep_width packs across the full
+            # tile (split-half pairing spans the tile, not the chunk)
+            from spatialcore_tpu.ops.banded import _quantize_z4_codes
+            codes, s_z = _quantize_z4_codes(Z)
+            return codes, den, I_obs, s_z
         return Z.astype(jnp.bfloat16), den, I_obs, jnp.ones((g,), jnp.float32)
 
     @jax.jit
@@ -195,11 +202,28 @@ def main():
 
     def prep_width(key, w):
         """Prep a w-wide gene batch in <=1024-gene chunks (a single f32
-        standardize at 2048 genes OOMs — the documented round-2 lesson)."""
+        standardize at 2048 genes OOMs — the documented round-2 lesson).
+        int4 packs the concatenated codes over the full tile."""
         gp = min(1024, w)
         parts = [prep_chunk(jax.random.fold_in(key, i),
                             min(gp, w - s))
                  for i, s in enumerate(range(0, w, gp))]
+        if prec == "int4":
+            # pack HALF-OFFSET chunk pairs (global split-half layout:
+            # packed column j pairs gene j with gene j + w/2) without
+            # ever concatenating the full-width code matrix
+            from spatialcore_tpu.ops.banded import _pack_codes
+
+            assert len(parts) % 2 == 0 and w % (2 * gp) == 0, \
+                "int4 tiles must hold an even chunk count"
+            h = len(parts) // 2
+            pk = jax.jit(_pack_codes)
+            packed = [pk(parts[i][0], parts[i + h][0]) for i in range(h)]
+            Zb = packed[0] if h == 1 else jnp.concatenate(packed, axis=1)
+            return (Zb,
+                    jnp.concatenate([p[1] for p in parts]),
+                    jnp.concatenate([p[2] for p in parts]),
+                    jnp.concatenate([p[3] for p in parts]))
         if len(parts) == 1:
             return parts[0]
         return (jnp.concatenate([p[0] for p in parts], axis=1),
@@ -290,7 +314,7 @@ def main():
             if impl != "auto":
                 return impl
             on_tpu = jax.default_backend() == "tpu"
-            if prec == "int8":
+            if prec in ("int8", "int4"):
                 return "pallas_halo" if on_tpu else "xla"
             return "pallas_halo" if w >= 1536 and on_tpu else "xla"
 
@@ -302,6 +326,8 @@ def main():
             fm = os.environ.get("BENCH_FAR", "auto")
             if fm != "auto":
                 return fm
+            if prec == "int4":
+                return "win"    # the packed system has no exact-far path
             return ("win" if prec == "int8" and plan.far_starts is not None
                     and plan.far_bmax > 0
                     and _gwin_fits_vmem(w, plan.block, plan.far_bmax)
@@ -358,6 +384,8 @@ def main():
                   f"{time.time()-t0:.1f}s", file=sys.stderr)
 
             def run_chunk(Zb, den, obs, szv, seed, pc, off=0):
+                # int4 tables are nibble-packed: table width is w/2
+                w = Zb.shape[1] * (2 if prec == "int4" else 1)
                 args = [plan.order, plan.local_idx, plan.w_local,
                         plan.far_src, plan.far_dst, plan.far_w, plan.rc_sum,
                         Zb, S0, obs, jnp.uint32(seed), den, szv,
@@ -365,8 +393,8 @@ def main():
                 # the lowered signature always carries the far_starts slot
                 # (None is an empty pytree but still a positional arg)
                 args.append(plan.far_starts
-                            if far_mode_for(Zb.shape[1]) == "win" else None)
-                return compiled[(Zb.shape[1], pc)](*args)[0]
+                            if far_mode_for(w) == "win" else None)
+                return compiled[(w, pc)](*args)[0]
 
             return run_chunk
 

@@ -789,15 +789,49 @@ def _quantize_z4(Z, clip: float = 8.0):
     half stays 128-lane aligned). Returns ``(Zpk int8 [N, G//2],
     s f32 [G])``.
     """
+    codes, s = _quantize_z4_codes(Z, clip)
+    return _pack_codes(codes), s
+
+
+def _quantize_z4_codes(Z, clip: float = 8.0):
+    """int4 codes WITHOUT packing: (codes int8 in [-7, 7], s f32).
+
+    Chunked preps (bench.py, ops/streaming.py) quantize gene chunks
+    independently and pack afterwards with :func:`_pack_codes` — the
+    split-half pairing must span the FULL tile, not each chunk, or the
+    unpacked gene order would interleave chunks.
+    """
     Zf = Z.astype(jnp.float32)
-    G = Zf.shape[1]
-    if G % 2:
-        raise ValueError(f"int4 packing needs an even gene count, got {G}")
     s = jnp.minimum(jnp.max(jnp.abs(Zf), axis=0), clip) / 7.0
     s = jnp.where(s > 0, s, 1.0)
-    c = jnp.clip(jnp.round(Zf / s), -7, 7).astype(jnp.int32) + 8
-    hi, lo = c[:, :G // 2], c[:, G // 2:]
-    return ((hi << 4) | lo).astype(jnp.int8), s
+    return jnp.clip(jnp.round(Zf / s), -7, 7).astype(jnp.int8), s
+
+
+def _pack_codes(codes, lo=None):
+    """Pack int4 codes into split-half nibble bytes — the inverse of
+    :func:`_unpack_nibbles`.
+
+    One-arg form: codes [N, G] (G even) -> [N, G//2] with gene j in the
+    HIGH nibble of packed column j and gene j + G//2 in the LOW nibble.
+    Two-arg form: ``_pack_codes(hi, lo)`` packs two same-shape code
+    blocks directly (chunked preps pair half-offset chunks without
+    concatenating the full-width code matrix). All arithmetic stays in
+    int8 — an int32 widen is a 4x [N, G] temp (16 GB at 1M x 4096, a
+    measured OOM on the v5e).
+    """
+    if lo is None:
+        G = codes.shape[-1]
+        if G % 2:
+            raise ValueError(
+                f"int4 packing needs an even gene count, got {G}")
+        hi, lo = codes[..., :G // 2], codes[..., G // 2:]
+    else:
+        hi = codes
+        if hi.shape != lo.shape:
+            raise ValueError(f"hi/lo shape mismatch: {hi.shape} vs "
+                             f"{lo.shape}")
+    h8 = (hi.astype(jnp.int8) + jnp.int8(8)) << 4   # wraps >127: bit-exact
+    return h8 | (lo.astype(jnp.int8) + jnp.int8(8))
 
 
 def _unpack_nibbles(Zpk):
@@ -2225,6 +2259,16 @@ def _chunked_cols(fn, arrs, G, width=None):
     output; the barrier stops XLA from re-batching chunks into the very
     full-width temps this exists to avoid. Outputs concatenate on the
     last (gene) axis; ``fn`` may return one array or a tuple.
+
+    Memory-cap caveat (ADVICE r3): the chunks share no data dependency,
+    so the barrier prevents op-level FUSION across chunks but cannot
+    force the scheduler to serialize their subgraphs — the cap relies on
+    measured scheduler behavior (XLA:TPU schedules the independent
+    chunk subgraphs sequentially in practice; the 1M-cell local-Geary
+    observed pass that motivated this helper stopped faulting). A
+    guaranteed-by-construction cap would need a threaded data
+    dependency, which either changes the static slicing to dynamic or
+    gets constant-folded away; revisit only if a regression is measured.
     """
     if width is None:
         width = _OBS_CHUNK   # module attr, so tests can patch it
@@ -2624,7 +2668,14 @@ def _banded_lees_p_i8(order, rank, local_idx, w_local, far_src, far_dst,
         return Lq, Lg
 
     # one-time observed pass, gene-chunked (see _chunked_cols: the
-    # full-width pass faults at 1M where the draw scan fits)
+    # full-width pass faults at 1M where the draw scan fits). Per-cell
+    # Lq is exact int32, but the global Lg is an f32 REDUCTION over
+    # int32 values past 2^24 — XLA picks its reduce tiling per column
+    # width, so obs_g evaluated at chunk width vs full width can differ
+    # in the last ulp; a draw whose Lg ties obs_g EXACTLY in f32 could
+    # then flip the global count between chunk widths (ADVICE r3). The
+    # per-cell p is width-invariant; the draw-side Lg runs at full Pn
+    # width either way.
     obs_l, obs_g = _chunked_cols(
         lambda yc, xc: lees_q(rows_idx, yc, xc), (Zyq, zx_new), Pn)
     abs_l, abs_g = jnp.abs(obs_l), jnp.abs(obs_g)

@@ -628,6 +628,74 @@ def global_autocorrelation(
 # Local Moran's I
 # ---------------------------------------------------------------------------
 
+def _local_morans_compact(adata, gene_names, layer, graph, plan,
+                          n_neighbors, n_permutations, fdr_correction,
+                          alpha, seed, tile, key_added, null_precision,
+                          X_is_device, start):
+    """Memory-bounded LISA at scale: stream gene tiles through the banded
+    int8 windowed kernels (ops.streaming.streaming_local_null).
+
+    Device-resident inputs keep compact device outputs (I bf16, p/p_adj
+    f16, quadrant int8 — ~7 GB at 1M x 2048 vs 48 GB of f32 planes);
+    host inputs flush full-precision host arrays per tile. Dethrones the
+    reference's nested Python p-value loops
+    (/root/reference/src/spatialcore/spatial/autocorrelation.py:877-896)
+    at workloads its batching cannot reach.
+    """
+    from ..ops.streaming import (
+        device_local_sink, host_local_sink, streaming_local_null)
+
+    n_cells, n_genes = adata.n_obs, len(gene_names)
+
+    def get_tile(s, w):
+        return jnp.asarray(_dense_expression(
+            adata, gene_names[s:s + w], layer))
+
+    if X_is_device:
+        sink, finalize = device_local_sink(
+            n_genes, keys=("I", "p", "p_adj", "quadrant"))
+    else:
+        sink, store = host_local_sink(n_cells, n_genes)
+    streaming_local_null(
+        graph, plan, get_tile, n_genes, sink, stat="moran", seed=seed,
+        n_permutations=n_permutations, tile=tile, fdr=fdr_correction,
+        alpha=alpha, precision=null_precision)
+    out = finalize() if X_is_device else store
+    for k in ("I", "p", "p_adj", "quadrant"):
+        adata.obsm[f"{key_added}_{k}"] = out[k]
+    elapsed = time.time() - start
+    adata.uns[f"{key_added}_params"] = {
+        "genes": gene_names,
+        "n_neighbors": n_neighbors,
+        "n_permutations": n_permutations,
+        "fdr_correction": fdr_correction,
+        "alpha": alpha,
+        "seed": seed,
+        "null": "total",
+        "null_method": ("banded_int8" if null_precision == "int8"
+                        else "banded"),
+        "null_precision": null_precision,
+        "output_mode": "compact",
+        "tile": tile,
+        "quadrant_labels": dict(QUADRANT_LABELS),
+        "computation_time_seconds": elapsed,
+    }
+    logger.info(f"Local Moran's I (compact streaming) completed in "
+                f"{elapsed:.1f}s")
+    update_metadata(
+        adata, "local_morans_i",
+        parameters={"genes": gene_names[:10], "n_genes": n_genes,
+                    "n_neighbors": n_neighbors,
+                    "n_permutations": n_permutations,
+                    "fdr_correction": fdr_correction, "alpha": alpha,
+                    "seed": seed, "output_mode": "compact"},
+        outputs={f"obsm_{s}": f"{key_added}_{s}"
+                 for s in ("I", "p", "p_adj", "quadrant")} |
+                {"uns_params": f"{key_added}_params"},
+    )
+    return adata
+
+
 def local_morans_i(
     adata,
     genes: Optional[Union[str, List[str]]] = None,
@@ -644,6 +712,7 @@ def local_morans_i(
     use_existing_graph: bool = False,
     null_method: str = "auto",
     null: str = "total",
+    output_mode: str = "auto",
 ):
     """Local Moran's I (LISA) with on-device permutation p-values.
 
@@ -673,6 +742,19 @@ def local_morans_i(
     built for wide gene batches at large N, pair it with a bigger
     ``batch_size``. The observed I/z/lag always come from the exact
     direct kernel.
+
+    ``output_mode``: "full" keeps the documented six f32 [N, G] obsm
+    planes. "compact" routes through the streaming driver
+    (ops.streaming.streaming_local_null): gene tiles flow through the
+    banded int8 windowed kernels and outputs stay memory-bounded —
+    device-resident compact dtypes (``I`` bf16, ``p``/``p_adj`` f16,
+    ``quadrant`` int8; ``z``/``lag`` dropped — they are deterministic
+    one-lag-pass quantities) when the expression is device-resident,
+    f32 host arrays flushed per tile otherwise. This is how 1M cells x
+    thousands of genes of local nulls fit one chip (the six f32 planes
+    are 48 GB at G=2048). "auto" picks "compact" only when the full
+    outputs would exceed ~8 GB on a device-resident input and the
+    banded path is active.
     """
     start = time.time()
     if copy:
@@ -716,6 +798,28 @@ def local_morans_i(
             from ..ops.banded import banded_local_moran
 
             plan = _get_null_plan(adata, graph, spatial_key)
+
+    if output_mode not in ("auto", "full", "compact"):
+        raise ValueError(f"output_mode must be 'auto', 'full' or "
+                         f"'compact', got {output_mode!r}")
+    X_is_device = isinstance(
+        adata.layers[layer] if layer and layer in getattr(
+            adata, "layers", {}) else getattr(adata, "X", None), jax.Array)
+    if output_mode == "auto":
+        output_mode = ("compact"
+                       if plan is not None and X_is_device
+                       and n_cells * n_genes * 24 > 8e9 else "full")
+    if output_mode == "compact":
+        if plan is None or n_permutations <= 0:
+            raise ValueError(
+                "output_mode='compact' streams through the banded null "
+                "path — use null_method='banded'/'banded_int8' with "
+                "n_permutations > 0")
+        return _local_morans_compact(
+            adata, gene_names, layer, graph, plan, n_neighbors,
+            n_permutations, fdr_correction, alpha, seed,
+            max(batch_size, 256), key_added, null_precision, X_is_device,
+            start)
 
     # device mode: when X is a jax array (device-resident input), the six
     # [N, G] outputs stay device-resident jax arrays in obsm too — at 1M

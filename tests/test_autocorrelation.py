@@ -843,3 +843,46 @@ def test_global_autocorrelation_analytic(spatial_adata):
     assert dfm.loc["GENE0", "p_value"] <= 0.01
     assert dfg.loc["GENE0", "p_value"] <= 0.01
     assert dfg.loc["GENE0", "C"] < 1.0
+
+
+def test_local_morans_compact_output_mode(spatial_adata):
+    """output_mode="compact" routes through the streaming driver: p and
+    quadrant match the full banded_int8 run; z/lag are dropped and I is
+    compact; params record the mode."""
+    from spatialcore_tpu.spatial import local_morans_i
+
+    adata = spatial_adata.copy()
+    genes = list(adata.var_names[:8])
+    full = local_morans_i(adata.copy(), genes=genes, n_neighbors=6,
+                          n_permutations=19, seed=4,
+                          null_method="banded_int8",
+                          key_added="lm_full")
+    comp = local_morans_i(adata.copy(), genes=genes, n_neighbors=6,
+                          n_permutations=19, seed=4,
+                          null_method="banded_int8",
+                          output_mode="compact", key_added="lm_c")
+    np.testing.assert_array_equal(
+        np.asarray(comp.obsm["lm_c_p"], np.float32),
+        np.asarray(full.obsm["lm_full_p"], np.float32))
+    np.testing.assert_array_equal(np.asarray(comp.obsm["lm_c_quadrant"]),
+                                  np.asarray(full.obsm["lm_full_quadrant"]))
+    np.testing.assert_allclose(np.asarray(comp.obsm["lm_c_I"], np.float32),
+                               np.asarray(full.obsm["lm_full_I"]),
+                               rtol=1e-5, atol=1e-6)
+    assert "lm_c_z" not in comp.obsm and "lm_c_lag" not in comp.obsm
+    assert comp.uns["lm_c_params"]["output_mode"] == "compact"
+    # host input -> host arrays
+    assert isinstance(comp.obsm["lm_c_p"], np.ndarray)
+
+
+def test_local_morans_compact_validation(spatial_adata):
+    from spatialcore_tpu.spatial import local_morans_i
+
+    with pytest.raises(ValueError, match="compact"):
+        local_morans_i(spatial_adata.copy(),
+                       genes=list(spatial_adata.var_names[:4]),
+                       n_permutations=0, output_mode="compact")
+    with pytest.raises(ValueError, match="output_mode"):
+        local_morans_i(spatial_adata.copy(),
+                       genes=list(spatial_adata.var_names[:4]),
+                       output_mode="bogus")

@@ -1153,9 +1153,13 @@ def test_chunked_observed_pass_bitwise(setup, monkeypatch):
 
     The i8 local kernels evaluate the observed statistic through
     _chunked_cols (the full-width pass faults at 1M cells where the draw
-    scan fits — docs/performance.md); every term is exact integer (the
-    lee global L reduces each column independently), so a 4-wide chunked
-    evaluation must reproduce the unchunked p-values bitwise.
+    scan fits — docs/performance.md). Per-cell comparisons are exact
+    integers, so those p-values must match bitwise at any chunk width.
+    Lee's GLOBAL Lg is f32-of-integer (terms past 2^24 round), reduced
+    per column independently — equality here pins that XLA's per-column
+    reduction is width-independent ON THIS BACKEND; at an exact f32 tie
+    between a draw's Lg and obs_g the global count could still differ
+    across backends/tilings (documented at the obs_g site, ADVICE r3).
     """
     import spatialcore_tpu.ops.banded as bd
 
