@@ -15,18 +15,20 @@ Graph-build / null-plan times are reported on stderr (tracked metric #2).
 
 The null path is the banded kernel (ops/banded.py): Hilbert-relabeled edges
 evaluated as block-banded dense MXU matmuls, one random row gather per
-draw, Feistel permutations. Default precision is int8 (BENCH_PREC):
-standardized values quantize per gene to s_g = min(max|z|,8)/127 — the
-same 8-significant-bit precision class as bf16 at half the bytes, letting
-gene tiles double to G=4096 in the same HBM/VMEM footprint (the per-draw
-row gather is issue-bound, so a 4 KB int8 row serves 2x the genes of a
-4 KB bf16 row). Band products are EXACT int8xint8->int32 MXU dots; draws
-compare against the observed value of the same quantized operator, and
-tests pin 100% decision agreement with the f32 oracle
-(tests/test_banded.py::test_banded_int8_statistically_equivalent).
-Measured round 3 sustained: 37.2k genes*perms/s int8 (2x4096-tile
-schedule, 8192 genes x 1000 draws in 220 s) vs 25.3k bf16 — all real
-computed work, no dummy columns.
+draw, Feistel permutations. Default precision is int4 (BENCH_PREC):
+standardized values quantize per gene and nibble-pack two gene codes per
+byte (split-half layout), so the per-draw row gather — BYTE-bound at
+~90 GB/s past ~2 KB rows (docs/performance.md round 4) — serves 2x the
+genes of int8 in the same bytes. Band products are EXACT int8xint8->int32
+MXU dots on on-chip-unpacked codes; draws compare against the observed
+value of the same quantized operator, so the null is exactly calibrated
+for that operator. Measured calibration at 250k cells x 2,048 null genes
+x P=499 (tools/measure_calibration.py): uniform p-values, zero false FDR
+discoveries; decision flips vs f32 at alpha=.05 are 2.0% for int4 — the
+same order as f32's own seed-to-seed Monte-Carlo flip rate (1.27%) — and
+0.15% for int8. Measured round 4 sustained: 61.6k genes*perms/s int4
+(2x4096-tile schedule, 8192 genes x 1000 draws in 133 s) vs ~50k int8,
+25.3k bf16 — all real computed work, no dummy columns.
 The round-2 sustained-vs-burst gap (15.2k vs 17.8k) came from per-chunk
 host readbacks and a tail-width recompile inside the timed region; round
 3 removes both:
@@ -44,10 +46,11 @@ Data is generated ON-DEVICE (host->device uploads ride a slow tunnel) and
 the first device->host readback of the process (which can stall minutes on
 a degraded tunnel) is eaten before any timed region.
 
-Env overrides: BENCH_CELLS, BENCH_GENES (default 8192 int8 / 6144
+Env overrides: BENCH_CELLS, BENCH_GENES (default 8192 int4/int8 / 6144
 otherwise), BENCH_PERMS
-(default 1000), BENCH_K, BENCH_CHUNK (default 200), BENCH_PREC=int8|bf16
-|f32 (default int8), BENCH_TILE (default 4096 int8 / 2048 otherwise),
+(default 1000), BENCH_K, BENCH_CHUNK (default 200), BENCH_PREC=int4|int8
+|bf16|f32 (default int4), BENCH_TILE (default 4096 int4/int8 / 2048
+otherwise),
 BENCH_MODE=sustained|burst, BENCH_IMPL=auto|xla|pallas|pallas_halo,
 BENCH_MESH=CxG (e.g. 1x8: run gene-sharded over a cells x genes mesh —
 requires C*G visible devices).
@@ -68,7 +71,7 @@ def main():
     n_perms = int(os.environ.get("BENCH_PERMS", 1000))
     k = int(os.environ.get("BENCH_K", 6))
     mode = os.environ.get("BENCH_MODE", "sustained")
-    prec = os.environ.get("BENCH_PREC", "int8")
+    prec = os.environ.get("BENCH_PREC", "int4")
     tile = int(os.environ.get(
         "BENCH_TILE", 4096 if prec in ("int8", "int4") else 2048))
     chunk = int(os.environ.get("BENCH_CHUNK", 200))
@@ -160,8 +163,20 @@ def main():
     graph = build_graph(coords_j, n_neighbors=k)
     jax.block_until_ready(graph.neighbor_w)
     t_graph = time.time() - t0
-    print(f"[bench] graph build: {t_graph*1e3:.0f} ms "
-          f"({t_graph*1e3*1e6/n_cells:.0f} ms per 1M cells)", file=sys.stderr)
+    # 5-run spread: re-run the build (warm executables, fresh coordinate
+    # draws so the search really runs) to split tunnel/compile variance
+    # from the search itself (VERDICT r4 item 6)
+    graph_warm = []
+    for i in range(4):
+        ci = jax.random.uniform(jax.random.fold_in(kc, i + 1),
+                                (n_cells, 2), jnp.float32, 0.0, 6000.0)
+        t1 = time.time()
+        gw = build_graph(ci, n_neighbors=k)
+        jax.block_until_ready(gw.neighbor_w)
+        graph_warm.append(round((time.time() - t1) * 1e3, 1))
+        del gw, ci
+    print(f"[bench] graph build: {t_graph*1e3:.0f} ms cold-process, "
+          f"warm spread {graph_warm} ms", file=sys.stderr)
 
     S0 = float(n_cells)
 
@@ -280,7 +295,8 @@ def main():
                 return banded_permutation_test(
                     plan, Zb, S0, obs, seed=seed, n_permutations=pc,
                     den=den, band_impl=impl, precision=prec,
-                    sz=szv if prec == "int8" else None, draw_offset=off)[0]
+                    sz=szv if prec in ("int8", "int4") else None,
+                    draw_offset=off)[0]
 
         warmed = set()
 
@@ -437,9 +453,12 @@ def main():
     # at one width, halve the gene count and try again (the rate metric is
     # per-genes*perms, so a narrower honest measurement beats a failed
     # run; the JSON records the fallback).
+    # int4's split-half packing needs width % 2048 == 0 (prep_width), so
+    # its degraded-backend ladder bottoms out at 2048 genes
+    min_genes = 2048 if prec == "int4" else 1024
     ladder = [n_genes]
-    while ladder[-1] > 1024:
-        ladder.append(max(1024, ladder[-1] // 2))
+    while ladder[-1] > min_genes:
+        ladder.append(max(min_genes, ladder[-1] // 2))
     elapsed = None
     done_genes = None
     for li, genes_try in enumerate(ladder):
@@ -487,6 +506,9 @@ def main():
         "value": round(rate, 1),
         "unit": "genes*perms/sec",
         "vs_baseline": round(rate / target, 3),
+        "precision": prec,
+        "graph_build_ms_cold": round(t_graph * 1e3, 1),
+        "graph_build_ms_warm": graph_warm,
     }
     if done_genes < n_genes:
         out["degraded_fallback_from_genes"] = n_genes

@@ -430,11 +430,15 @@ def config8(scale):
     per draw. The [N, G] p-matrix stays device-resident (reading 2 GB
     back over the remote tunnel measures the tunnel, not the kernel);
     one scalar readback validates the result. BENCH8_GENES / BENCH8_PERMS
-    / BENCH8_VARIANT=int8|pallas|xla8|bf16|direct override (int8 = the
-    production fused-Pallas windowed-far path; pallas = dense-far fused
-    kernel; xla8 = int8 einsum+scatter). BENCH8_STAT=moran|geary|getis|
-    lee picks the statistic (non-moran only for int8/xla8: the fused
-    windowed family vs its einsum body)."""
+    / BENCH8_VARIANT=int8|pallas|xla8|bf16|direct|stream override (int8 =
+    the production fused-Pallas windowed-far path; pallas = dense-far
+    fused kernel; xla8 = int8 einsum+scatter; stream = the full
+    north-star-scale route: ops/streaming.py streaming_local_null in
+    512-gene tiles with a compact device-resident sink — the VERDICT r4
+    item-2 measurement, default G=2048). BENCH8_STAT=moran|geary|getis|
+    lee picks the statistic (non-moran only for int8/xla8/stream: the
+    fused windowed family vs its einsum body)."""
+    import functools
     import os
 
     import jax
@@ -445,9 +449,10 @@ def config8(scale):
     from spatialcore_tpu.ops.moran import standardize
 
     n = int(1_000_000 * scale) or 512
-    g = int(os.environ.get("BENCH8_GENES", 512))
-    perms = int(os.environ.get("BENCH8_PERMS", 100))
     variant = os.environ.get("BENCH8_VARIANT", "int8")
+    g = int(os.environ.get("BENCH8_GENES",
+                           2048 if variant == "stream" else 512))
+    perms = int(os.environ.get("BENCH8_PERMS", 100))
     stat = os.environ.get("BENCH8_STAT", "moran")
 
     kc, kx = jax.random.split(jax.random.key(0))
@@ -457,6 +462,64 @@ def config8(scale):
     graph = build_graph(coords, n_neighbors=6)
     jax.block_until_ready(graph.neighbor_w)
     t_graph = time.time() - t0
+
+    if variant == "stream":
+        # VERDICT r4 item 2: the local family at north-star scale —
+        # G genes streamed through the windowed int8 kernels in 512-wide
+        # tiles, outputs compact + device-resident (I bf16, p_adj bf16,
+        # quadrant int8 ≈ 5 bytes/cell/gene; the six f32 planes the
+        # reference's convention implies would be 48 GB at G=2048).
+        # Tile prep (generate + standardize) runs INSIDE the timed
+        # region: this is the sustained end-to-end rate.
+        from spatialcore_tpu.ops.streaming import (
+            device_local_sink, streaming_local_null)
+
+        t0 = time.time()
+        plan = build_null_plan(graph, coords, block=256)
+        jax.block_until_ready(plan.w_local)
+        t_plan = time.time() - t0
+
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def _tile(start, width):
+            X = jax.random.normal(jax.random.fold_in(kx, start),
+                                  (n, width), jnp.float32)
+            return standardize(X)[0]
+
+        def get_tile(start, width):
+            if stat == "lee":       # pair columns: (x, y) per pair
+                return _tile(start, width), _tile(start + 7919, width)
+            return _tile(start, width)
+
+        keys = {"moran": ("I", "p_adj", "quadrant"),
+                "geary": ("C", "p_adj"),
+                "getis": ("G", "p_adj"),
+                "lee": ("L", "p_adj")}[stat]
+
+        def run_stream():
+            sink, finalize = device_local_sink(g, keys=keys)
+            streaming_local_null(
+                graph, plan, get_tile, g, sink, stat=stat, seed=0,
+                n_permutations=perms, tile=512, precision="int8")
+            return finalize()
+
+        outs = _retry_compile(
+            lambda: jax.block_until_ready(
+                tuple(run_stream().values())), "config8 stream warm")
+        del outs
+        t0 = time.time()
+        outs = run_stream()
+        jax.block_until_ready(tuple(outs.values()))
+        dt = time.time() - t0
+        pa = outs["p_adj"]
+        pmin = float(pa.min())
+        assert 0.0 < pmin <= 1.0
+        name = ("lisa" if stat == "moran" else f"local_{stat}")
+        _emit(8, f"{name}_stream_genes_perms_per_s_1M_cells",
+              g * perms / dt, "genes*perms/s", n_cells=n, n_genes=g,
+              n_perms=perms, variant=variant, stat=stat,
+              warm_s=round(dt, 2), graph_s=round(t_graph, 1),
+              plan_s=round(t_plan, 1), p_min=round(pmin, 5))
+        return
 
     Z = _retry_compile(
         lambda: jax.block_until_ready(jax.jit(

@@ -263,6 +263,19 @@ def _round0_tiles(coords, bx, by, t: int):
             bxp.reshape(nt, t), byp.reshape(nt, t))
 
 
+@functools.partial(jax.jit, static_argnames=("k", "n"))
+def _round0_post(bd, bi, g2, *, k: int, n: int):
+    """Fused round-0 post-pass: slice off query-tile padding, take the
+    distance sqrt, and compute the exactness mask + its all() in ONE
+    program — op-by-op eager versions pay one remote-compile RPC each on
+    the first cold build. ``g2`` is the squared guaranteed-covered
+    radius (inf when the 3x3 window already spans the whole grid)."""
+    bd = bd.reshape(-1, k)[:n]
+    bi = bi.reshape(-1, k)[:n]
+    ok = bd[:, k - 1] <= g2
+    return bd, bi, jnp.sqrt(bd), ok, jnp.all(ok)
+
+
 def knn_grid(
     coords_np: np.ndarray,
     k: int,
@@ -288,6 +301,16 @@ def knn_grid(
     guaranteed-covered radius re-run with a wider window (exactness
     check), so results equal the O(N²) scan.
     """
+    import os
+    import time as _time
+
+    t_log = os.environ.get("SPATIALCORE_TIME_GRAPH") == "1"
+    marks = [("start", _time.time())]
+
+    def mark(name):
+        if t_log:
+            marks.append((name, _time.time()))
+
     if isinstance(coords_np, jax.Array) and not isinstance(
             coords_np, np.ndarray):
         coords_host = None
@@ -309,8 +332,10 @@ def knn_grid(
     cap = 1 << max(int(np.ceil(np.log2(max(1, n // bucket_target)))), 0)
     bx_j, by_j, bucket_j, maxc_j, nbx_j, nby_j, h_j = _grid_prep(
         coords_j, cap, bucket_target)
+    mark("prep_enqueued")
     maxc, nbx, nby, h = jax.device_get((maxc_j, nbx_j, nby_j, h_j))
     nbx, nby = int(nbx), int(nby)
+    mark("prep_readback")
     # pad the bucket capacity to a multiple of 16: the capacity is baked
     # into the jitted search's table shape, so an unpadded max-count
     # recompiles the kernel for every new coordinate draw (remote TPU
@@ -324,16 +349,27 @@ def knn_grid(
     bd, bi = _bucket_knn_round(qt, idt, bxt, byt, coords_j, table_j,
                                jnp.int32(nbx), jnp.int32(nby),
                                k, 1, include_self)
-    bd = bd.reshape(-1, k)[:n]
-    bi = bi.reshape(-1, k)[:n]
     guaranteed = min(h[0], h[1])
     whole_grid = 3 >= 2 * max(nbx, nby) + 1
-    # only the 1-byte/cell exactness mask crosses to host; the [N, k]
-    # results stay on device (a 56MB/1M-cell round-trip otherwise)
-    ok = (np.ones(n, bool) if whole_grid
-          else np.asarray(bd[:, k - 1] <= guaranteed ** 2))
-    if ok.all():
-        return bi, jnp.sqrt(bd)              # common case: all resolved
+    # ONE fused post-pass program (slice + sqrt + exactness mask + all):
+    # eager op-by-op versions of these cost one remote-compile RPC EACH
+    # on the first cold build (~0.5-1 s apiece over the tunnel)
+    g2 = jnp.float32(np.inf if whole_grid else guaranteed ** 2)
+    bd, bi, dist, ok_j, allok_j = _round0_post(bd, bi, g2, k=k, n=n)
+    mark("round0_enqueued")
+    # fast path reads ONE byte (all-resolved flag); the per-cell mask
+    # (1 MB at 1M cells — whole seconds on a degraded tunnel) crosses to
+    # host only when expansion rounds are actually needed, and the [N, k]
+    # results never do (a 56MB/1M-cell round-trip otherwise)
+    all_ok = True if whole_grid else bool(allok_j)
+    mark("round0_done")
+    if t_log:
+        logger.info("knn_grid stages: " + " ".join(
+            f"{nm}={t1 - t0:.2f}s" for (nm, t1), (_, t0)
+            in zip(marks[1:], marks)))
+    if all_ok:
+        return bi, dist                      # common case: all resolved
+    ok = np.asarray(ok_j)
 
     # expansion rounds: materialize host state once, then compact on host
     if coords_host is None:
@@ -503,13 +539,26 @@ def build_graph(
         else:
             idx, dist = knn_exact(jnp.asarray(coords), k_eff,
                                   include_self=include_self)
-        valid = jnp.ones_like(idx, dtype=bool)
+        # kNN rows are all-valid with uniform 1/k weights — ONE fused
+        # program (the generic eager mask/normalize chain below costs a
+        # half-dozen remote-compile RPCs on the first cold build)
+        idx, w, valid = _uniform_graph_arrays(idx, k=k_eff)
+        return SpatialGraph(neighbor_idx=idx, neighbor_w=w,
+                            valid=valid, distances=dist)
 
     counts = jnp.sum(valid, axis=1)
     w = jnp.where(valid, 1.0, 0.0) / jnp.maximum(counts, 1)[:, None]
     idx = jnp.where(valid, idx, 0).astype(jnp.int32)  # safe gather index
     return SpatialGraph(neighbor_idx=idx, neighbor_w=w.astype(jnp.float32),
                         valid=valid, distances=dist)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _uniform_graph_arrays(idx, *, k: int):
+    """int32 indices + uniform 1/k weights + all-true mask, one program."""
+    return (idx.astype(jnp.int32),
+            jnp.full(idx.shape, 1.0 / k, jnp.float32),
+            jnp.ones(idx.shape, bool))
 
 
 # ---------------------------------------------------------------------------

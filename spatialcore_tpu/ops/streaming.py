@@ -233,6 +233,7 @@ def streaming_moran_null(
 _COMPACT_DTYPES = {
     "I": jnp.bfloat16, "z": jnp.bfloat16, "lag": jnp.bfloat16,
     "C": jnp.bfloat16, "G": jnp.bfloat16, "z_score": jnp.bfloat16,
+    "L": jnp.bfloat16,
     "p": jnp.float16, "p_adj": jnp.float16, "p_sim": jnp.float16,
     "quadrant": jnp.int8,
 }
@@ -309,8 +310,10 @@ def streaming_local_null(
 ) -> None:
     """LOCAL-statistic permutation nulls over a streamed gene axis.
 
-    Runs LISA (``stat="moran"``), local Geary (``"geary"``) or Getis-Ord
-    Gi/Gi* (``"getis"``) in ``tile``-wide gene tiles through the banded
+    Runs LISA (``stat="moran"``), local Geary (``"geary"``), Getis-Ord
+    Gi/Gi* (``"getis"``) or local Lee's L (``"lee"``; ``get_tile`` then
+    returns a ``(X, Y)`` tuple of pair columns and ``n_genes`` counts
+    PAIRS) in ``tile``-wide gene tiles through the banded
     int8 windowed-far kernels (ops/banded.py), handing each tile's
     [N, tile] outputs to ``sink(start, avail, outs)`` — so 1M cells x
     thousands of genes of local nulls run on one chip without ever
@@ -330,26 +333,54 @@ def streaming_local_null(
 
     Output keys per stat: moran -> I, z, lag, p, p_adj, quadrant;
     geary -> C, p, p_adj; getis -> G, z_score, p (analytic), p_sim,
-    p_adj (BH over p_sim).
+    p_adj (BH over p_sim); lee -> L, lag, p, p_adj, quadrant
+    (quadrants classify Zx against lag(Zy), the ``lees_l_local``
+    convention).
     """
-    from .banded import banded_getis, banded_local_geary, banded_local_moran
+    from .banded import (banded_getis, banded_lees_l, banded_local_geary,
+                         banded_local_moran)
     from .fdr import apply_fdr
     from .getis import getis_ord
+    from .lee import lees_l_pairs
     from .moran import classify_quadrants, local_geary, local_moran
 
-    if stat not in ("moran", "geary", "getis"):
+    if stat not in ("moran", "geary", "getis", "lee"):
         raise ValueError(
-            f"stat must be 'moran', 'geary' or 'getis', got {stat!r}")
+            f"stat must be 'moran', 'geary', 'getis' or 'lee', "
+            f"got {stat!r}")
     n_cells = graph.neighbor_idx.shape[0]
 
-    for start in range(0, n_genes, tile):
-        avail = min(tile, n_genes - start)
-        X = get_tile(start, avail)
+    def _f32_tile(X):
         if not isinstance(X, jax.Array):
             X = jnp.asarray(np.asarray(X, np.float32))
         X = X.astype(jnp.float32)
         if avail < tile:
             X = jnp.pad(X, ((0, 0), (0, tile - avail)))
+        return X
+
+    for start in range(0, n_genes, tile):
+        avail = min(tile, n_genes - start)
+        if stat == "lee":
+            Xr, Yr = get_tile(start, avail)
+            Zx, zvx = standardize(_f32_tile(Xr))
+            Zy, zvy = standardize(_f32_tile(Yr))
+            zv = (zvx | zvy)[None, :]
+            res = lees_l_pairs(graph, Zx, Zy, seed, 0)   # exact observed
+            _, p_l = banded_lees_l(plan, Zx, Zy, seed, n_permutations,
+                                   precision=precision,
+                                   compute_cell_pvalues=True)
+            p = jnp.where(zv, 1.0, p_l)
+            p_adj = apply_fdr(p, fdr, axis=0)
+            quad = classify_quadrants(Zx, res.lag_zy, p_adj, alpha)
+            outs = {"L": jnp.where(zv, 0.0, res.L_local),
+                    "lag": jnp.where(zv, 0.0, res.lag_zy),
+                    "p": p, "p_adj": p_adj,
+                    "quadrant": jnp.where(zv, jnp.int8(0), quad)}
+            jax.block_until_ready(outs["p_adj"])
+            sink(start, avail, outs)
+            del outs, Zx, Zy
+            continue
+        X = _f32_tile(get_tile(start, avail))
         if stat == "getis":
             obs = getis_ord(graph, X, star=star, alternative=alternative,
                             n_permutations=0)

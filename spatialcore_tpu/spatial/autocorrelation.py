@@ -636,7 +636,9 @@ def _local_morans_compact(adata, gene_names, layer, graph, plan,
     int8 windowed kernels (ops.streaming.streaming_local_null).
 
     Device-resident inputs keep compact device outputs (I bf16, p/p_adj
-    f16, quadrant int8 — ~7 GB at 1M x 2048 vs 48 GB of f32 planes);
+    f16, quadrant int8 — 7 bytes/cell/gene, ~7 GB at 1M x 1024 vs 24 GB
+    of f32 planes; the accumulated OUTPUT footprint, not the kernel, is
+    what bounds the gene width on a 16 GB chip);
     host inputs flush full-precision host arrays per tile. Dethrones the
     reference's nested Python p-value loops
     (/root/reference/src/spatialcore/spatial/autocorrelation.py:877-896)

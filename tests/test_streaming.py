@@ -169,13 +169,16 @@ class TestStreamingLocal:
 
         graph, plan, X = world
         n, g = X.shape
+        Y = np.roll(X, 5, axis=1)           # pair columns for stat="lee"
         for stat, pkey in (("moran", "p"), ("geary", "p"),
-                           ("getis", "p_sim")):
+                           ("getis", "p_sim"), ("lee", "p")):
             outs = []
             for tile in (g, 7):
                 sink, store = host_local_sink(n, g)
+                get = ((lambda s, w: (X[:, s:s + w], Y[:, s:s + w]))
+                       if stat == "lee" else (lambda s, w: X[:, s:s + w]))
                 streaming_local_null(
-                    graph, plan, lambda s, w: X[:, s:s + w], g, sink,
+                    graph, plan, get, g, sink,
                     stat=stat, seed=3, n_permutations=19, tile=tile)
                 outs.append(store)
             np.testing.assert_array_equal(outs[0][pkey], outs[1][pkey])
@@ -227,6 +230,42 @@ class TestStreamingLocal:
         assert out["quadrant"].dtype == jnp.int8
         assert out["I"].shape == (n, g)
 
+    def test_lee_matches_unstreamed_banded_kernel(self, world):
+        """Streamed local Lee == banded_lees_l run unstreamed on the full
+        pair set (observed exact lees_l_pairs, per-cell p from the int8
+        quantized operator)."""
+        from spatialcore_tpu.ops.banded import banded_lees_l
+        from spatialcore_tpu.ops.fdr import apply_fdr
+        from spatialcore_tpu.ops.lee import lees_l_pairs
+        from spatialcore_tpu.ops.moran import standardize
+        from spatialcore_tpu.ops.streaming import (
+            host_local_sink, streaming_local_null)
+
+        graph, plan, X = world
+        n, g = X.shape
+        Y = np.roll(X, 5, axis=1)
+        sink, store = host_local_sink(n, g)
+        streaming_local_null(
+            graph, plan, lambda s, w: (X[:, s:s + w], Y[:, s:s + w]), g,
+            sink, stat="lee", seed=5, n_permutations=19, tile=7)
+        Zx, zvx = standardize(jnp.asarray(X))
+        Zy, zvy = standardize(jnp.asarray(Y))
+        zv = np.asarray(zvx | zvy)
+        res = lees_l_pairs(graph, Zx, Zy, 5, 0)
+        _, p_l = banded_lees_l(plan, Zx, Zy, 5, 19, precision="int8",
+                               compute_cell_pvalues=True)
+        p_ref = np.asarray(jnp.where(jnp.asarray(zv)[None, :], 1.0, p_l))
+        np.testing.assert_array_equal(store["p"], p_ref)
+        np.testing.assert_allclose(
+            store["L"], np.where(zv[None, :], 0.0,
+                                 np.asarray(res.L_local)), rtol=1e-5,
+            atol=1e-6)
+        p_adj_ref = np.asarray(apply_fdr(jnp.asarray(p_ref), "fdr_bh",
+                                         axis=0))
+        np.testing.assert_allclose(store["p_adj"], p_adj_ref, rtol=1e-6)
+        assert (store["p"][:, zv] == 1.0).all()
+        assert (store["quadrant"][:, zv] == 0).all()
+
     def test_invalid_stat(self, world):
         from spatialcore_tpu.ops.streaming import (
             host_local_sink, streaming_local_null)
@@ -235,4 +274,4 @@ class TestStreamingLocal:
         sink, _ = host_local_sink(*X.shape)
         with pytest.raises(ValueError, match="stat must be"):
             streaming_local_null(graph, plan, lambda s, w: X[:, s:s + w],
-                                 X.shape[1], sink, stat="lee")
+                                 X.shape[1], sink, stat="ripley")
