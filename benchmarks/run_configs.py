@@ -494,12 +494,21 @@ def config8(scale):
                 "geary": ("C", "p_adj"),
                 "getis": ("G", "p_adj"),
                 "lee": ("L", "p_adj")}[stat]
+        # BENCH8_TILE widens the stream's gene tile (the windowed int8
+        # kernels are gather-bound: rows below ~2 KB are issue-bound, so
+        # a 1024-wide int8 tile serves 2x the genes per gather)
+        tile_w = int(os.environ.get("BENCH8_TILE", 512))
 
         def run_stream():
             sink, finalize = device_local_sink(g, keys=keys)
+            # keys= selects the lean fused post-pass: only these planes
+            # are computed, emitted compact straight from the jit —
+            # without it each tile transiently held ~20 GB of f32
+            # planes and G=2048 RESOURCE_EXHAUSTED'd next to the sink
             streaming_local_null(
                 graph, plan, get_tile, g, sink, stat=stat, seed=0,
-                n_permutations=perms, tile=512, precision="int8")
+                n_permutations=perms, tile=tile_w, precision="int8",
+                keys=keys)
             return finalize()
 
         outs = _retry_compile(

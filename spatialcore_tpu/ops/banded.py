@@ -3418,6 +3418,54 @@ def banded_lees_l(
         perm_method=perm_method)
 
 
+def banded_local_moran_pvalues(
+    plan: NullPlan,
+    Z: jax.Array,
+    seed: int,
+    n_permutations: int,
+    perm_method: str = "feistel",
+    band_impl: str = "auto",
+) -> jax.Array:
+    """LISA null p-values ONLY, int8 quantized-operator system.
+
+    The p-only entry the streaming keys-mode driver uses
+    (ops.streaming.streaming_local_null): unlike
+    :func:`banded_local_moran` it never materializes the observed
+    I/z/lag planes — at 1M cells x 512-gene tiles those are 3 x 2 GB
+    of f32 that the caller may not even keep, and their transient
+    residency is what OOMed the G=2048 streamed run next to the
+    device-resident output sink. Observed statistics should come from
+    a fused post-pass that emits compact dtypes directly.
+    """
+    _check_perm_method(perm_method)
+    interpret = jax.default_backend() != "tpu"
+    if band_impl == "auto":
+        # fused Pallas draw step on real TPUs (the int32 lag stays in
+        # VMEM, so one gene tile must fit: the windowed kernel's
+        # working set is estimated against plan.far_bmax, the dense
+        # fallback keeps the G <= 4096 ceiling of the global int8
+        # kernel); XLA einsums elsewhere, at wider G, AND on
+        # multi-device inputs — a pallas_call does not partition
+        # (the gene-sharded wrapper pins "xla" explicitly; this
+        # guard covers direct ops-level calls under a mesh)
+        shd = getattr(Z, "sharding", None)
+        multi_dev = shd is not None and len(shd.device_set) > 1
+        win_ready = (plan.far_starts is not None
+                     and 0 < plan.far_bmax <= 1024)
+        fits = (_win_fits_vmem("moran", Z.shape[1], plan.block,
+                               plan.far_bmax)
+                if win_ready else Z.shape[1] <= 4096)
+        band_impl = ("pallas" if not interpret and not multi_dev
+                     and fits else "xla")
+    return _banded_local_moran_p_i8(
+        plan.order, plan.rank, plan.local_idx, plan.w_local,
+        plan.far_src, plan.far_dst, plan.far_w, Z, jnp.uint32(seed),
+        block=plan.block, n=plan.n, n_permutations=n_permutations,
+        perm_method=perm_method, band_impl=band_impl,
+        far_starts=plan.far_starts, far_bmax=plan.far_bmax,
+        interpret=interpret)
+
+
 def banded_local_moran(
     plan: NullPlan,
     graph: SpatialGraph,
@@ -3450,32 +3498,9 @@ def banded_local_moran(
     if n_permutations == 0:
         return obs
     if precision == "int8":
-        interpret = jax.default_backend() != "tpu"
-        if band_impl == "auto":
-            # fused Pallas draw step on real TPUs (the int32 lag stays in
-            # VMEM, so one gene tile must fit: the windowed kernel's
-            # working set is estimated against plan.far_bmax, the dense
-            # fallback keeps the G <= 4096 ceiling of the global int8
-            # kernel); XLA einsums elsewhere, at wider G, AND on
-            # multi-device inputs — a pallas_call does not partition
-            # (the gene-sharded wrapper pins "xla" explicitly; this
-            # guard covers direct ops-level calls under a mesh)
-            shd = getattr(Z, "sharding", None)
-            multi_dev = shd is not None and len(shd.device_set) > 1
-            win_ready = (plan.far_starts is not None
-                         and 0 < plan.far_bmax <= 1024)
-            fits = (_win_fits_vmem("moran", Z.shape[1], plan.block,
-                                   plan.far_bmax)
-                    if win_ready else Z.shape[1] <= 4096)
-            band_impl = ("pallas" if not interpret and not multi_dev
-                         and fits else "xla")
-        p = _banded_local_moran_p_i8(
-            plan.order, plan.rank, plan.local_idx, plan.w_local,
-            plan.far_src, plan.far_dst, plan.far_w, Z, jnp.uint32(seed),
-            block=plan.block, n=plan.n, n_permutations=n_permutations,
-            perm_method=perm_method, band_impl=band_impl,
-            far_starts=plan.far_starts, far_bmax=plan.far_bmax,
-            interpret=interpret)
+        p = banded_local_moran_pvalues(
+            plan, Z, seed, n_permutations, perm_method=perm_method,
+            band_impl=band_impl)
         return LocalMoranResult(obs.local_I, obs.z, obs.lag, p)
     n_padded = plan.local_idx.shape[0]
     abs_obs_new = jnp.abs(obs.local_I)[plan.order]

@@ -307,6 +307,8 @@ def streaming_local_null(
     star: bool = True,
     alternative: str = "two-sided",
     precision: str = "int8",
+    keys: Optional[Tuple[str, ...]] = None,
+    post_chunk: int = 128,
 ) -> None:
     """LOCAL-statistic permutation nulls over a streamed gene axis.
 
@@ -336,9 +338,24 @@ def streaming_local_null(
     p_adj (BH over p_sim); lee -> L, lag, p, p_adj, quadrant
     (quadrants classify Zx against lag(Zy), the ``lees_l_local``
     convention).
+
+    ``keys`` selects the LEAN path: only the named planes are computed,
+    in ONE fused post-pass jit per tile that emits them already in the
+    compact dtypes of :data:`_COMPACT_DTYPES` — unused planes are
+    dead-code-eliminated by XLA instead of materialized-then-dropped by
+    the sink. Without it each moran tile transiently holds ~10 f32
+    [N, tile] planes (observed I/z/lag/p, the kernel p, and the
+    where-masked copy of every output key): ~20 GB at 1M x 512, which
+    is what RESOURCE_EXHAUSTED'd the G=2048 streamed run on a 16 GB
+    v5e. The post-pass additionally chunks its column math
+    (``post_chunk`` columns per `lax.map` step — every output plane is
+    per-gene independent, including the axis-0 FDR) so its own temps
+    stay ~[N, post_chunk]. p-values are bitwise identical to the
+    default path (same kernel call); compact planes equal the default
+    path's sink-side casts.
     """
     from .banded import (banded_getis, banded_lees_l, banded_local_geary,
-                         banded_local_moran)
+                         banded_local_moran, banded_local_moran_pvalues)
     from .fdr import apply_fdr
     from .getis import getis_ord
     from .lee import lees_l_pairs
@@ -349,6 +366,21 @@ def streaming_local_null(
             f"stat must be 'moran', 'geary', 'getis' or 'lee', "
             f"got {stat!r}")
     n_cells = graph.neighbor_idx.shape[0]
+    _ALL_KEYS = {"moran": ("I", "z", "lag", "p", "p_adj", "quadrant"),
+                 "geary": ("C", "p", "p_adj"),
+                 "getis": ("G", "z_score", "p", "p_sim", "p_adj"),
+                 "lee": ("L", "lag", "p", "p_adj", "quadrant")}[stat]
+    if keys is not None:
+        bad = [k for k in keys if k not in _ALL_KEYS]
+        if bad:
+            raise ValueError(
+                f"unknown keys {bad} for stat={stat!r}; available: "
+                f"{_ALL_KEYS}")
+        _stream_local_lean(
+            graph, plan, get_tile, n_genes, sink, stat, seed,
+            n_permutations, tile, fdr, alpha, star, alternative,
+            precision, tuple(keys), post_chunk)
+        return
 
     def _f32_tile(X):
         if not isinstance(X, jax.Array):
@@ -419,3 +451,156 @@ def streaming_local_null(
         jax.block_until_ready(outs["p_adj"] if "p_adj" in outs else outs)
         sink(start, avail, outs)
         del outs, X
+
+
+def _stream_local_lean(graph, plan, get_tile, n_genes, sink, stat, seed,
+                       n_permutations, tile, fdr, alpha, star,
+                       alternative, precision, keys, post_chunk):
+    """The ``keys=``-selected lean tile loop of
+    :func:`streaming_local_null` — see its docstring for the contract.
+
+    Memory ledger per moran tile at 1M x 512 (the default path's ~20 GB
+    transient is the sum of lines it no longer pays):
+
+    * Z f32 [N, tile]                         2.0 GB
+    * kernel p f32 [N, tile] (p-ONLY entry,   2.0 GB
+      :func:`ops.banded.banded_local_moran_pvalues` — the public
+      wrapper's observed I/z/lag planes never exist)
+    * fused post-pass temps: ~[N, post_chunk] <0.5 GB
+    * compact outputs (I bf16 + p/p_adj f16 + 3.5 GB
+      quadrant int8 at the public 7 B/cell/gene)
+
+    so a device-resident G=2048 sink (7 B -> 14 GB total output...) still
+    needs key pruning; at the bench's 5 B keys the loop peaks ~8 GB next
+    to a 7.7 GB sink on the last tile.
+    """
+    from .banded import (banded_getis, banded_lees_l, banded_local_geary,
+                         banded_local_moran, banded_local_moran_pvalues)
+    from .fdr import apply_fdr
+    from .getis import getis_ord
+    from .lee import lees_l_pairs
+    from .moran import classify_quadrants, local_geary, local_moran
+
+    c = min(post_chunk, tile)
+    if tile % c:
+        c = tile          # keep the chunk reshape exact for odd tiles
+    starts_c = jnp.arange(0, tile, c)
+
+    def _compact(key, arr):
+        return arr.astype(_COMPACT_DTYPES.get(key, jnp.bfloat16))
+
+    def _cols(a, s):
+        return jax.lax.dynamic_slice_in_dim(a, s, c, axis=1)
+
+    def _assemble(parts):
+        # [nc, N, c] per key -> [N, tile]; chunk-major column order is
+        # the original order (chunk i holds columns [i*c, (i+1)*c))
+        return {k: jnp.swapaxes(v, 0, 1).reshape(v.shape[1], -1)
+                for k, v in parts.items()}
+
+    if stat == "moran":
+        def _post(Z, p_raw, zero_var):
+            def one(s):
+                Zc, pc = _cols(Z, s), _cols(p_raw, s)
+                zv = jax.lax.dynamic_slice(zero_var, (s,), (c,))[None, :]
+                obs = local_moran(graph, Zc, seed, 0)
+                p = jnp.where(zv, 1.0, pc)
+                p_adj = apply_fdr(p, fdr, axis=0)
+                quad = classify_quadrants(obs.z, obs.lag, p_adj, alpha)
+                full = {"I": jnp.where(zv, 0.0, obs.local_I),
+                        "z": jnp.where(zv, 0.0, obs.z),
+                        "lag": jnp.where(zv, 0.0, obs.lag),
+                        "p": p, "p_adj": p_adj,
+                        "quadrant": jnp.where(zv, jnp.int8(0), quad)}
+                return {k: _compact(k, full[k]) for k in keys}
+            return _assemble(jax.lax.map(one, starts_c))
+    elif stat == "geary":
+        def _post(Z, p_raw, zero_var):
+            def one(s):
+                Zc, pc = _cols(Z, s), _cols(p_raw, s)
+                zv = jax.lax.dynamic_slice(zero_var, (s,), (c,))[None, :]
+                obs = local_geary(graph, Zc, seed, 0)
+                p = jnp.where(zv, 1.0, pc)
+                p_adj = apply_fdr(p, fdr, axis=0)
+                full = {"C": jnp.where(zv, 0.0, obs.local_C),
+                        "p": p, "p_adj": p_adj}
+                return {k: _compact(k, full[k]) for k in keys}
+            return _assemble(jax.lax.map(one, starts_c))
+    elif stat == "getis":
+        def _post(X, p_sim):
+            def one(s):
+                Xc, pc = _cols(X, s), _cols(p_sim, s)
+                obs = getis_ord(graph, Xc, star=star,
+                                alternative=alternative,
+                                n_permutations=0)
+                p_adj = apply_fdr(pc, fdr, axis=0)
+                full = {"G": obs.G, "z_score": obs.z_score,
+                        "p": obs.p_value, "p_sim": pc, "p_adj": p_adj}
+                return {k: _compact(k, full[k]) for k in keys}
+            return _assemble(jax.lax.map(one, starts_c))
+    else:
+        def _post(Zx, Zy, p_raw, zero_var):
+            def one(s):
+                Zxc, Zyc = _cols(Zx, s), _cols(Zy, s)
+                pc = _cols(p_raw, s)
+                zv = jax.lax.dynamic_slice(zero_var, (s,), (c,))[None, :]
+                res = lees_l_pairs(graph, Zxc, Zyc, seed, 0)
+                p = jnp.where(zv, 1.0, pc)
+                p_adj = apply_fdr(p, fdr, axis=0)
+                quad = classify_quadrants(Zxc, res.lag_zy, p_adj, alpha)
+                full = {"L": jnp.where(zv, 0.0, res.L_local),
+                        "lag": jnp.where(zv, 0.0, res.lag_zy),
+                        "p": p, "p_adj": p_adj,
+                        "quadrant": jnp.where(zv, jnp.int8(0), quad)}
+                return {k: _compact(k, full[k]) for k in keys}
+            return _assemble(jax.lax.map(one, starts_c))
+    post = jax.jit(_post)
+    std = jax.jit(standardize)
+
+    def _f32_tile(X, avail):
+        if not isinstance(X, jax.Array):
+            X = jnp.asarray(np.asarray(X, np.float32))
+        X = X.astype(jnp.float32)
+        if avail < tile:
+            X = jnp.pad(X, ((0, 0), (0, tile - avail)))
+        return X
+
+    for start in range(0, n_genes, tile):
+        avail = min(tile, n_genes - start)
+        if stat == "lee":
+            Xr, Yr = get_tile(start, avail)
+            Zx, zvx = std(_f32_tile(Xr, avail))
+            Zy, zvy = std(_f32_tile(Yr, avail))
+            del Xr, Yr
+            _, p_raw = banded_lees_l(plan, Zx, Zy, seed, n_permutations,
+                                     precision=precision,
+                                     compute_cell_pvalues=True)
+            outs = post(Zx, Zy, p_raw, zvx | zvy)
+            del Zx, Zy, p_raw
+        elif stat == "getis":
+            X = _f32_tile(get_tile(start, avail), avail)
+            p_sim = banded_getis(plan, X, seed, n_permutations,
+                                 star=star, alternative=alternative,
+                                 precision=precision)
+            outs = post(X, p_sim)
+            del X, p_sim
+        else:
+            Z, zero_var = std(_f32_tile(get_tile(start, avail), avail))
+            if stat == "moran":
+                if precision == "int8":
+                    p_raw = banded_local_moran_pvalues(
+                        plan, Z, seed, n_permutations)
+                else:
+                    p_raw = banded_local_moran(
+                        plan, graph, Z, seed, n_permutations,
+                        precision=precision).p_value
+            else:
+                _, p_raw = banded_local_geary(
+                    plan, Z, seed, n_permutations, precision=precision)
+            outs = post(Z, p_raw, zero_var)
+            del Z, p_raw
+        # one host sync per tile bounds in-flight memory (see the
+        # default path); compact planes are all that remains in flight
+        jax.block_until_ready(outs[keys[0]])
+        sink(start, avail, outs)
+        del outs

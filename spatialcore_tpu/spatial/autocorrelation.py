@@ -654,14 +654,20 @@ def _local_morans_compact(adata, gene_names, layer, graph, plan,
             adata, gene_names[s:s + w], layer))
 
     if X_is_device:
+        # keys= selects the lean fused post-pass (compact planes straight
+        # from the jit; unkept planes dead-code-eliminated) — the device
+        # sink's own filter would otherwise only drop them AFTER a ~20 GB
+        # f32 transient per 512-gene tile
         sink, finalize = device_local_sink(
             n_genes, keys=("I", "p", "p_adj", "quadrant"))
+        stream_keys = ("I", "p", "p_adj", "quadrant")
     else:
         sink, store = host_local_sink(n_cells, n_genes)
+        stream_keys = None
     streaming_local_null(
         graph, plan, get_tile, n_genes, sink, stat="moran", seed=seed,
         n_permutations=n_permutations, tile=tile, fdr=fdr_correction,
-        alpha=alpha, precision=null_precision)
+        alpha=alpha, precision=null_precision, keys=stream_keys)
     out = finalize() if X_is_device else store
     for k in ("I", "p", "p_adj", "quadrant"):
         adata.obsm[f"{key_added}_{k}"] = out[k]

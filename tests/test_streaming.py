@@ -266,6 +266,51 @@ class TestStreamingLocal:
         assert (store["p"][:, zv] == 1.0).all()
         assert (store["quadrant"][:, zv] == 0).all()
 
+    def test_lean_keys_mode_matches_default(self, world):
+        """keys= (the lean fused post-pass) must reproduce the default
+        path's compact outputs for every stat — same kernel p (bitwise),
+        same observed/FDR/quadrant planes after the sink-side cast. Uses
+        post_chunk < tile so the column-chunked lax.map is exercised."""
+        from spatialcore_tpu.ops.streaming import (
+            device_local_sink, streaming_local_null)
+
+        graph, plan, X = world
+        n, g = X.shape
+        Y = np.roll(X, 5, axis=1)
+        all_keys = {"moran": ("I", "z", "lag", "p", "p_adj", "quadrant"),
+                    "geary": ("C", "p", "p_adj"),
+                    "getis": ("G", "z_score", "p", "p_sim", "p_adj"),
+                    "lee": ("L", "lag", "p", "p_adj", "quadrant")}
+        for stat, keys in all_keys.items():
+            get = ((lambda s, w: (X[:, s:s + w], Y[:, s:s + w]))
+                   if stat == "lee" else (lambda s, w: X[:, s:s + w]))
+            outs = []
+            for lean in (False, True):
+                sink, finalize = device_local_sink(g, keys=keys)
+                streaming_local_null(
+                    graph, plan, get, g, sink, stat=stat, seed=3,
+                    n_permutations=19, tile=8,
+                    keys=keys if lean else None, post_chunk=4)
+                outs.append({k: np.asarray(v)
+                             for k, v in finalize().items()})
+            ref, lean_out = outs
+            assert set(lean_out) == set(keys)
+            for k in keys:
+                np.testing.assert_array_equal(
+                    lean_out[k], ref[k],
+                    err_msg=f"stat={stat} key={k}")
+
+    def test_lean_keys_mode_rejects_unknown_key(self, world):
+        from spatialcore_tpu.ops.streaming import (
+            host_local_sink, streaming_local_null)
+
+        graph, plan, X = world
+        sink, _ = host_local_sink(*X.shape)
+        with pytest.raises(ValueError, match="unknown keys"):
+            streaming_local_null(graph, plan, lambda s, w: X[:, s:s + w],
+                                 X.shape[1], sink, stat="moran",
+                                 keys=("I", "nope"))
+
     def test_invalid_stat(self, world):
         from spatialcore_tpu.ops.streaming import (
             host_local_sink, streaming_local_null)
