@@ -30,14 +30,72 @@ def benjamini_hochberg(p_values: jax.Array, axis: int = 0) -> jax.Array:
     return jnp.moveaxis(adj, -1, axis)
 
 
+def benjamini_hochberg_discrete(p_values: jax.Array, n_levels: int,
+                                axis: int = 0) -> jax.Array:
+    """BH for p-values on the grid ``{(c+1)/n_levels : c = 0..n_levels-1}``.
+
+    Permutation p-values are exactly this grid ((count+1)/(P+1)), which
+    makes the sort in :func:`benjamini_hochberg` pure waste: ranks follow
+    from per-level COUNTS. One counting pass + an [n_levels] suffix-min
+    table replaces two million-row sorts and their unsort gathers — at
+    1M cells x 512 genes the sort path moves ~100x the bytes.
+
+    Bitwise-equal to :func:`benjamini_hochberg` on grid inputs:
+
+    * the candidate at level ``l`` uses the same f32 expression
+      ``(p*m)/rank`` with rank = the level's cumulative count — exactly
+      the value the reversed cummin keeps for a tie block (its largest
+      rank; mid-block ranks give strictly larger candidates);
+    * ``p`` is the STORED f32 value at that level (segment-min over the
+      level's members), not ``(l+1)/n_levels`` recomputed — callers
+      produce the grid through differing f32 expressions (e.g. the
+      two-sided ``2*min(lo,hi)`` doubling) that land 1 ulp off the
+      direct division, and within one call equal counts always yield
+      identical bits, so the representative is exact;
+    * an EMPTY level's representative is ``+inf``, inert in the suffix
+      min — exactly the sort path, where absent values contribute no
+      candidate;
+    * ranks are exact in f32 for m < 2^24, same as the sort path's
+      ``arange``.
+    """
+    p = jnp.asarray(p_values, jnp.float32)
+    pm = jnp.moveaxis(p, axis, 0)
+    m = pm.shape[0]
+    lev = jnp.clip(jnp.round(pm * n_levels).astype(jnp.int32) - 1,
+                   0, n_levels - 1)
+    levels = jnp.arange(n_levels, dtype=jnp.int32)
+
+    def per_level(lv):
+        hit = lev == lv
+        return (jnp.sum(hit, axis=0, dtype=jnp.int32),
+                jnp.min(jnp.where(hit, pm, jnp.inf), axis=0))
+
+    cnt, rep = jax.lax.map(per_level, levels)
+    ranks = jnp.cumsum(cnt, axis=0).astype(jnp.float32)
+    cand = rep * m / ranks            # empty level -> +inf, inert
+    adj = jnp.minimum(
+        jnp.flip(jax.lax.cummin(jnp.flip(cand, 0), axis=0), 0), 1.0)
+    return jnp.moveaxis(jnp.take_along_axis(adj, lev, axis=0), 0, axis)
+
+
 def bonferroni(p_values: jax.Array, axis: int = 0) -> jax.Array:
     m = p_values.shape[axis]
     return jnp.minimum(jnp.asarray(p_values, jnp.float32) * m, 1.0)
 
 
-def apply_fdr(p_values: jax.Array, method: str = "fdr_bh", axis: int = 0) -> jax.Array:
-    """Dispatch: 'fdr_bh' | 'bonferroni' | 'none'."""
+def apply_fdr(p_values: jax.Array, method: str = "fdr_bh", axis: int = 0,
+              n_levels: int = 0) -> jax.Array:
+    """Dispatch: 'fdr_bh' | 'bonferroni' | 'none'.
+
+    ``n_levels > 0`` asserts the p-values lie on the discrete grid
+    ``(c+1)/n_levels`` (true for every permutation p in this package)
+    and routes BH through the sort-free
+    :func:`benjamini_hochberg_discrete`.
+    """
     if method in ("fdr_bh", "bh"):
+        if n_levels:
+            return benjamini_hochberg_discrete(p_values, n_levels,
+                                               axis=axis)
         return benjamini_hochberg(p_values, axis=axis)
     if method == "bonferroni":
         return bonferroni(p_values, axis=axis)

@@ -505,7 +505,8 @@ def _stream_local_lean(graph, plan, get_tile, n_genes, sink, stat, seed,
                 zv = jax.lax.dynamic_slice(zero_var, (s,), (c,))[None, :]
                 obs = local_moran(graph, Zc, seed, 0)
                 p = jnp.where(zv, 1.0, pc)
-                p_adj = apply_fdr(p, fdr, axis=0)
+                p_adj = apply_fdr(p, fdr, axis=0,
+                                  n_levels=n_permutations + 1)
                 quad = classify_quadrants(obs.z, obs.lag, p_adj, alpha)
                 full = {"I": jnp.where(zv, 0.0, obs.local_I),
                         "z": jnp.where(zv, 0.0, obs.z),
@@ -521,7 +522,8 @@ def _stream_local_lean(graph, plan, get_tile, n_genes, sink, stat, seed,
                 zv = jax.lax.dynamic_slice(zero_var, (s,), (c,))[None, :]
                 obs = local_geary(graph, Zc, seed, 0)
                 p = jnp.where(zv, 1.0, pc)
-                p_adj = apply_fdr(p, fdr, axis=0)
+                p_adj = apply_fdr(p, fdr, axis=0,
+                                  n_levels=n_permutations + 1)
                 full = {"C": jnp.where(zv, 0.0, obs.local_C),
                         "p": p, "p_adj": p_adj}
                 return {k: _compact(k, full[k]) for k in keys}
@@ -533,7 +535,8 @@ def _stream_local_lean(graph, plan, get_tile, n_genes, sink, stat, seed,
                 obs = getis_ord(graph, Xc, star=star,
                                 alternative=alternative,
                                 n_permutations=0)
-                p_adj = apply_fdr(pc, fdr, axis=0)
+                p_adj = apply_fdr(pc, fdr, axis=0,
+                                   n_levels=n_permutations + 1)
                 full = {"G": obs.G, "z_score": obs.z_score,
                         "p": obs.p_value, "p_sim": pc, "p_adj": p_adj}
                 return {k: _compact(k, full[k]) for k in keys}
@@ -546,7 +549,8 @@ def _stream_local_lean(graph, plan, get_tile, n_genes, sink, stat, seed,
                 zv = jax.lax.dynamic_slice(zero_var, (s,), (c,))[None, :]
                 res = lees_l_pairs(graph, Zxc, Zyc, seed, 0)
                 p = jnp.where(zv, 1.0, pc)
-                p_adj = apply_fdr(p, fdr, axis=0)
+                p_adj = apply_fdr(p, fdr, axis=0,
+                                  n_levels=n_permutations + 1)
                 quad = classify_quadrants(Zxc, res.lag_zy, p_adj, alpha)
                 full = {"L": jnp.where(zv, 0.0, res.L_local),
                         "lag": jnp.where(zv, 0.0, res.lag_zy),

@@ -893,7 +893,8 @@ def local_morans_i(
 
     out = (lambda a: a) if device_mode else np.asarray
     if n_permutations > 0:
-        p_adj = out(apply_fdr(jnp.asarray(p_all), fdr_correction, axis=0))
+        p_adj = out(apply_fdr(jnp.asarray(p_all), fdr_correction, axis=0,
+                              n_levels=n_permutations + 1))
         quadrants = out(classify_quadrants(
             jnp.asarray(z_all), jnp.asarray(lag_all), jnp.asarray(p_adj), alpha))
     else:
@@ -1407,7 +1408,8 @@ def local_gearys_c(
         C_all = np.zeros((n_cells, n_genes), np.float32)
         p_all = np.ones_like(C_all)
     out = (lambda a: a) if device_mode else np.asarray
-    p_adj = out(apply_fdr(jnp.asarray(p_all), fdr_correction, axis=0)) \
+    p_adj = out(apply_fdr(jnp.asarray(p_all), fdr_correction, axis=0,
+                          n_levels=n_permutations + 1)) \
         if n_permutations > 0 else p_all
     adata.obsm[f"{key_added}_C"] = C_all
     adata.obsm[f"{key_added}_p"] = p_all
@@ -1639,7 +1641,11 @@ def getis_ord_gi(
         psim_all = np.ones_like(G_all)
     out = (lambda a: a) if device_mode else np.asarray
     p_used = psim_all if n_permutations > 0 else p_all
-    p_adj = out(apply_fdr(jnp.asarray(p_used), fdr_correction, axis=0))
+    # p_sim is grid-valued ((c+1)/(P+1)) -> sort-free discrete BH; the
+    # P=0 analytic p is continuous and keeps the sort path
+    p_adj = out(apply_fdr(jnp.asarray(p_used), fdr_correction, axis=0,
+                          n_levels=(n_permutations + 1
+                                    if n_permutations > 0 else 0)))
     if device_mode:
         hotspot = jnp.where(
             jnp.asarray(p_adj) < alpha,

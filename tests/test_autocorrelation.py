@@ -330,6 +330,46 @@ def test_fdr_bh_matches_scipy():
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_fdr_bh_discrete_bitwise_equals_sort_path():
+    """benjamini_hochberg_discrete must be BITWISE equal to the sort-based
+    BH on grid-valued inputs ((c+1)/L — every permutation p in this
+    package), including heavy ties, empty levels, all-ones columns, and
+    multi-gene matrices."""
+    from spatialcore_tpu.ops.fdr import (apply_fdr, benjamini_hochberg,
+                                         benjamini_hochberg_discrete)
+
+    rng = np.random.default_rng(3)
+    for L, shape in ((20, (400,)), (100, (1000, 7)), (8, (64, 3))):
+        c = rng.integers(0, L, size=shape)
+        c[..., :1] = L - 1 if c.ndim == 1 else c[..., :1]  # tie mass
+        p = ((c + 1) / L).astype(np.float32)
+        if p.ndim == 2:
+            p[:, 1] = 1.0                       # an all-ones column
+            p[: L // 2, 2] = 1.0 / L            # heavy low-tie column
+        ref = np.asarray(benjamini_hochberg(jnp.asarray(p), axis=0))
+        fast = np.asarray(
+            benjamini_hochberg_discrete(jnp.asarray(p), L, axis=0))
+        np.testing.assert_array_equal(fast, ref)
+        via = np.asarray(apply_fdr(jnp.asarray(p), "fdr_bh", axis=0,
+                                   n_levels=L))
+        np.testing.assert_array_equal(via, ref)
+    # axis=1 route
+    p = ((rng.integers(0, 20, size=(5, 300)) + 1) / 20).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(benjamini_hochberg_discrete(jnp.asarray(p), 20, axis=1)),
+        np.asarray(benjamini_hochberg(jnp.asarray(p), axis=1)))
+    # ulp-off grid: p produced via reciprocal-multiply (as the two-sided
+    # doubling path does) lands 1 ulp off (c+1)/L for ~30% of counts; the
+    # discrete path must use the STORED bits, not a recomputed grid
+    L = 200
+    c = rng.integers(0, L, size=(500, 4)).astype(np.float32)
+    p = np.minimum(((c + 1) * np.float32(1.0 / L)).astype(np.float32), 1.0)
+    assert np.any(p != ((np.round(p * L)).astype(np.float32) / L))
+    np.testing.assert_array_equal(
+        np.asarray(benjamini_hochberg_discrete(jnp.asarray(p), L, axis=0)),
+        np.asarray(benjamini_hochberg(jnp.asarray(p), axis=0)))
+
+
 def test_join_counts_detect_clustering(spatial_adata):
     """Clustered binary labels → significant BB, depleted BW."""
     from spatialcore_tpu.spatial import join_count_statistics
