@@ -402,7 +402,8 @@ def streaming_local_null(
                                    precision=precision,
                                    compute_cell_pvalues=True)
             p = jnp.where(zv, 1.0, p_l)
-            p_adj = apply_fdr(p, fdr, axis=0)
+            p_adj = apply_fdr(p, fdr, axis=0,
+                              n_levels=n_permutations + 1)
             quad = classify_quadrants(Zx, res.lag_zy, p_adj, alpha)
             outs = {"L": jnp.where(zv, 0.0, res.L_local),
                     "lag": jnp.where(zv, 0.0, res.lag_zy),
@@ -419,7 +420,8 @@ def streaming_local_null(
             p_sim = banded_getis(plan, X, seed, n_permutations, star=star,
                                  alternative=alternative,
                                  precision=precision)
-            p_adj = apply_fdr(p_sim, fdr, axis=0)
+            p_adj = apply_fdr(p_sim, fdr, axis=0,
+                              n_levels=n_permutations + 1)
             outs = {"G": obs.G, "z_score": obs.z_score, "p": obs.p_value,
                     "p_sim": p_sim, "p_adj": p_adj}
         else:
@@ -429,7 +431,8 @@ def streaming_local_null(
                                          n_permutations,
                                          precision=precision)
                 p = jnp.where(zero_var[None, :], 1.0, res.p_value)
-                p_adj = apply_fdr(p, fdr, axis=0)
+                p_adj = apply_fdr(p, fdr, axis=0,
+                                  n_levels=n_permutations + 1)
                 quad = classify_quadrants(res.z, res.lag, p_adj, alpha)
                 zv = zero_var[None, :]
                 outs = {"I": jnp.where(zv, 0.0, res.local_I),
@@ -442,7 +445,8 @@ def streaming_local_null(
                 _, p = banded_local_geary(plan, Z, seed, n_permutations,
                                           precision=precision)
                 p = jnp.where(zero_var[None, :], 1.0, p)
-                p_adj = apply_fdr(p, fdr, axis=0)
+                p_adj = apply_fdr(p, fdr, axis=0,
+                                  n_levels=n_permutations + 1)
                 outs = {"C": jnp.where(zero_var[None, :], 0.0, obs.local_C),
                         "p": p, "p_adj": p_adj}
         # one host sync per tile: bounds in-flight memory to this tile's
