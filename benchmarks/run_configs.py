@@ -308,8 +308,12 @@ def config6(scale):
                                  (n, width), jnp.float32)
 
     t0 = time.time()
-    prec = os.environ.get("BENCH6_PREC", "int8")
-    tile_cap = 4096 if prec == "int8" else 2048
+    # int4 default (round 4): nibble-packed tiles serve G=4096 from 2 KB
+    # rows — the issue-bound gather regime where int8 paid the same
+    # gather for 2048 genes (the int4 win kernel's VMEM caps tiles at
+    # 4096, same as int8; the win is bytes/gene, not width)
+    prec = os.environ.get("BENCH6_PREC", "int4")
+    tile_cap = 4096 if prec in ("int8", "int4") else 2048
     tile = min(tile_cap, max(n_genes, 16))
     chunk = min(200, n_perms)
     # warm the (tile, chunk) executable outside the clock: one real tile's

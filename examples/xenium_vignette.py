@@ -21,6 +21,9 @@ import sys
 import time
 from pathlib import Path
 
+# runnable from any cwd / clean env (the CI test spawns a bare subprocess)
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 

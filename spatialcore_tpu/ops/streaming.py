@@ -99,6 +99,15 @@ def streaming_moran_null(
     2x the genes of the widest bf16 tile. Measured round 3: 15.3k ->
     28.3k genes*perms/s warm on the 1M x 18,432-gene streaming run.
 
+    ``precision="int4"`` nibble-packs two gene codes per byte (split-half
+    layout spanning the full tile — chunk pairs at half-tile offsets pack
+    together, the bench.py recipe), so a ``tile=4096`` gather moves 2 KB
+    rows: the issue-bound regime where int8 G=2048 paid the same gather
+    for half the genes. Requires even tiles; widths above ``prep_chunk``
+    must be multiples of ``2 * prep_chunk`` (the split-half pairing is
+    chunk-granular). Statistical cost: docs/performance.md calibration
+    table (decision flips vs f32 at the Monte-Carlo noise floor's order).
+
     Returns host arrays ``(I_obs, p, null_mean, null_std)`` of length
     ``n_genes``. Peak device memory is one tile's quantized Z + the band
     matrix + one prep chunk's f32 intermediates, independent of
@@ -106,6 +115,15 @@ def streaming_moran_null(
     """
     widths = tile_widths(n_genes, tile)
     padded = sum(widths)
+    if precision == "int4":
+        bad = [w for w in widths
+               if w % 256 or (w > prep_chunk and w % (2 * prep_chunk))]
+        if bad:
+            raise ValueError(
+                f"precision='int4' needs 256-multiple tile widths that "
+                f"hold an even prep-chunk count (split-half nibble "
+                f"packing); schedule {widths} at prep_chunk={prep_chunk} "
+                f"violates that — use a 512-multiple tile (got {tile})")
 
     # donate X (the tile buffer is consumed) AND fuse the observed-I slot
     # loop to [g]-sized reductions: moran_observed's spatial_lag would
@@ -140,6 +158,13 @@ def streaming_moran_null(
             from .banded import _quantize_z
             Zq, s_z = _quantize_z(Z)
             return Zq, den, obs, s_z
+        if precision == "int4":
+            # UNPACKED codes per chunk; the tile assembly packs across
+            # the full tile (split-half pairing spans the tile, not the
+            # chunk — _quantize_z4_codes docstring)
+            from .banded import _quantize_z4_codes
+            codes, s_z = _quantize_z4_codes(Z)
+            return codes, den, obs, s_z
         return Z.astype(jnp.bfloat16), den, obs, jnp.ones((g,), jnp.float32)
 
     I_parts, p_parts, m_parts, s_parts = [], [], [], []
@@ -175,7 +200,32 @@ def streaming_moran_null(
             # prep chains RESOURCE_EXHAUST on the 16 GB v5e — measured;
             # the sync costs ~0.1 s against ~100 s of tile scans)
             parts.append(jax.block_until_ready(_prep(X, g)))
-        if len(parts) == 1:
+        if precision == "int4":
+            # pack HALF-OFFSET chunk pairs (global split-half layout:
+            # packed column j pairs gene j with gene j + w/2) without
+            # ever concatenating the full-width unpacked code matrix
+            from .banded import _pack_codes
+            if len(parts) > 1 and len(parts) % 2:
+                raise ValueError(
+                    f"precision='int4' tiles above prep_chunk must hold "
+                    f"an even chunk count (w % (2*prep_chunk) == 0); got "
+                    f"width {w} at prep_chunk={prep_chunk}")
+            pk = jax.jit(_pack_codes)
+            if len(parts) == 1:
+                Zb = pk(parts[0][0])        # splits the lone chunk in half
+            else:
+                h = len(parts) // 2
+                packed = [pk(parts[i][0], parts[i + h][0])
+                          for i in range(h)]
+                Zb = packed[0] if h == 1 else jnp.concatenate(
+                    packed, axis=1)
+            den = jnp.concatenate([p[1] for p in parts]) \
+                if len(parts) > 1 else parts[0][1]
+            obs = jnp.concatenate([p[2] for p in parts]) \
+                if len(parts) > 1 else parts[0][2]
+            szv = jnp.concatenate([p[3] for p in parts]) \
+                if len(parts) > 1 else parts[0][3]
+        elif len(parts) == 1:
             Zb, den, obs, szv = parts[0]
         else:
             Zb = jnp.concatenate([p[0] for p in parts], axis=1)
@@ -199,7 +249,7 @@ def streaming_moran_null(
                 n_permutations=pc, den=den, stat=stat,
                 alternative=alternative, band_impl=band_impl,
                 precision=precision,
-                sz=szv if precision == "int8" else None,
+                sz=szv if precision in ("int8", "int4") else None,
                 draw_offset=s)
             count = count + jnp.round(p * (pc + 1.0) - 1.0)
             mean_acc = mean_acc + m * pc

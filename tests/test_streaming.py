@@ -96,6 +96,59 @@ def test_streaming_int8_matches_bf16_decisions():
     np.testing.assert_allclose(m8, m32, atol=5e-3)
 
 
+def test_streaming_int4_matches_prepacked_direct():
+    """precision="int4" streams nibble-packed tiles (round-4 headline
+    operator). Counts must be bitwise equal to the direct pre-packed
+    banded call at any prep-chunk split, and decisions must track f32
+    within the documented int4 tolerance (docs/performance.md)."""
+    from spatialcore_tpu.ops.banded import _quantize_z4
+
+    coords, X = _world(n=800, g=256, seed=13)
+    n, g = X.shape
+    graph = build_graph(coords, n_neighbors=6)
+    plan = build_null_plan(graph, coords, block=64)
+    S0 = float(n)
+    P = 29
+
+    def run4(prep_chunk):
+        return streaming_moran_null(
+            graph, plan, lambda st, w, ci: jnp.asarray(X[:, st:st + w]),
+            n_genes=g, S0=S0, seed=4, n_permutations=P, tile=256,
+            prep_chunk=prep_chunk, chunk=16, precision="int4")
+
+    # two-part split-half packing vs the lone-chunk internal split
+    I2, p2, m2, s2 = run4(prep_chunk=128)
+    I1, p1, m1, s1 = run4(prep_chunk=256)
+    np.testing.assert_array_equal(p2, p1)
+
+    # direct pre-packed call (the bench.py route) — same counts
+    Z, _ = standardize(jnp.asarray(X))
+    den = jnp.sum(Z * Z, axis=0)
+    obs = moran_observed(graph, Z, S0)
+    Zpk, s4 = _quantize_z4(Z)
+    p_ref, _, _ = banded_permutation_test(
+        plan, Zpk, S0, obs, seed=4, n_permutations=P, precision="int4",
+        den=den, sz=s4)
+    np.testing.assert_array_equal(np.round(p2 * (P + 1) - 1),
+                                  np.round(np.asarray(p_ref) * (P + 1) - 1))
+
+    # observed I is exact f32 (computed before quantization); decisions
+    # track the f32 stream within the int4 tolerance class
+    np.testing.assert_allclose(I2, np.asarray(obs), rtol=1e-5, atol=1e-7)
+    _, p32, _, _ = streaming_moran_null(
+        graph, plan, lambda st, w, ci: jnp.asarray(X[:, st:st + w]),
+        n_genes=g, S0=S0, seed=4, n_permutations=P, tile=256,
+        prep_chunk=128, chunk=16, precision="f32", band_impl="xla")
+    assert np.mean((p2 < 0.05) != (p32 < 0.05)) <= 0.05
+
+    # invalid schedules fail loudly
+    with pytest.raises(ValueError, match="int4"):
+        streaming_moran_null(
+            graph, plan, lambda st, w, ci: jnp.asarray(X[:, st:st + w]),
+            n_genes=64, S0=S0, seed=4, n_permutations=4, tile=128,
+            prep_chunk=64, precision="int4")
+
+
 def test_chunk_and_tile_split_invariance():
     """CLAUDE.md hard rule: p-values are bitwise identical across chunk
     sizes AND tile splits (draws keyed by global draw index; every tile
