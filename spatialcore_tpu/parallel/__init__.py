@@ -18,7 +18,10 @@ from .stats import (
     sharded_banded_local_moran,
     sharded_banded_permutation_test,
     sharded_getis_ord,
+    sharded_getis_ord_2d,
     sharded_lees_l,
+    sharded_lees_l_2d,
+    sharded_local_geary_2d,
     sharded_local_moran,
     sharded_local_moran_2d,
     sharded_moran,
@@ -29,6 +32,7 @@ __all__ = [
     "auto_mesh", "gene_sharding", "cell_sharding", "replicated",
     "sharded_moran", "sharded_local_moran", "sharded_permutation_test",
     "sharded_lees_l", "sharded_getis_ord", "sharded_local_moran_2d",
+    "sharded_local_geary_2d", "sharded_lees_l_2d", "sharded_getis_ord_2d",
     "sharded_banded_permutation_test", "sharded_banded_local_moran",
     "sharded_banded_local_geary", "sharded_banded_getis",
     "sharded_banded_lees_l",

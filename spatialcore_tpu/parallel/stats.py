@@ -326,6 +326,105 @@ def sharded_local_moran_2d(
                            n_permutations=n_permutations)
 
 
+def _place_2d(graph: SpatialGraph, mesh: Mesh):
+    """Cell-sharded graph rows for the cells × genes layouts."""
+    cell_rows = NamedSharding(mesh, P("cells"))
+    return SpatialGraph(
+        neighbor_idx=jax.device_put(graph.neighbor_idx, cell_rows),
+        neighbor_w=jax.device_put(graph.neighbor_w, cell_rows),
+        valid=jax.device_put(graph.valid, cell_rows),
+        distances=jax.device_put(graph.distances, cell_rows))
+
+
+def sharded_local_geary_2d(
+    graph: SpatialGraph,
+    Z: jax.Array,
+    seed: int,
+    n_permutations: int,
+    mesh: Mesh,
+    null: str = "conditional",
+):
+    """Local Geary's C with BOTH axes sharded: cells × genes over the
+    full mesh (the :func:`sharded_local_moran_2d` layout for the next
+    >HBM [N, G] output family).
+
+    ``Z`` must be pre-standardized (the :func:`sharded_local_moran_2d`
+    caveat: standardizing inside the cell-sharded region would change
+    the column-mean reduction order). The statistic body is gathers,
+    per-row k-sums and elementwise comparisons — all order-free — so
+    outputs are bitwise equal to the single-device kernel.
+    """
+    from ..ops.moran import local_geary
+
+    graph = _place_2d(graph, mesh)
+    Z = jax.device_put(Z, NamedSharding(mesh, P("cells", "genes")))
+    with mesh:
+        return local_geary(graph, Z, seed=seed,
+                           n_permutations=n_permutations, null=null)
+
+
+def sharded_lees_l_2d(
+    graph: SpatialGraph,
+    Zx: jax.Array,
+    Zy: jax.Array,
+    seed: int,
+    n_permutations: int,
+    mesh: Mesh,
+    compute_cell_pvalues: bool = False,
+):
+    """Local Lee's L with cells × pairs sharded over the full mesh.
+
+    ``Zx``/``Zy`` are [N, P] pre-standardized pair columns (see the
+    :func:`sharded_local_moran_2d` standardization caveat). The per-cell
+    L, lag, and cell p-values land ("cells", "genes")-sharded; the
+    global statistic reduces over the cell axis (one collective per
+    draw, outside the per-cell hot path). Per-cell outputs are bitwise
+    equal to single-device; the global L's cross-shard sum agrees to
+    f32 reduction tolerance.
+    """
+    from ..ops.lee import lees_l_pairs
+
+    graph = _place_2d(graph, mesh)
+    cs2 = NamedSharding(mesh, P("cells", "genes"))
+    Zx = jax.device_put(Zx, cs2)
+    Zy = jax.device_put(Zy, cs2)
+    with mesh:
+        return lees_l_pairs(graph, Zx, Zy, seed=seed,
+                            n_permutations=n_permutations,
+                            compute_cell_pvalues=compute_cell_pvalues)
+
+
+def sharded_getis_ord_2d(
+    graph: SpatialGraph,
+    X: jax.Array,
+    mesh: Mesh,
+    star: bool = True,
+    alternative: str = "two-sided",
+    seed: int = 0,
+    n_permutations: int = 0,
+):
+    """Getis-Ord Gi*/Gi with cells × genes sharded over the full mesh.
+
+    Unlike the Z-input kernels, Getis-Ord computes its column moments
+    from raw ``X`` inside the kernel; under cell sharding those column
+    reductions become cross-shard partial sums, so G/z-scores agree
+    with the single-device kernel to f32 reduction tolerance rather
+    than bitwise (the gene-sharded :func:`sharded_getis_ord` keeps each
+    column shard-local and stays exact — prefer it unless the [N, G]
+    outputs themselves exceed one chip). Permutation p-values compare
+    draws to the SAME sharded program's observed G, so they remain
+    internally consistent.
+    """
+    from ..ops.getis import getis_ord
+
+    graph = _place_2d(graph, mesh)
+    X = jax.device_put(jnp.asarray(X),
+                       NamedSharding(mesh, P("cells", "genes")))
+    with mesh:
+        return getis_ord(graph, X, star=star, alternative=alternative,
+                         seed=seed, n_permutations=n_permutations)
+
+
 def sharded_getis_ord(
     graph: SpatialGraph,
     X: jax.Array,

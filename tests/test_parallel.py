@@ -175,6 +175,63 @@ def test_local_moran_2d_sharding_bitwise():
     assert tuple(spec) == ("cells", "genes")
 
 
+def test_local_family_2d_sharding():
+    """cells × genes sharding for the rest of the local family (round-4:
+    the 2D layout existed only for LISA). Z-input kernels (local Geary,
+    local Lee) are bitwise vs single-device; Getis computes column
+    moments under cell sharding, so G/z agree to f32 reduction tolerance
+    while its p-values stay internally consistent."""
+    from spatialcore_tpu.parallel.mesh import auto_mesh
+    from spatialcore_tpu.parallel.stats import (
+        sharded_getis_ord_2d, sharded_lees_l_2d, sharded_local_geary_2d)
+    from spatialcore_tpu.ops.graph import build_graph
+    from spatialcore_tpu.ops.getis import getis_ord
+    from spatialcore_tpu.ops.lee import lees_l_pairs
+    from spatialcore_tpu.ops.moran import local_geary, standardize
+
+    rng = np.random.default_rng(6)
+    n, g = 512, 8
+    coords = rng.uniform(0, 80, (n, 2)).astype(np.float32)
+    X = rng.normal(0, 1, (n, g)).astype(np.float32)
+    graph = build_graph(coords, n_neighbors=5)
+    Z, _ = standardize(jnp.asarray(X))
+    mesh = auto_mesh(cell_shards=2)
+    assert mesh.shape == {"cells": 2, "genes": 4}
+
+    ref = local_geary(graph, Z, seed=2, n_permutations=19)
+    got = sharded_local_geary_2d(graph, Z, seed=2, n_permutations=19,
+                                 mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(ref.local_C),
+                                  np.asarray(got.local_C))
+    np.testing.assert_array_equal(np.asarray(ref.p_value),
+                                  np.asarray(got.p_value))
+    assert tuple(got.local_C.sharding.spec) == ("cells", "genes")
+
+    Zx, Zy = Z[:, : g // 2], Z[:, g // 2:]
+    ref_l = lees_l_pairs(graph, Zx, Zy, seed=5, n_permutations=17,
+                         compute_cell_pvalues=True)
+    got_l = sharded_lees_l_2d(graph, Zx, Zy, seed=5, n_permutations=17,
+                              mesh=mesh, compute_cell_pvalues=True)
+    np.testing.assert_array_equal(np.asarray(ref_l.L_local),
+                                  np.asarray(got_l.L_local))
+    np.testing.assert_array_equal(np.asarray(ref_l.p_local),
+                                  np.asarray(got_l.p_local))
+    np.testing.assert_allclose(np.asarray(ref_l.L_global),
+                               np.asarray(got_l.L_global),
+                               rtol=1e-6, atol=1e-7)
+
+    ref_g = getis_ord(graph, X, star=True, seed=7, n_permutations=13)
+    got_g = sharded_getis_ord_2d(graph, X, mesh=mesh, star=True, seed=7,
+                                 n_permutations=13)
+    np.testing.assert_allclose(np.asarray(ref_g.G), np.asarray(got_g.G),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ref_g.z_score),
+                               np.asarray(got_g.z_score),
+                               rtol=1e-4, atol=1e-5)
+    assert got_g.p_sim is not None
+    assert float(np.min(np.asarray(got_g.p_sim))) >= 1.0 / 14.0 - 1e-9
+
+
 def test_banded_sharded_matches_and_collective_free(world):
     """Gene-sharded banded null: bitwise-equal results AND an HLO proof
     that the draw loop issues ZERO collectives (round-3 VERDICT item 3 —
