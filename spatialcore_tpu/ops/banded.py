@@ -3452,11 +3452,18 @@ def banded_local_moran_pvalues(
         multi_dev = shd is not None and len(shd.device_set) > 1
         win_ready = (plan.far_starts is not None
                      and 0 < plan.far_bmax <= 1024)
-        fits = (_win_fits_vmem("moran", Z.shape[1], plan.block,
-                               plan.far_bmax)
-                if win_ready else Z.shape[1] <= 4096)
+        # only the WINDOWED fused kernel auto-selects (same rule as the
+        # geary/getis/lee gates): the dense-far fused kernel faulted the
+        # device at the reference-vignette shape (366,938 cells, k=50,
+        # far_bmax=2510 — measured 2026-08-19; the xla einsum body ran
+        # the same 128-gene x 99-draw null in 14.3 s), so high-k plans
+        # whose far runs exceed the window cap take the einsum path.
+        # band_impl="pallas" still forces the dense kernel explicitly.
         band_impl = ("pallas" if not interpret and not multi_dev
-                     and fits else "xla")
+                     and win_ready
+                     and _win_fits_vmem("moran", Z.shape[1], plan.block,
+                                        plan.far_bmax)
+                     else "xla")
     return _banded_local_moran_p_i8(
         plan.order, plan.rank, plan.local_idx, plan.w_local,
         plan.far_src, plan.far_dst, plan.far_w, Z, jnp.uint32(seed),
