@@ -285,7 +285,7 @@ _COMPACT_DTYPES = {
     "C": jnp.bfloat16, "G": jnp.bfloat16, "z_score": jnp.bfloat16,
     "L": jnp.bfloat16,
     "p": jnp.float16, "p_adj": jnp.float16, "p_sim": jnp.float16,
-    "quadrant": jnp.int8,
+    "quadrant": jnp.int8, "hotspot": jnp.int8,
 }
 
 
@@ -385,9 +385,10 @@ def streaming_local_null(
 
     Output keys per stat: moran -> I, z, lag, p, p_adj, quadrant;
     geary -> C, p, p_adj; getis -> G, z_score, p (analytic), p_sim,
-    p_adj (BH over p_sim); lee -> L, lag, p, p_adj, quadrant
-    (quadrants classify Zx against lag(Zy), the ``lees_l_local``
-    convention).
+    p_adj (BH over p_sim), hotspot (int8: 1 hot / -1 cold at ``alpha``
+    after FDR, 0 NS — the ``getis_ord_gi`` convention); lee -> L, lag,
+    p, p_adj, quadrant (quadrants classify Zx against lag(Zy), the
+    ``lees_l_local`` convention).
 
     ``keys`` selects the LEAN path: only the named planes are computed,
     in ONE fused post-pass jit per tile that emits them already in the
@@ -418,7 +419,8 @@ def streaming_local_null(
     n_cells = graph.neighbor_idx.shape[0]
     _ALL_KEYS = {"moran": ("I", "z", "lag", "p", "p_adj", "quadrant"),
                  "geary": ("C", "p", "p_adj"),
-                 "getis": ("G", "z_score", "p", "p_sim", "p_adj"),
+                 "getis": ("G", "z_score", "p", "p_sim", "p_adj",
+                           "hotspot"),
                  "lee": ("L", "lag", "p", "p_adj", "quadrant")}[stat]
     if keys is not None:
         bad = [k for k in keys if k not in _ALL_KEYS]
@@ -472,8 +474,11 @@ def streaming_local_null(
                                  precision=precision)
             p_adj = apply_fdr(p_sim, fdr, axis=0,
                               n_levels=n_permutations + 1)
+            hot = jnp.where(p_adj < alpha,
+                            jnp.sign(obs.z_score).astype(jnp.int8),
+                            jnp.int8(0))
             outs = {"G": obs.G, "z_score": obs.z_score, "p": obs.p_value,
-                    "p_sim": p_sim, "p_adj": p_adj}
+                    "p_sim": p_sim, "p_adj": p_adj, "hotspot": hot}
         else:
             Z, zero_var = standardize(X)
             if stat == "moran":
@@ -591,8 +596,12 @@ def _stream_local_lean(graph, plan, get_tile, n_genes, sink, stat, seed,
                                 n_permutations=0)
                 p_adj = apply_fdr(pc, fdr, axis=0,
                                    n_levels=n_permutations + 1)
+                hot = jnp.where(p_adj < alpha,
+                                jnp.sign(obs.z_score).astype(jnp.int8),
+                                jnp.int8(0))
                 full = {"G": obs.G, "z_score": obs.z_score,
-                        "p": obs.p_value, "p_sim": pc, "p_adj": p_adj}
+                        "p": obs.p_value, "p_sim": pc, "p_adj": p_adj,
+                        "hotspot": hot}
                 return {k: _compact(k, full[k]) for k in keys}
             return _assemble(jax.lax.map(one, starts_c))
     else:

@@ -926,3 +926,141 @@ def test_local_morans_compact_validation(spatial_adata):
         local_morans_i(spatial_adata.copy(),
                        genes=list(spatial_adata.var_names[:4]),
                        output_mode="bogus")
+
+
+def test_local_geary_compact_output_mode(spatial_adata):
+    """VERDICT r4 item 1: output_mode="compact" on local_gearys_c routes
+    through the streaming driver — p bitwise vs the full banded run, C
+    close (bf16 cast), params record the mode."""
+    from spatialcore_tpu.spatial import local_gearys_c
+
+    adata = spatial_adata.copy()
+    genes = list(adata.var_names[:8])
+    kw = dict(genes=genes, n_neighbors=6, n_permutations=19, seed=4,
+              null="total", null_method="banded_int8")
+    full = local_gearys_c(adata.copy(), key_added="lg_full", **kw)
+    comp = local_gearys_c(adata.copy(), key_added="lg_c",
+                          output_mode="compact", **kw)
+    np.testing.assert_array_equal(
+        np.asarray(comp.obsm["lg_c_p"], np.float32),
+        np.asarray(full.obsm["lg_full_p"], np.float32))
+    np.testing.assert_allclose(
+        np.asarray(comp.obsm["lg_c_C"], np.float32),
+        np.asarray(full.obsm["lg_full_C"]), rtol=1e-2, atol=1e-2)
+    # p_adj: f16 compact cast of the same discrete-BH values
+    np.testing.assert_allclose(
+        np.asarray(comp.obsm["lg_c_p_adj"], np.float32),
+        np.asarray(full.obsm["lg_full_p_adj"]), rtol=2e-3, atol=2e-3)
+    assert comp.uns["lg_c_params"]["output_mode"] == "compact"
+    assert isinstance(comp.obsm["lg_c_p"], np.ndarray)  # host input
+
+    with pytest.raises(ValueError, match="compact"):
+        local_gearys_c(adata.copy(), genes=genes, n_permutations=0,
+                       output_mode="compact")
+    with pytest.raises(ValueError, match="output_mode"):
+        local_gearys_c(adata.copy(), genes=genes, output_mode="bogus")
+
+
+def test_getis_compact_output_mode(spatial_adata):
+    """VERDICT r4 item 1: output_mode="compact" on getis_ord_gi — p_sim
+    bitwise vs the full banded run, hotspot identical, G/z close."""
+    from spatialcore_tpu.spatial import getis_ord_gi
+
+    adata = spatial_adata.copy()
+    genes = list(adata.var_names[:8])
+    kw = dict(genes=genes, n_neighbors=6, n_permutations=19, seed=4,
+              null_method="banded_int8")
+    full = getis_ord_gi(adata.copy(), key_added="go_full", **kw)
+    comp = getis_ord_gi(adata.copy(), key_added="go_c",
+                        output_mode="compact", **kw)
+    np.testing.assert_array_equal(
+        np.asarray(comp.obsm["go_c_p_sim"], np.float32),
+        np.asarray(full.obsm["go_full_p_sim"], np.float32))
+    np.testing.assert_array_equal(np.asarray(comp.obsm["go_c_hotspot"]),
+                                  np.asarray(full.obsm["go_full_hotspot"]))
+    np.testing.assert_allclose(
+        np.asarray(comp.obsm["go_c_G"], np.float32),
+        np.asarray(full.obsm["go_full_G"]), rtol=1e-2, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(comp.obsm["go_c_z"], np.float32),
+        np.asarray(full.obsm["go_full_z"]), rtol=1e-2, atol=2e-2)
+    assert comp.uns["go_c_params"]["output_mode"] == "compact"
+
+    with pytest.raises(ValueError, match="compact"):
+        getis_ord_gi(adata.copy(), genes=genes, n_permutations=0,
+                     output_mode="compact")
+
+
+def test_lees_l_local_compact_output_mode(spatial_adata):
+    """VERDICT r4 item 1: output_mode="compact" on lees_l_local writes
+    [N, n_pairs] obsm planes; p bitwise vs the full banded per-cell
+    p-values; L matches the obs columns."""
+    from spatialcore_tpu.ops.fdr import apply_fdr
+    from spatialcore_tpu.spatial import lees_l_local
+
+    adata = spatial_adata.copy()
+    pairs = [("GENE0", "GENE1"), ("GENE2", "GENE3"), ("GENE0", "GENE4")]
+    full = lees_l_local(adata.copy(), gene_pairs=pairs, n_neighbors=6,
+                        n_permutations=19, seed=4,
+                        compute_cell_pvalues=True,
+                        null_method="banded_int8")
+    comp = lees_l_local(adata.copy(), gene_pairs=pairs, n_neighbors=6,
+                        n_permutations=19, seed=4,
+                        null_method="banded_int8", output_mode="compact",
+                        key_added="ll_c")
+    assert comp.obsm["ll_c_L"].shape == (adata.n_obs, len(pairs))
+    p_full = np.stack([np.asarray(full.obs[f"{gx}_{gy}_pvalue"])
+                       for gx, gy in pairs], axis=1)
+    np.testing.assert_array_equal(
+        np.asarray(comp.obsm["ll_c_p"], np.float32), p_full)
+    L_full = np.stack([np.asarray(full.obs[f"{gx}_{gy}_lees_l"])
+                       for gx, gy in pairs], axis=1)
+    np.testing.assert_allclose(
+        np.asarray(comp.obsm["ll_c_L"], np.float32), L_full,
+        rtol=1e-2, atol=1e-2)
+    p_adj_ref = np.asarray(apply_fdr(jnp.asarray(p_full), "fdr_bh",
+                                     axis=0, n_levels=20))
+    np.testing.assert_allclose(
+        np.asarray(comp.obsm["ll_c_p_adj"], np.float32), p_adj_ref,
+        rtol=2e-3, atol=2e-3)
+    assert comp.uns["ll_c_params"]["output_mode"] == "compact"
+    assert comp.uns["ll_c_params"]["pairs"] == [list(p) for p in pairs]
+
+    with pytest.raises(ValueError, match="compact"):
+        lees_l_local(adata.copy(), gene_pairs=pairs, n_permutations=0,
+                     output_mode="compact")
+
+
+def test_getis_streaming_hotspot_matches_public(spatial_adata):
+    """The streaming getis hotspot plane (new key) equals the public
+    full-mode hotspot for both host-sink and lean-keys paths."""
+    from spatialcore_tpu.ops.banded import build_null_plan
+    from spatialcore_tpu.ops.graph import build_graph
+    from spatialcore_tpu.ops.streaming import (
+        device_local_sink, host_local_sink, streaming_local_null)
+    from spatialcore_tpu.spatial import getis_ord_gi
+
+    adata = spatial_adata.copy()
+    genes = list(adata.var_names)
+    full = getis_ord_gi(adata.copy(), genes=genes, n_neighbors=6,
+                        n_permutations=19, seed=3,
+                        null_method="banded_int8", key_added="go")
+    X = np.asarray(adata.X, np.float32)
+    coords = np.asarray(adata.obsm["spatial"], np.float32)
+    graph = build_graph(coords, n_neighbors=6)
+    plan = build_null_plan(graph, coords, block=64)
+    # default path (host sink, all keys incl. hotspot)
+    sink, store = host_local_sink(*X.shape)
+    streaming_local_null(graph, plan, lambda s, w: X[:, s:s + w],
+                         X.shape[1], sink, stat="getis", seed=3,
+                         n_permutations=19, tile=4)
+    np.testing.assert_array_equal(store["hotspot"],
+                                  np.asarray(full.obsm["go_hotspot"]))
+    # lean path (keys=..., fused post-pass)
+    sink2, fin2 = device_local_sink(X.shape[1], keys=("hotspot",))
+    streaming_local_null(graph, plan, lambda s, w: X[:, s:s + w],
+                         X.shape[1], sink2, stat="getis", seed=3,
+                         n_permutations=19, tile=4, keys=("hotspot",),
+                         post_chunk=2)
+    np.testing.assert_array_equal(np.asarray(fin2()["hotspot"]),
+                                  np.asarray(full.obsm["go_hotspot"]))
