@@ -144,6 +144,20 @@ def main():
     print(f"[bench] device={dev.platform}:{dev.device_kind} x{n_dev} "
           f"N={n_cells:,} G={n_genes} P={n_perms} k={k} mode={mode}"
           f"{' mesh=' + mesh_spec if mesh_spec else ''}", file=sys.stderr)
+    # persistent-cache forensics (VERDICT r4 item 4): the cache key hashes
+    # the backend's platform_version, so a changed tunnel target or server
+    # build silently invalidates every entry — print both, and count new
+    # entry files at exit so "wrote N entries" distinguishes key misses
+    # from an absent cache dir in the driver artifact
+    cache_dir = jax.config.jax_compilation_cache_dir
+    try:
+        plat_ver = dev.client.platform_version
+    except Exception:  # noqa: BLE001
+        plat_ver = "?"
+    n_cache_before = (len(os.listdir(cache_dir))
+                      if cache_dir and os.path.isdir(cache_dir) else 0)
+    print(f"[bench] compile cache: dir={cache_dir} entries={n_cache_before} "
+          f"platform_version={plat_ver!r}", file=sys.stderr)
 
     kc, kx = jax.random.split(jax.random.key(0))
     coords_j = jax.random.uniform(kc, (n_cells, 2), jnp.float32, 0.0, 6000.0)
@@ -183,8 +197,17 @@ def main():
     t0 = time.time()
     block = int(os.environ.get("BENCH_BLOCK", 256))
     plan = build_null_plan(graph, coords_j, block=block)
-    print(f"[bench] null plan build: {time.time()-t0:.1f}s (block={block})",
-          file=sys.stderr)
+    t_plan_cold = time.time() - t0
+    # split compile-vs-execute (VERDICT r4 item 4): the first build pays
+    # any remote compiles the persistent cache missed; the second runs
+    # the same cached executables only — the spread IS the compile cost
+    t0 = time.time()
+    plan2 = build_null_plan(graph, coords_j, block=block)
+    t_plan_warm = time.time() - t0
+    del plan2
+    print(f"[bench] null plan build: {t_plan_cold:.1f}s cold-process, "
+          f"{t_plan_warm:.1f}s warm (execute-only; spread = compile cost) "
+          f"(block={block})", file=sys.stderr)
 
     # batch schedule: full tiles + tail rounded up to tile or tile/2 so at
     # most two executable widths exist (a 904-wide tail would recompile the
@@ -495,6 +518,11 @@ def main():
         done_genes = sum(widths)
         break
 
+    n_cache_after = (len(os.listdir(cache_dir))
+                     if cache_dir and os.path.isdir(cache_dir) else 0)
+    print(f"[bench] compile cache: wrote {n_cache_after - n_cache_before} "
+          f"new entries ({n_cache_after} total; >0 fresh writes = that "
+          f"many cache MISSES this run)", file=sys.stderr)
     rate = done_genes * n_perms / elapsed
     target = PER_CHIP_TARGET * n_dev
     print(f"[bench] {done_genes}x{n_perms} perms end-to-end in "
@@ -509,6 +537,8 @@ def main():
         "precision": prec,
         "graph_build_ms_cold": round(t_graph * 1e3, 1),
         "graph_build_ms_warm": graph_warm,
+        "null_plan_s_cold": round(t_plan_cold, 1),
+        "null_plan_s_warm": round(t_plan_warm, 1),
     }
     if done_genes < n_genes:
         out["degraded_fallback_from_genes"] = n_genes
