@@ -2310,13 +2310,14 @@ def _banded_lag(A, Zp, far_src, far_dst, far_w, *, block: int):
 
 @functools.partial(jax.jit, static_argnames=(
     "block", "n", "n_permutations", "perm_method", "band_impl",
-    "far_bmax", "interpret"))
+    "far_bmax", "interpret", "return_counts"))
 def _banded_local_moran_p_i8(order, rank, local_idx, w_local, far_src,
                              far_dst, far_w, Z, seed, *, block: int, n: int,
                              n_permutations: int, perm_method: str,
                              band_impl: str = "xla",
                              far_starts=None, far_bmax: int = 0,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             return_counts: bool = False):
     """LISA permutation p via the int8 null system.
 
     Quantized-operator convention (same as the global int8 mode): z
@@ -2470,6 +2471,13 @@ def _banded_local_moran_p_i8(order, rank, local_idx, w_local, far_src,
 
         count, _ = jax.lax.scan(body, jnp.zeros((n_padded, G), cdt),
                                 jnp.arange(n_permutations))
+    if return_counts:
+        # integer extreme counts in ORIGINAL order: the >HBM streaming
+        # post-pass computes p per column chunk from these, so the two
+        # f32 [N, G] planes (p + its rank gather) never materialize —
+        # the memory that capped the stream tile at 512 next to a
+        # device-resident sink (round 5)
+        return count[rank]
     p_new = (count.astype(jnp.float32) + 1.0) / (n_permutations + 1.0)
     return p_new[rank]      # original order (new position rank[i] = cell i)
 
@@ -3425,6 +3433,7 @@ def banded_local_moran_pvalues(
     n_permutations: int,
     perm_method: str = "feistel",
     band_impl: str = "auto",
+    return_counts: bool = False,
 ) -> jax.Array:
     """LISA null p-values ONLY, int8 quantized-operator system.
 
@@ -3436,6 +3445,14 @@ def banded_local_moran_pvalues(
     residency is what OOMed the G=2048 streamed run next to the
     device-resident output sink. Observed statistics should come from
     a fused post-pass that emits compact dtypes directly.
+
+    ``Z`` may be pre-quantized int8 codes (from
+    :func:`_quantize_z`) — the per-gene scale cancels inside the
+    comparison, so codes alone determine the decisions. With
+    ``return_counts`` the integer extreme counts come back instead of
+    f32 p (int8 for P <= 127, int16 <= 32767): half (quarter) the
+    output bytes, and the caller computes ``p = (c+1)/(P+1)`` per
+    column chunk — the >HBM streaming recipe for tiles wider than 512.
     """
     _check_perm_method(perm_method)
     interpret = jax.default_backend() != "tpu"
@@ -3470,7 +3487,7 @@ def banded_local_moran_pvalues(
         block=plan.block, n=plan.n, n_permutations=n_permutations,
         perm_method=perm_method, band_impl=band_impl,
         far_starts=plan.far_starts, far_bmax=plan.far_bmax,
-        interpret=interpret)
+        interpret=interpret, return_counts=return_counts)
 
 
 def banded_local_moran(

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def benjamini_hochberg(p_values: jax.Array, axis: int = 0) -> jax.Array:
@@ -63,18 +64,25 @@ def benjamini_hochberg_discrete(p_values: jax.Array, n_levels: int,
     m = pm.shape[0]
     lev = jnp.clip(jnp.round(pm * n_levels).astype(jnp.int32) - 1,
                    0, n_levels - 1)
-    levels = jnp.arange(n_levels, dtype=jnp.int32)
-
-    def per_level(lv):
-        hit = lev == lv
-        return (jnp.sum(hit, axis=0, dtype=jnp.int32),
-                jnp.min(jnp.where(hit, pm, jnp.inf), axis=0))
-
-    cnt, rep = jax.lax.map(per_level, levels)
+    # per-level counts and representatives in ONE scatter pass each: the
+    # previous per-level lax.map re-read the full [m, ...] plane once per
+    # level — 1001 passes at P=1000, measured as 60% of the streamed
+    # LISA post-pass (13.2 s/tile at 1M x 512, round 5). Scatter counts
+    # are exact integers and scatter-min selects the same per-level
+    # minimum, so the result stays bitwise-equal.
+    rest = pm.shape[1:]
+    R = int(np.prod(rest)) if rest else 1
+    pmf = pm.reshape(m, R)
+    levf = lev.reshape(m, R)
+    col = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32), (m, R))
+    cnt = jnp.zeros((n_levels, R), jnp.int32).at[levf, col].add(1)
+    rep = jnp.full((n_levels, R), jnp.inf, jnp.float32).at[
+        levf, col].min(pmf)
     ranks = jnp.cumsum(cnt, axis=0).astype(jnp.float32)
     cand = rep * m / ranks            # empty level -> +inf, inert
     adj = jnp.minimum(
         jnp.flip(jax.lax.cummin(jnp.flip(cand, 0), axis=0), 0), 1.0)
+    adj = adj.reshape((n_levels,) + rest)
     return jnp.moveaxis(jnp.take_along_axis(adj, lev, axis=0), 0, axis)
 
 

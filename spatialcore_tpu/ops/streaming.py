@@ -359,6 +359,7 @@ def streaming_local_null(
     precision: str = "int8",
     keys: Optional[Tuple[str, ...]] = None,
     post_chunk: int = 128,
+    obs_dtype: str = "f32",
 ) -> None:
     """LOCAL-statistic permutation nulls over a streamed gene axis.
 
@@ -404,6 +405,21 @@ def streaming_local_null(
     stay ~[N, post_chunk]. p-values are bitwise identical to the
     default path (same kernel call); compact planes equal the default
     path's sink-side casts.
+
+    ``obs_dtype="bf16"`` (keys-mode ``stat="moran"`` +
+    ``precision="int8"`` only) is the WIDE-tile memory recipe: prep
+    quantizes each tile chunkwise and keeps only int8 codes + a bf16
+    copy of Z, the kernel returns integer extreme COUNTS
+    (:func:`ops.banded.banded_local_moran_pvalues` ``return_counts``),
+    and the post-pass computes p per column chunk — so no f32 [N, tile]
+    plane (Z or p) is ever resident. That is what lets ``tile=1024``
+    fit a 16 GB chip next to a device sink (tile=512's ledger below
+    holds 4 GB of Z + 4 GB of kernel p; measured RESOURCE_EXHAUSTED at
+    1024 without this). p/p_adj stay BITWISE equal to the f32-obs path
+    (same integer counts); I/z/lag/quadrant are computed from bf16 Z —
+    same precision class as the bf16 compact casts, but not bit-equal
+    to casting the f32-computed planes (quadrant sign flips only on
+    |z| or |lag| below bf16 resolution).
     """
     from .banded import (banded_getis, banded_lees_l, banded_local_geary,
                          banded_local_moran, banded_local_moran_pvalues)
@@ -417,6 +433,14 @@ def streaming_local_null(
             f"stat must be 'moran', 'geary', 'getis' or 'lee', "
             f"got {stat!r}")
     n_cells = graph.neighbor_idx.shape[0]
+    if obs_dtype not in ("f32", "bf16"):
+        raise ValueError(f"obs_dtype must be 'f32' or 'bf16', got "
+                         f"{obs_dtype!r}")
+    if obs_dtype == "bf16" and (stat != "moran" or precision != "int8"
+                                or keys is None):
+        raise ValueError("obs_dtype='bf16' is the wide-tile moran recipe: "
+                         "requires stat='moran', precision='int8' and "
+                         "keys-mode")
     _ALL_KEYS = {"moran": ("I", "z", "lag", "p", "p_adj", "quadrant"),
                  "geary": ("C", "p", "p_adj"),
                  "getis": ("G", "z_score", "p", "p_sim", "p_adj",
@@ -431,7 +455,7 @@ def streaming_local_null(
         _stream_local_lean(
             graph, plan, get_tile, n_genes, sink, stat, seed,
             n_permutations, tile, fdr, alpha, star, alternative,
-            precision, tuple(keys), post_chunk)
+            precision, tuple(keys), post_chunk, obs_dtype)
         return
 
     def _f32_tile(X):
@@ -514,7 +538,8 @@ def streaming_local_null(
 
 def _stream_local_lean(graph, plan, get_tile, n_genes, sink, stat, seed,
                        n_permutations, tile, fdr, alpha, star,
-                       alternative, precision, keys, post_chunk):
+                       alternative, precision, keys, post_chunk,
+                       obs_dtype="f32"):
     """The ``keys=``-selected lean tile loop of
     :func:`streaming_local_null` — see its docstring for the contract.
 
@@ -557,10 +582,14 @@ def _stream_local_lean(graph, plan, get_tile, n_genes, sink, stat, seed,
         return {k: jnp.swapaxes(v, 0, 1).reshape(v.shape[1], -1)
                 for k, v in parts.items()}
 
+    counts_in = obs_dtype == "bf16"
     if stat == "moran":
         def _post(Z, p_raw, zero_var):
             def one(s):
                 Zc, pc = _cols(Z, s), _cols(p_raw, s)
+                if counts_in:   # integer extreme counts -> p per chunk
+                    pc = (pc.astype(jnp.float32) + 1.0) / (
+                        n_permutations + 1.0)
                 zv = jax.lax.dynamic_slice(zero_var, (s,), (c,))[None, :]
                 obs = local_moran(graph, Zc, seed, 0)
                 p = jnp.where(zv, 1.0, pc)
@@ -624,13 +653,46 @@ def _stream_local_lean(graph, plan, get_tile, n_genes, sink, stat, seed,
     post = jax.jit(_post)
     std = jax.jit(standardize)
 
-    def _f32_tile(X, avail):
+    def _f32_pad(X, avail, width):
         if not isinstance(X, jax.Array):
             X = jnp.asarray(np.asarray(X, np.float32))
         X = X.astype(jnp.float32)
-        if avail < tile:
-            X = jnp.pad(X, ((0, 0), (0, tile - avail)))
+        if avail < width:
+            X = jnp.pad(X, ((0, 0), (0, width - avail)))
         return X
+
+    def _f32_tile(X, avail):
+        return _f32_pad(X, avail, tile)
+
+    if counts_in:
+        from .banded import _quantize_z
+
+        @jax.jit
+        def _prep_q(Xc):
+            # ONE jit: the f32 Z is a fusion-internal temp — only int8
+            # codes + the bf16 copy + the zero-variance mask leave
+            Zc, zvc = standardize(Xc)
+            return _quantize_z(Zc)[0], Zc.astype(jnp.bfloat16), zvc
+
+        def _prep_tile_q(start, avail):
+            pcw = min(512, tile)
+            Zq_p, Zb_p, zv_p = [], [], []
+            for s2 in range(0, tile, pcw):
+                av2 = max(0, min(pcw, avail - s2))
+                if av2 > 0:
+                    Xc = _f32_pad(get_tile(start + s2, av2), av2, pcw)
+                else:   # tail padding: inert zero-variance columns
+                    Xc = jnp.zeros((n_cells, pcw), jnp.float32)
+                # block per chunk: at most one prep program's f32 temps
+                # in flight next to the growing code/bf16 buffers
+                Zqc, Zbc, zvc = jax.block_until_ready(_prep_q(Xc))
+                Zq_p.append(Zqc)
+                Zb_p.append(Zbc)
+                zv_p.append(zvc)
+                del Xc
+            cat = (lambda ps, ax: ps[0] if len(ps) == 1
+                   else jnp.concatenate(ps, axis=ax))
+            return cat(Zq_p, 1), cat(Zb_p, 1), cat(zv_p, 0)
 
     for start in range(0, n_genes, tile):
         avail = min(tile, n_genes - start)
@@ -651,6 +713,15 @@ def _stream_local_lean(graph, plan, get_tile, n_genes, sink, stat, seed,
                                  precision=precision)
             outs = post(X, p_sim)
             del X, p_sim
+        elif counts_in:
+            # wide-tile moran recipe: int8 codes feed the kernel, counts
+            # come back, bf16 Z feeds the post — no f32 [N, tile] plane
+            Zq, Zb, zero_var = _prep_tile_q(start, avail)
+            cnt = banded_local_moran_pvalues(
+                plan, Zq, seed, n_permutations, return_counts=True)
+            del Zq
+            outs = post(Zb, cnt, zero_var)
+            del Zb, cnt
         else:
             Z, zero_var = std(_f32_tile(get_tile(start, avail), avail))
             if stat == "moran":

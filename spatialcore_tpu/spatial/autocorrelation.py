@@ -101,12 +101,50 @@ def _load_stored_graph(adata) -> Optional[SpatialGraph]:
     g = adata.uns.get(GRAPH_UNS_KEY)
     if not isinstance(g, dict) or "neighbor_idx" not in g:
         return None
-    return SpatialGraph(
+    # cache the DEVICE graph per stored-uns-entry identity: the stored
+    # arrays are host numpy, and re-uploading them per statistic call is
+    # ~240 MB through the tunnel at the reference vignette's 367k x k=50
+    # (4 public calls x 2 passes paid ~2 GB of repeat uploads — the
+    # config-9 warm wall, round 5). Same keying/fallback pattern as
+    # _get_null_plan below.
+    cache = getattr(adata, "_device_graph_cache", None)
+    if cache is not None and cache.get("key") == id(g):
+        return cache["graph"]
+    sg = SpatialGraph(
         neighbor_idx=jnp.asarray(g["neighbor_idx"]),
         neighbor_w=jnp.asarray(g["neighbor_w"]),
         valid=jnp.asarray(np.asarray(g["valid"]).astype(bool)),
         distances=jnp.asarray(g["distances"]),
     )
+    try:
+        adata._device_graph_cache = {"key": id(g), "graph": sg}
+    except (AttributeError, TypeError):   # slotted containers: skip cache
+        pass
+    return sg
+
+
+def _get_graph_moments(adata, graph) -> dict:
+    """Cliff-Ord S0/S1/S2 for this adata's graph, cached on the object.
+
+    ``graph_moments`` runs HOST-side from the CSR export (f64 sums — the
+    analytic-z accuracy requirement), which reads the [N, k] index/weight
+    arrays back over the tunnel (~150 MB at 367k x k=50). Computing them
+    once per stored graph instead of once per morans_i/gearys_c call
+    removes that readback from every warm call (round 5).
+    """
+    uns_entry = adata.uns.get(GRAPH_UNS_KEY)
+    if uns_entry is None:
+        return graph_moments(graph)
+    key = (id(uns_entry), graph.neighbor_idx.shape)
+    cache = getattr(adata, "_graph_moments_cache", None)
+    if cache is not None and cache.get("key") == key:
+        return cache["moments"]
+    m = graph_moments(graph)
+    try:
+        adata._graph_moments_cache = {"key": key, "moments": m}
+    except (AttributeError, TypeError):
+        pass
+    return m
 
 
 def _get_graph(adata, n_neighbors, spatial_key, use_existing_graph) -> SpatialGraph:
@@ -263,7 +301,7 @@ def _global_autocorr(
         alternative = "greater" if stat == "moran" else "less"
 
     graph = _get_graph(adata, n_neighbors, spatial_key, use_existing_graph)
-    moments = graph_moments(graph)
+    moments = _get_graph_moments(adata, graph)
     S0, S1, S2 = moments["S0"], moments["S1"], moments["S2"]
 
     # banded null kernel for large N: one random gather + MXU band matmuls
@@ -284,10 +322,13 @@ def _global_autocorr(
         null_method, null_precision = "banded", "int8"
     plan = None
     if null_method == "banded" and n_permutations > 0:
-        from ..ops.banded import banded_permutation_test, build_null_plan
+        from ..ops.banded import banded_permutation_test
 
-        plan = build_null_plan(
-            graph, jnp.asarray(adata.obsm[spatial_key], jnp.float32))
+        # reuse the adata-cached plan (one Hilbert relabel + band split
+        # serves morans_i/gearys_c AND the local family; a fresh
+        # build_null_plan per call was seconds of warm time at the
+        # reference vignette's k=50 — round 5)
+        plan = _get_null_plan(adata, graph, spatial_key)
 
     place_Z = None
     if mesh is not None:
@@ -505,7 +546,7 @@ def global_autocorrelation(
     alt_g = alt_g or "less"
 
     graph = _get_graph(adata, n_neighbors, spatial_key, use_existing_graph)
-    moments = graph_moments(graph)
+    moments = _get_graph_moments(adata, graph)
     S0, S1, S2 = moments["S0"], moments["S1"], moments["S2"]
 
     if null_method == "auto":

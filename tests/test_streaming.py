@@ -373,3 +373,89 @@ class TestStreamingLocal:
         with pytest.raises(ValueError, match="stat must be"):
             streaming_local_null(graph, plan, lambda s, w: X[:, s:s + w],
                                  X.shape[1], sink, stat="ripley")
+
+
+class TestWideTileRecipe:
+    """obs_dtype="bf16" + return_counts: the wide-tile memory recipe."""
+
+    @pytest.fixture(scope="class")
+    def world(self):
+        rng = np.random.default_rng(21)
+        n, g = 400, 32
+        coords = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+        X = rng.normal(size=(n, g)).astype(np.float32)
+        X[:, 5] = 0.0
+        graph = build_graph(jnp.asarray(coords), n_neighbors=5)
+        plan = build_null_plan(graph, coords, block=64)
+        return graph, plan, X
+
+    def test_return_counts_matches_pvalues(self, world):
+        """banded_local_moran_pvalues(return_counts=True) returns the
+        integer counts behind the f32 p, in original cell order, and
+        accepts pre-quantized int8 codes."""
+        from spatialcore_tpu.ops.banded import (_quantize_z,
+                                                banded_local_moran_pvalues)
+
+        graph, plan, X = world
+        Z, _ = standardize(jnp.asarray(X))
+        P = 19
+        p = np.asarray(banded_local_moran_pvalues(plan, Z, 7, P))
+        cnt = np.asarray(banded_local_moran_pvalues(plan, Z, 7, P,
+                                                    return_counts=True))
+        assert cnt.dtype == np.int8           # P <= 127
+        # compare in the exact integer domain (the f32 division on device
+        # and the f64 one here differ in the last ulp)
+        np.testing.assert_array_equal(cnt, np.round(p * (P + 1) - 1))
+        # pre-quantized codes give the same counts (scale cancels)
+        Zq, _ = _quantize_z(Z)
+        cnt_q = np.asarray(banded_local_moran_pvalues(plan, Zq, 7, P,
+                                                      return_counts=True))
+        np.testing.assert_array_equal(cnt_q, cnt)
+
+    def test_bf16_obs_stream_matches_f32_path(self, world):
+        """obs_dtype="bf16": p/p_adj BITWISE equal to the f32-obs lean
+        path (same integer counts); I within bf16 tolerance; quadrant
+        equal away from bf16-resolution sign boundaries."""
+        from spatialcore_tpu.ops.streaming import (
+            device_local_sink, streaming_local_null)
+
+        graph, plan, X = world
+        n, g = X.shape
+        keys = ("I", "p", "p_adj", "quadrant")
+        outs = {}
+        for od in ("f32", "bf16"):
+            sink, fin = device_local_sink(g, keys=keys)
+            streaming_local_null(
+                graph, plan, lambda s, w: X[:, s:s + w], g, sink,
+                stat="moran", seed=3, n_permutations=19, tile=16,
+                keys=keys, post_chunk=8, obs_dtype=od)
+            outs[od] = {k: np.asarray(v, np.float32 if k != "quadrant"
+                                      else np.int8)
+                        for k, v in fin().items()}
+        np.testing.assert_array_equal(outs["bf16"]["p"], outs["f32"]["p"])
+        np.testing.assert_array_equal(outs["bf16"]["p_adj"],
+                                      outs["f32"]["p_adj"])
+        np.testing.assert_allclose(outs["bf16"]["I"], outs["f32"]["I"],
+                                   rtol=0.02, atol=0.02)
+        # quadrants may differ only where z or lag sits at bf16 resolution
+        frac = np.mean(outs["bf16"]["quadrant"] != outs["f32"]["quadrant"])
+        assert frac < 0.01, frac
+
+    def test_bf16_obs_validation(self, world):
+        from spatialcore_tpu.ops.streaming import (
+            host_local_sink, streaming_local_null)
+
+        graph, plan, X = world
+        sink, _ = host_local_sink(*X.shape)
+        with pytest.raises(ValueError, match="obs_dtype"):
+            streaming_local_null(graph, plan, lambda s, w: X[:, s:s + w],
+                                 X.shape[1], sink, stat="moran",
+                                 obs_dtype="f64")
+        with pytest.raises(ValueError, match="wide-tile"):
+            streaming_local_null(graph, plan, lambda s, w: X[:, s:s + w],
+                                 X.shape[1], sink, stat="geary",
+                                 keys=("C",), obs_dtype="bf16")
+        with pytest.raises(ValueError, match="wide-tile"):
+            streaming_local_null(graph, plan, lambda s, w: X[:, s:s + w],
+                                 X.shape[1], sink, stat="moran",
+                                 obs_dtype="bf16")   # no keys
