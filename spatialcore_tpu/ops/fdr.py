@@ -62,28 +62,53 @@ def benjamini_hochberg_discrete(p_values: jax.Array, n_levels: int,
     p = jnp.asarray(p_values, jnp.float32)
     pm = jnp.moveaxis(p, axis, 0)
     m = pm.shape[0]
-    lev = jnp.clip(jnp.round(pm * n_levels).astype(jnp.int32) - 1,
-                   0, n_levels - 1)
-    # per-level counts and representatives in ONE scatter pass each: the
-    # previous per-level lax.map re-read the full [m, ...] plane once per
-    # level — 1001 passes at P=1000, measured as 60% of the streamed
-    # LISA post-pass (13.2 s/tile at 1M x 512, round 5). Scatter counts
-    # are exact integers and scatter-min selects the same per-level
-    # minimum, so the result stays bitwise-equal.
     rest = pm.shape[1:]
     R = int(np.prod(rest)) if rest else 1
     pmf = pm.reshape(m, R)
-    levf = lev.reshape(m, R)
-    col = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32), (m, R))
-    cnt = jnp.zeros((n_levels, R), jnp.int32).at[levf, col].add(1)
-    rep = jnp.full((n_levels, R), jnp.inf, jnp.float32).at[
-        levf, col].min(pmf)
+    lev = jnp.clip(jnp.round(pmf * n_levels).astype(jnp.int32) - 1,
+                   0, n_levels - 1)
+    # LEVEL-BLOCKED histogram + LUT apply: per-element scatter/gather on
+    # TPU runs issue-bound (~40 M updates/s — 12.8 s for the [1M, 512]
+    # plane at P=1000, measured round 5, same class as the per-level
+    # lax.map it replaced), while compare+reduce over a virtual
+    # [Lb, m, R] block fuses into vector passes. Counts/min-reps are the
+    # same exact quantities, and the apply step exploits that ``adj`` is
+    # NON-DECREASING in level (a suffix min over a shrinking suffix), so
+    # ``adj[lev]`` == max over l <= lev of adj[l] — bitwise-equal to the
+    # take_along_axis lookup.
+    Lb = 32
+    n_blk = -(-n_levels // Lb)
+    pad_L = n_blk * Lb
+    blocks = jnp.arange(pad_L, dtype=jnp.int32).reshape(n_blk, Lb)
+
+    def hist_step(_, blk):
+        hit = lev[None, :, :] == blk[:, None, None]       # fused virtual
+        cnt_b = jnp.sum(hit, axis=1, dtype=jnp.int32)     # [Lb, R]
+        rep_b = jnp.min(jnp.where(hit, pmf[None], jnp.inf), axis=1)
+        return None, (cnt_b, rep_b)
+
+    _, (cnt, rep) = jax.lax.scan(hist_step, None, blocks)
+    cnt = cnt.reshape(pad_L, R)[:n_levels]
+    rep = rep.reshape(pad_L, R)[:n_levels]
     ranks = jnp.cumsum(cnt, axis=0).astype(jnp.float32)
     cand = rep * m / ranks            # empty level -> +inf, inert
     adj = jnp.minimum(
         jnp.flip(jax.lax.cummin(jnp.flip(cand, 0), axis=0), 0), 1.0)
-    adj = adj.reshape((n_levels,) + rest)
-    return jnp.moveaxis(jnp.take_along_axis(adj, lev, axis=0), 0, axis)
+    # padded levels carry adj 0 and block ids >= n_levels > every lev, so
+    # they never win the max below
+    adj_pad = jnp.pad(adj, ((0, pad_L - n_levels), (0, 0)))
+    adj_blk = adj_pad.reshape(n_blk, Lb, R)
+
+    def apply_step(acc, args):
+        blk, adj_b = args
+        contrib = jnp.max(
+            jnp.where(blk[:, None, None] <= lev[None, :, :],
+                      adj_b[:, None, :], 0.0), axis=0)
+        return jnp.maximum(acc, contrib), None
+
+    out, _ = jax.lax.scan(apply_step, jnp.zeros((m, R), jnp.float32),
+                          (blocks, adj_blk))
+    return jnp.moveaxis(out.reshape((m,) + rest), 0, axis)
 
 
 def bonferroni(p_values: jax.Array, axis: int = 0) -> jax.Array:
