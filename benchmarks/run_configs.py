@@ -70,12 +70,17 @@ def config1(scale):
     coords, X = _synthetic(n, 64, extent=800.0)
     adata = sct.SpatialData(X=X)
     adata.obsm["spatial"] = coords
-    t0 = time.time()
-    adata = sct.spatial.morans_i(adata, n_neighbors=6, n_permutations=100,
-                                 seed=0)
-    dt = time.time() - t0
-    _emit(1, "visium_moran_total_s", dt, "s", n_cells=n, n_genes=64,
-          n_perms=100)
+
+    def run_once(use_graph):
+        t0 = time.time()
+        sct.spatial.morans_i(adata, n_neighbors=6, n_permutations=100,
+                             seed=0, use_existing_graph=use_graph)
+        return time.time() - t0
+
+    cold = run_once(False)    # pays every remote compile
+    warm = run_once(True)     # cached executables + stored graph
+    _emit(1, "visium_moran_total_s", cold, "s", n_cells=n, n_genes=64,
+          n_perms=100, warm_s=round(warm, 2))
 
 
 def config2(scale):
@@ -88,14 +93,20 @@ def config2(scale):
     t0 = time.time()
     sct.spatial.build_spatial_weights(adata, radius=25.0, k_max=64)
     t_graph = time.time() - t0
-    t0 = time.time()
-    adata = sct.spatial.gearys_c(adata, genes=list(adata.var_names[:8]),
-                                 n_permutations=99, use_existing_graph=True)
-    sct.spatial.lees_l(adata, gene_pairs=("0", "1"), n_permutations=99,
-                       use_existing_graph=True)
-    dt = time.time() - t0
-    _emit(2, "merfish_radius_geary_lee_s", dt + t_graph, "s", n_cells=n,
-          graph_s=round(t_graph, 2))
+
+    def run_once():
+        t0 = time.time()
+        sct.spatial.gearys_c(adata, genes=list(adata.var_names[:8]),
+                             n_permutations=99, use_existing_graph=True)
+        sct.spatial.lees_l(adata, gene_pairs=("0", "1"), n_permutations=99,
+                           use_existing_graph=True)
+        return time.time() - t0
+
+    cold = run_once()    # pays every remote compile
+    warm = run_once()    # cached executables
+    _emit(2, "merfish_radius_geary_lee_s", cold + t_graph, "s", n_cells=n,
+          graph_s=round(t_graph, 2), stats_s=round(cold, 2),
+          stats_warm_s=round(warm, 2))
 
 
 def config3(scale):
@@ -275,21 +286,26 @@ def config5(scale):
     types[:n // 10] = "B"
     adata.obs["cell_type"] = types
 
-    t0 = time.time()
-    adata = sct.spatial.compute_neighborhood_profile(adata, "cell_type",
-                                                     k=50)
-    adata = sct.spatial.identify_niches(adata, n_niches=10, random_state=0)
-    t_niche = time.time() - t0
-    t0 = time.time()
-    adata = sct.spatial.make_spatial_domains(
-        adata, "cell_type == 'B'", platform="xenium",
-        min_target_cells_domain=20)
-    adata = sct.spatial.calculate_domain_distances(
-        adata, "spatial_domain", "spatial_domain")
-    t_dom = time.time() - t0
+    def run_once():
+        t0 = time.time()
+        sct.spatial.compute_neighborhood_profile(adata, "cell_type", k=50)
+        sct.spatial.identify_niches(adata, n_niches=10, random_state=0)
+        t_niche = time.time() - t0
+        t0 = time.time()
+        sct.spatial.make_spatial_domains(
+            adata, "cell_type == 'B'", platform="xenium",
+            min_target_cells_domain=20)
+        sct.spatial.calculate_domain_distances(
+            adata, "spatial_domain", "spatial_domain")
+        return t_niche, time.time() - t0
+
+    t_niche, t_dom = run_once()      # pays every remote compile
+    w_niche, w_dom = run_once()      # cached executables
     n_domains = adata.uns["spatial_domain_params"]["n_domains"]
     _emit(5, "niche_domain_pipeline_s", t_niche + t_dom, "s", n_cells=n,
           niche_s=round(t_niche, 2), domain_s=round(t_dom, 2),
+          warm_total_s=round(w_niche + w_dom, 2),
+          niche_warm_s=round(w_niche, 2), domain_warm_s=round(w_dom, 2),
           n_domains=n_domains)
 
 

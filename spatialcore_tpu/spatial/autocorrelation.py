@@ -311,8 +311,14 @@ def _global_autocorr(
     # the banded path gene-shards with zero collectives in the scan
     # (parallel.stats.sharded_banded_permutation_test, round 3).
     if null_method == "auto":
+        # the banded system pays a fixed plan-build + kernel compile; at
+        # small gene x perm volume (e.g. 8 genes x 99 draws) the slot
+        # path's per-draw gathers finish before the plan is even built
+        # (measured: config 2 cold 104 s banded vs 61 s slots — round 5)
         null_method = ("banded" if n_permutations > 0
-                       and n_cells >= 100_000 else "slots")
+                       and n_cells >= 100_000
+                       and len(gene_names) * n_permutations >= 16_384
+                       else "slots")
     # "banded_int8": per-gene-quantized null system — exact int8 MXU band
     # dots, half the HBM bytes of bf16, ~1.5x draw throughput at 1M cells
     # (docs/performance.md). Decision-level agreement with f32 is pinned
@@ -456,7 +462,9 @@ def morans_i(
     p-value when ``n_permutations > 0``, else the analytic tail probability
     under ``assumption``. ``z_score`` uses the analytic variance.
 
-    ``null_method``: "auto" picks the banded kernel at >=100k cells;
+    ``null_method``: "auto" picks the banded kernel at >=100k cells when
+    the gene x permutation volume amortizes its fixed plan-build +
+    compile cost (genes x perms >= 16,384), else the slot kernel;
     "banded_int8" additionally runs the null system in per-gene-quantized
     int8 (exact integer MXU dots, ~1.5x draw throughput, decision-level
     agreement with f32 — docs/performance.md). Observed I is always f32.
@@ -550,8 +558,12 @@ def global_autocorrelation(
     S0, S1, S2 = moments["S0"], moments["S1"], moments["S2"]
 
     if null_method == "auto":
+        # same volume gate as _global_autocorr: banded only when the
+        # gene x perm volume amortizes the plan-build + kernel compile
         null_method = ("banded" if n_permutations > 0
-                       and n_cells >= 100_000 else "slots")
+                       and n_cells >= 100_000
+                       and len(gene_names) * n_permutations >= 16_384
+                       else "slots")
     null_precision = "bf16"
     if null_method == "banded_int8":
         null_method, null_precision = "banded", "int8"
