@@ -733,15 +733,20 @@ def config9(scale):
             null_method="banded_int8"), "config9 lisa")
         stage["lisa"] = time.time() - t0
         t0 = time.time()
+        # banded_int8 like the moran/lisa calls above (auto would run the
+        # f32 banded null: same draws at ~4x the warm time — the int8
+        # decision agreement is pinned by tests/test_banded.py)
         _retry_compile(lambda: sct.spatial.lees_l(
             adata, gene_pairs=pairs, n_neighbors=k, n_permutations=perms,
-            seed=0, use_existing_graph=True), "config9 lees_l")
+            seed=0, use_existing_graph=True,
+            null_method="banded_int8"), "config9 lees_l")
         stage["lees"] = time.time() - t0
         t0 = time.time()
         _retry_compile(lambda: sct.spatial.lees_l_local(
             adata, gene_pairs=("0", "1"), n_neighbors=k,
             n_permutations=perms, seed=0, compute_cell_pvalues=True,
-            use_existing_graph=True), "config9 lees_l_local")
+            use_existing_graph=True,
+            null_method="banded_int8"), "config9 lees_l_local")
         stage["lees_local"] = time.time() - t0
         return stage
 
