@@ -362,15 +362,37 @@ def config6(scale):
     print(f"[config6] warm-up (compile + 1 tile x {chunk} draws): "
           f"{time.time()-t0:.1f}s", file=sys.stderr)
 
-    t0 = time.time()
-    I, p, m, s = streaming_moran_null(
-        graph, plan, gen_tile, n_genes=n_genes, S0=float(n), seed=0,
-        n_permutations=n_perms, tile=tile, chunk=chunk, precision=prec)
-    dt = time.time() - t0
+    # degraded-phase ladder (same philosophy as bench.py): during the
+    # backend's size-dependent RESOURCE_EXHAUSTED phases, ~8-12 GB
+    # working sets fault at EXECUTION while smaller ones run fine
+    # (CLAUDE.md quirks) — retry once, then halve the tile width and
+    # record the fallback in the JSON rather than emitting nothing
+    fallback = None
+    for attempt_tile in (tile, tile, tile // 2):
+        try:
+            t0 = time.time()
+            I, p, m, s = streaming_moran_null(
+                graph, plan, gen_tile, n_genes=n_genes, S0=float(n), seed=0,
+                n_permutations=n_perms, tile=attempt_tile, chunk=chunk,
+                precision=prec)
+            dt = time.time() - t0
+            break
+        except Exception as e:  # noqa: BLE001 — backend error classes vary
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            print(f"[config6] RESOURCE_EXHAUSTED at tile={attempt_tile}; "
+                  "degraded-phase ladder engaged", file=sys.stderr)
+            fallback = attempt_tile
+            time.sleep(60.0)
+    else:
+        raise RuntimeError("config6: all ladder tiles RESOURCE_EXHAUSTED")
     rate = n_genes * n_perms / dt
+    extra = {}
+    if fallback is not None and attempt_tile != tile:
+        extra["fallback_from_tile"] = tile
     _emit(6, "streaming_18k_genes_perms_per_s", rate, "genes*perms/s",
           n_cells=n, n_genes=n_genes, n_perms=n_perms,
-          precision=prec, total_s=round(dt, 1))
+          precision=prec, total_s=round(dt, 1), tile=attempt_tile, **extra)
 
 
 def config7(scale):
