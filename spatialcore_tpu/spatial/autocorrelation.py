@@ -271,6 +271,24 @@ def _concat_device_batches(batches: list) -> tuple:
 # Global Moran's I / Geary's C
 # ---------------------------------------------------------------------------
 
+def _auto_null_method(n_cells: int, n_genes: int,
+                      n_permutations: int) -> str:
+    """Resolve null_method='auto' for the global statistics.
+
+    The banded system pays a fixed plan-build + kernel compile; it wins
+    at large N only when the gene x perm volume amortizes that cost —
+    at small volume (e.g. 8 genes x 99 draws) the slot path's per-draw
+    gathers finish before the plan is even built (measured: config 2
+    cold 104 s banded vs 61 s slots — round 5). The two paths draw from
+    different seeded permutation streams, so the choice is sticky per
+    (shape, seed): it depends on sizes only, never on data values.
+    """
+    return ("banded" if n_permutations > 0
+            and n_cells >= 100_000
+            and n_genes * n_permutations >= 16_384
+            else "slots")
+
+
 def _global_autocorr(
     adata,
     stat: Literal["moran", "geary"],
@@ -311,14 +329,8 @@ def _global_autocorr(
     # the banded path gene-shards with zero collectives in the scan
     # (parallel.stats.sharded_banded_permutation_test, round 3).
     if null_method == "auto":
-        # the banded system pays a fixed plan-build + kernel compile; at
-        # small gene x perm volume (e.g. 8 genes x 99 draws) the slot
-        # path's per-draw gathers finish before the plan is even built
-        # (measured: config 2 cold 104 s banded vs 61 s slots — round 5)
-        null_method = ("banded" if n_permutations > 0
-                       and n_cells >= 100_000
-                       and len(gene_names) * n_permutations >= 16_384
-                       else "slots")
+        null_method = _auto_null_method(n_cells, len(gene_names),
+                                        n_permutations)
     # "banded_int8": per-gene-quantized null system — exact int8 MXU band
     # dots, half the HBM bytes of bf16, ~1.5x draw throughput at 1M cells
     # (docs/performance.md). Decision-level agreement with f32 is pinned
@@ -558,12 +570,8 @@ def global_autocorrelation(
     S0, S1, S2 = moments["S0"], moments["S1"], moments["S2"]
 
     if null_method == "auto":
-        # same volume gate as _global_autocorr: banded only when the
-        # gene x perm volume amortizes the plan-build + kernel compile
-        null_method = ("banded" if n_permutations > 0
-                       and n_cells >= 100_000
-                       and len(gene_names) * n_permutations >= 16_384
-                       else "slots")
+        null_method = _auto_null_method(n_cells, len(gene_names),
+                                        n_permutations)
     null_precision = "bf16"
     if null_method == "banded_int8":
         null_method, null_precision = "banded", "int8"

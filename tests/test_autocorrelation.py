@@ -1064,3 +1064,19 @@ def test_getis_streaming_hotspot_matches_public(spatial_adata):
                          post_chunk=2)
     np.testing.assert_array_equal(np.asarray(fin2()["hotspot"]),
                                   np.asarray(full.obsm["go_hotspot"]))
+
+
+def test_auto_null_method_volume_gate():
+    """auto = banded only at >=100k cells AND genes*perms >= 16,384 —
+    small panels take the slot path whose per-draw gathers beat the
+    banded plan-build + compile (round-5 config-2 finding)."""
+    from spatialcore_tpu.spatial.autocorrelation import _auto_null_method
+
+    assert _auto_null_method(1_000_000, 64, 1000) == "banded"
+    assert _auto_null_method(100_000, 960, 99) == "banded"     # config 9
+    assert _auto_null_method(100_000, 8, 99) == "slots"        # config 2
+    assert _auto_null_method(50_000, 8192, 1000) == "slots"    # small N
+    assert _auto_null_method(1_000_000, 8, 0) == "slots"       # analytic
+    # exact boundary: 16,384 gene*perms qualifies, one fewer does not
+    assert _auto_null_method(100_000, 128, 128) == "banded"
+    assert _auto_null_method(100_000, 127, 128) == "slots"
