@@ -13,10 +13,13 @@ Usage:
     python tools/tpu_queue.py --jobs jobs.json [--probe-timeout 180]
         [--sleep 240] [--max-retries 4]
 
-jobs.json: list of {"name": str, "cmd": str, "timeout": int_seconds}.
-Each job runs as a shell command in its own subprocess (so a faulted
-TPU client never wedges the queue), stdout/stderr teed to
-/tmp/tpu_queue_<name>.log. The queue re-probes between jobs and after
+jobs.json: list of {"name": str, "cmd": str, "timeout": int_seconds,
+"fail_pattern": str?}. Each job runs as a shell command in its own
+subprocess (so a faulted TPU client never wedges the queue),
+stdout/stderr teed to /tmp/tpu_queue_<name>.log. A job that exits 0 but
+whose log contains `fail_pattern` counts as FAILED — run_configs.py
+deliberately catches exceptions and emits `"metric": "error"` JSON with
+rc 0 so the driver still gets a line; pass that string here. The queue re-probes between jobs and after
 any failure, and emits one status JSON line per event on stdout.
 
 Only ONE process may use the TPU at a time -- never run this
@@ -72,6 +75,11 @@ def run_job(job, repo_root):
             rc = r.returncode
         except subprocess.TimeoutExpired:
             rc = -9
+    pat = job.get("fail_pattern")
+    if rc == 0 and pat:
+        with open(log_path) as f:
+            if pat in f.read():
+                rc = -2
     return rc, time.time() - t0, log_path
 
 
