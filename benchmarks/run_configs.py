@@ -368,7 +368,9 @@ def config6(scale):
     # (CLAUDE.md quirks) — retry once, then halve the tile width and
     # record the fallback in the JSON rather than emitting nothing
     fallback = None
-    for attempt_tile in (tile, tile, tile // 2):
+    # deepest rung tile//4 observed necessary 2026-08-21: a phase where
+    # even the 2048-wide int4 stream (≈5 GB working set) faulted
+    for attempt_tile in (tile, tile, tile // 2, tile // 4):
         try:
             t0 = time.time()
             I, p, m, s = streaming_moran_null(
