@@ -13,7 +13,10 @@ null precision (f32 / int8 / int4):
 Results go into docs/performance.md's calibration table. CPU twin:
 tests/test_null_calibration.py.
 
-Env: CAL_CELLS (250k), CAL_GENES (2048), CAL_PERMS (499), CAL_K (6).
+Env: CAL_CELLS (250k), CAL_GENES (2048), CAL_PERMS (499), CAL_K (6),
+CAL_CHUNK (gene-chunk width, default 1024 — the f32 banded path at
+k=50 compile-OOMs a 16 GB v5e at 1024-wide chunks [17.3 G needed,
+measured 2026-08-21]; use 512 for high-k runs).
 """
 
 import json
@@ -34,6 +37,7 @@ N = int(os.environ.get("CAL_CELLS", 250_000))
 G = int(os.environ.get("CAL_GENES", 2048))
 P = int(os.environ.get("CAL_PERMS", 499))
 K = int(os.environ.get("CAL_K", 6))
+CHUNK = int(os.environ.get("CAL_CHUNK", 1024))
 
 coords = jax.random.uniform(jax.random.key(0), (N, 2), jnp.float32, 0, 3000)
 _ = float(coords[0, 0])   # eat the first-readback stall
@@ -48,8 +52,8 @@ ps = {}
 for prec in ("f32", "int8", "int4"):
     p_parts = []
     t0 = time.time()
-    for s in range(0, G, 1024):
-        g = min(1024, G - s)
+    for s in range(0, G, CHUNK):
+        g = min(CHUNK, G - s)
         X = jax.random.normal(jax.random.fold_in(jax.random.key(1), s),
                               (N, g), jnp.float32)
         Z, _zv = standardize(X)
